@@ -1,13 +1,51 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.relational.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every operator the engine claims is registered here twice: as a Spark
+  * query and as its DuckDB-oracle SQL twin (same column names, same row
+  * order, exact-arithmetic aggregates).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.joinRevenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing"        -> Relational.aggPricing _,
+    "q_join_segment"       -> Relational.joinRevenueBySegment _,
+    "q_join_nation"        -> Relational.joinRevenueByNation _,
+    "q_join_semi"          -> Relational.joinSemi _,
+    "q_join_anti"          -> Relational.joinAnti _,
+    "q_join_outer"         -> Relational.joinOuterLineCounts _,
+    "q_window_topk"        -> Relational.windowTopOrders _,
+    "q_window_running"     -> Relational.windowRunningTotal _,
+    "q_setops"             -> Relational.setOps _,
+    "q_rollup"             -> Relational.rollupQuantities _,
+    "q_cube"               -> Relational.cubeOrders _,
+    "q_events_hourly"      -> Relational.eventsHourly _,
+    "q_scalar_funcs"       -> Relational.scalarFunctions _,
+    "q_scalar_dates"       -> Relational.scalarDates _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing"        -> Relational.aggPricingSql,
+    "q_join_segment"       -> Relational.joinRevenueBySegmentSql,
+    "q_join_nation"        -> Relational.joinRevenueByNationSql,
+    "q_join_semi"          -> Relational.joinSemiSql,
+    "q_join_anti"          -> Relational.joinAntiSql,
+    "q_join_outer"         -> Relational.joinOuterLineCountsSql,
+    "q_window_topk"        -> Relational.windowTopOrdersSql,
+    "q_window_running"     -> Relational.windowRunningTotalSql,
+    "q_setops"             -> Relational.setOpsSql,
+    "q_rollup"             -> Relational.rollupQuantitiesSql,
+    "q_cube"               -> Relational.cubeOrdersSql,
+    "q_events_hourly"      -> Relational.eventsHourlySql,
+    "q_scalar_funcs"       -> Relational.scalarFunctionsSql,
+    "q_scalar_dates"       -> Relational.scalarDatesSql,
+  )
 }

@@ -1,0 +1,59 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (`/root/repo/TESTDATA.md`)
+  * and for reference-format inputs (line-delimited JSON reviews — see
+  * reference `src/wordCountJob.py:54-62`).
+  *
+  * Scale note: all loaders are plain `spark.read` — partitioning is
+  * inherited from the parquet file layout, so on a real cluster each
+  * table scan parallelizes across `spark.sql.files.maxPartitionBytes`
+  * splits with column pruning + predicate pushdown intact.
+  */
+object Tables {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") withEventTime(df) else df
+  }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * raw nanosecond long (`spark.sql.legacy.parquet.nanosAsLong=true`, set
+    * in Verify/Bench/tests). Keep the exact nanos as `ts_ns` and expose
+    * `ts` as a TIMESTAMP_NTZ truncated to microseconds (integer `div`, so
+    * the truncation is exact — a double division would lose precision at
+    * 2^53 ns ≈ 104 days).
+    */
+  def withEventTime(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+
+  /** Reference review input: line-delimited JSON, only two fields consumed,
+    * malformed lines silently dropped (reference `src/wordCountJob.py:62-72`).
+    * PERMISSIVE mode + corrupt-record filter reproduces the bare-`except`
+    * skip; schema pruning pushes the 2-column projection into the parser.
+    */
+  def reviews(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("category", StringType),
+      StructField("reviewText", StringType),
+      StructField("_corrupt", StringType)))
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .where(col("_corrupt").isNull)
+      .select(
+        coalesce(col("category"), lit("Unknown")).as("category"),
+        coalesce(col("reviewText"), lit("")).as("reviewText"))
+  }
+}
