@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.relational.Relational
+import graft.pipeline.TextPipelineQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator the engine claims is registered here twice: as a Spark
@@ -8,9 +9,11 @@ import graft.relational.Relational
   * order, exact-arithmetic aggregates).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's raison d'être: χ² top-k feature terms per category.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.joinRevenueByNation(spark, "/root/testdata/sf0.001")
+    TextPipelineQueries.chisqTopK(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -28,6 +31,10 @@ object SparkEntry {
     "q_events_hourly"      -> Relational.eventsHourly _,
     "q_scalar_funcs"       -> Relational.scalarFunctions _,
     "q_scalar_dates"       -> Relational.scalarDates _,
+    "q_wordcount"          -> TextPipelineQueries.wordcount _,
+    "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoin _,
+    "q_chisq_topk"         -> ((s, d) => TextPipelineQueries.chisqTopK(s, d)),
+    "q_vocabulary"         -> ((s, d) => TextPipelineQueries.vocabulary(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +54,9 @@ object SparkEntry {
     "q_events_hourly"      -> Relational.eventsHourlySql,
     "q_scalar_funcs"       -> Relational.scalarFunctionsSql,
     "q_scalar_dates"       -> Relational.scalarDatesSql,
+    "q_wordcount"          -> TextPipelineQueries.wordcountSql,
+    "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoinSql,
+    "q_chisq_topk"         -> TextPipelineQueries.chisqTopKSql(),
+    "q_vocabulary"         -> TextPipelineQueries.vocabularySql(),
   )
 }

@@ -1,0 +1,62 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers/writers for the reference engine's on-disk interchange formats
+  * (SURVEY.md §2 rows 3-6) so its committed fixtures can feed our operators:
+  *
+  *  - wordcount part files: `"word"\t{"category": n, ...}` per line
+  *    (mrjob JSONProtocol — reference `src/wordCountJob.py` output,
+  *    fixture `src/output/amazon_reviews_chiotp/wordcount/part-*`);
+  *  - counters file: single line `<total:int> {'cat': n, ...}` (python-repr
+  *    dict — reference `src/wordCountWrapper.py:49-50`, `src/data/counters.txt`);
+  *  - chisq result: `Category\t{'word': chi2, ...}` lines + one final
+  *    python-list vocabulary line (reference `src/chiSquaredJob.py:110-127`).
+  */
+object RefFormats {
+
+  /** Parse wordcount part files into tidy (word, category, df_count).
+    * The key is a JSON string and the value a JSON object; both parsed by
+    * Spark's vectorized from_json — no UDFs, stays in codegen.
+    */
+  def readWordCounts(spark: SparkSession, pathGlob: String): DataFrame = {
+    // from_json has no scalar-string schema; wrapping the quoted key in
+    // [...] parses it as a 1-element array, handling every JSON escape
+    val kv = spark.read.text(pathGlob)
+      .select(
+        element_at(from_json(
+          concat(lit("["), substring_index(col("value"), "\t", 1), lit("]")),
+          ArrayType(StringType)), 1).as("word"),
+        from_json(substring_index(col("value"), "\t", -1),
+          MapType(StringType, LongType)).as("counts"))
+    kv.select(col("word"), explode(col("counts")).as(Seq("category", "df_count")))
+  }
+
+  /** Parse a counters file: (total, Map(category -> nDocs)). Single line,
+    * driver-side — this is cross-job scalar state, not dataflow.
+    */
+  def readCounters(spark: SparkSession, path: String): (Long, Map[String, Long]) = {
+    val line = spark.read.textFile(path).head().trim
+    val Array(total, dict) = line.split(" ", 2)
+    // python-repr dict → JSON (single → double quotes; keys have no quotes
+    // inside them in this dataset, categories are [A-Za-z_] only)
+    val json = dict.replace("'", "\"")
+    import spark.implicits._
+    val m = spark.createDataset(Seq(json))
+      .select(from_json(col("value"), MapType(StringType, LongType)).as("m"))
+      .head().getMap[String, Long](0)
+    (total.toLong, Map(m.toSeq: _*))
+  }
+
+  /** Format the χ² result the way the reference's RawProtocol output does:
+    * `Category\t{'word': score, ...}` in χ²-descending order. Used for
+    * parity inspection only — canonical engine output stays columnar.
+    */
+  def formatChiSq(rows: Seq[(String, Seq[(String, Double)])]): Seq[String] =
+    rows.map { case (cat, pairs) =>
+      val dict = pairs.map { case (w, s) => s"'$w': $s" }.mkString("{", ", ", "}")
+      s"$cat\t$dict"
+    }
+}

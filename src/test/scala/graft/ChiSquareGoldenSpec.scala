@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.RefFormats
+import graft.chisq.ChiSquare
+
+/** End-to-end golden test of the χ² stage against the reference's committed
+  * devset fixtures: the 32 wordcount part files feed our operator and the
+  * result is compared to `chisq/part-00000` (reference
+  * `src/output/amazon_reviews_chiotp/`). The devset counters are not
+  * committed upstream; `src/test/resources/devset_counters.txt` holds the
+  * exact integers recovered by inverting the χ² formula on the golden
+  * scores (all 1,650 reproduce with zero error — see git history).
+  */
+class ChiSquareGoldenSpec extends SparkSpec {
+
+  private val refOut = "/root/reference/src/output/amazon_reviews_chiotp"
+  private val countersPath =
+    getClass.getResource("/devset_counters.txt").getPath
+
+  private lazy val golden: Map[String, Seq[(String, Double)]] = {
+    val lines = scala.io.Source.fromFile(s"$refOut/chisq/part-00000", "UTF-8")
+      .getLines().toSeq
+    val entry = "'([^']+)': ([-0-9.eE+]+)".r
+    lines.dropRight(1).map { line =>
+      val Array(cat, dict) = line.split("\t", 2)
+      cat -> entry.findAllMatchIn(dict).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    }.toMap
+  }
+
+  private lazy val goldenVocab: Seq[String] = {
+    val last = scala.io.Source.fromFile(s"$refOut/chisq/part-00000", "UTF-8")
+      .getLines().toSeq.last
+    "'([^']+)'".r.findAllMatchIn(last).map(_.group(1)).toSeq
+  }
+
+  private lazy val ourTopK: Map[String, Seq[(String, Double)]] = {
+    val wc = RefFormats.readWordCounts(spark, s"$refOut/wordcount/part-*")
+    val (total, counters) = RefFormats.readCounters(spark, countersPath)
+    val catTotals = spark.createDataFrame(counters.toSeq).toDF("category", "n_docs")
+    val scored = ChiSquare.score(wc, catTotals, total)
+    ChiSquare.topKPerCategory(scored, 75)
+      .collect()
+      .map(r => (r.getString(1), r.getString(0), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (c, rs) => c -> rs.map(t => (t._2, t._3)).toSeq }
+  }
+
+  test("devset golden: 22 categories, 75 words each") {
+    assert(ourTopK.keySet === golden.keySet)
+    assert(golden.keySet.size === 22)
+    for (c <- golden.keySet) assert(ourTopK(c).size === golden(c).size, s"category $c")
+  }
+
+  test("devset golden: top-75 membership matches per category") {
+    for (c <- golden.keySet) {
+      val ours = ourTopK(c).map(_._1).toSet
+      val gold = golden(c).map(_._1).toSet
+      assert(ours === gold, s"category $c membership")
+    }
+  }
+
+  test("devset golden: every chi2 score matches within 1e-9 relative") {
+    for (c <- golden.keySet) {
+      val ours = ourTopK(c).toMap
+      for ((w, g) <- golden(c)) {
+        val o = ours(w)
+        assert(math.abs(o - g) <= 1e-9 * math.abs(g), s"$c/$w: ours=$o golden=$g")
+      }
+    }
+  }
+
+  test("devset golden: union vocabulary matches exactly, sorted") {
+    val ourVocab = ourTopK.values.flatMap(_.map(_._1)).toSeq.distinct.sorted
+    assert(goldenVocab === goldenVocab.sorted, "golden line is sorted")
+    assert(ourVocab === goldenVocab)
+  }
+}
