@@ -2,6 +2,11 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.relational.Relational
 import graft.pipeline.TextPipelineQueries
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.textanalysis.TextAnalysis
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator the engine claims is registered here twice: as a Spark
@@ -35,6 +40,19 @@ object SparkEntry {
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoin _,
     "q_chisq_topk"         -> ((s, d) => TextPipelineQueries.chisqTopK(s, d)),
     "q_vocabulary"         -> ((s, d) => TextPipelineQueries.vocabulary(s, d)),
+    "q_dedup_exact"        -> Dedup.exact _,
+    "q_dedup_minhash"      -> Dedup.minhashCandidates _,
+    "q_dedup_simhash"      -> Dedup.simhashPairs _,
+    "q_dedup_jaccard"      -> Dedup.jaccardPairs _,
+    "q_dedup_embed"        -> Dedup.embeddingPairs _,
+    "q_sim_topk"           -> Similarity.cosineTopK _,
+    "q_ann_topk"           -> Similarity.annTopK _,
+    "q_text_tokenstats"    -> TextAnalysis.tokenStats _,
+    "q_text_quality"       -> TextAnalysis.qualityScore _,
+    "q_text_langid"        -> TextAnalysis.langId _,
+    "q_text_fingerprint"   -> TextAnalysis.fingerprints _,
+    "q_multimodal_meta"    -> Multimodal.mediaMeta _,
+    "q_events_sessions"    -> StreamingOps.sessionsBatch _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +76,18 @@ object SparkEntry {
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoinSql,
     "q_chisq_topk"         -> TextPipelineQueries.chisqTopKSql(),
     "q_vocabulary"         -> TextPipelineQueries.vocabularySql(),
+    "q_dedup_exact"        -> Dedup.exactSql,
+    "q_dedup_minhash"      -> Dedup.minhashCandidatesSql,
+    "q_dedup_simhash"      -> Dedup.simhashPairsSql,
+    "q_dedup_jaccard"      -> Dedup.jaccardPairsSql,
+    "q_dedup_embed"        -> Dedup.embeddingPairsSql,
+    "q_sim_topk"           -> Similarity.cosineTopKSql,
+    "q_ann_topk"           -> Similarity.annTopKSql,
+    "q_text_tokenstats"    -> TextAnalysis.tokenStatsSql,
+    "q_text_quality"       -> TextAnalysis.qualityScoreSql,
+    "q_text_langid"        -> TextAnalysis.langIdSql,
+    "q_text_fingerprint"   -> TextAnalysis.fingerprintsSql,
+    "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
+    "q_events_sessions"    -> StreamingOps.sessionsBatchSql,
   )
 }

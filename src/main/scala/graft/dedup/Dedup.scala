@@ -1,0 +1,302 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.functions.Hashing
+import graft.functions.Hashing.{P, duckH48, duckH48p, duckPerm}
+
+/** Training-data deduplication suite over the `documents` table — the
+  * capability delta the build target mandates beyond the reference pipeline
+  * (the reference's only dedup is per-review token `set()`,
+  * reference `src/wordCountJob.py:75`; a 100 TB corpus pipeline needs
+  * document-level exact + near dedup).
+  *
+  * All five operators are pure DataFrame plans over codegen'd built-ins
+  * (no UDFs), hash arithmetic is md5-derived 48-bit integers mod 2^31−1
+  * ([[graft.functions.Hashing]]) so the DuckDB oracle reproduces every value
+  * bit-exactly.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: one hash-shuffle on a 16-byte digest — the minimum
+  *    possible; never shuffles document text.
+  *  - MinHash/LSH: signatures are one narrow pass + one groupBy(doc);
+  *    candidate generation joins on (band_idx, band_key) — cost scales with
+  *    bucket collisions (i.e. with actual near-dup density), never O(n²).
+  *  - SimHash: banded the same way (4×8-bit bands); the hamming≤3 filter
+  *    runs only on band-collision candidates. Pigeonhole guarantees the
+  *    banded plan returns EXACTLY the brute-force hamming≤3 result.
+  *  - shingle-Jaccard: inverted-index self-join on shingle (the classic
+  *    suffix-array-free plan); AQE skew-join handles hot shingles.
+  *  - embedding near-dup: the brute-force O(n²) pair join is the correctness
+  *    baseline; the scale path is LSH bucketing (graft.similarity.Similarity).
+  */
+object Dedup {
+
+  /** Whitespace tokens of the lowercased text, order preserved, no empties.
+    * (The dedup operators use plain whitespace tokenization — shingle
+    * identity wants raw word sequence, not the χ² pipeline's char-stripping.)
+    */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), w => length(w) > 0).as("t"))
+
+  private val duckTokens =
+    """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+       x -> len(x) > 0) AS t FROM documents"""
+
+  /** Distinct word 3-gram shingles per document (docs with <3 tokens drop
+    * out — they have no 3-shingle). `sequence` is guarded by the size
+    * filter: Spark's `sequence(1, n)` turns descending for n<1.
+    */
+  def shingles(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ",
+          element_at(col("t"), i),
+          element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)))).as("shingle"))
+      .distinct()
+
+  private val duckShingles =
+    s"""toks AS ($duckTokens),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks WHERE len(t) >= 3)"""
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content digest: keep the lowest doc_id per md5(text).
+    * Output: (doc_id, content_hash, n_copies). One shuffle on the digest.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "content_hash", "n_copies")
+      .orderBy("doc_id")
+
+  val exactSql: String =
+    """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+       count(*) AS n_copies
+       FROM documents GROUP BY md5(text) ORDER BY doc_id"""
+
+  // -------------------------------------------------------------- minhash
+
+  val NumPerms = 16
+  val Bands = 4
+  val Rows = 4 // NumPerms / Bands
+
+  /** MinHash signatures: 16 universal hashes min-folded over each document's
+    * shingle set. One explode + one groupBy(doc_id) with 16 `min` aggregates
+    * (all partial-aggregated map-side).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hm = shingles(docs).select(col("doc_id"), Hashing.h48p(col("shingle")).as("hm"))
+    val mins = (0 until NumPerms).map(i => min(Hashing.perm(i, col("hm"))).as(s"m$i"))
+    hm.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: 4 bands × 4 rows; two docs are candidates iff at
+    * least one band of their signatures agrees. Output:
+    * (doc_a, doc_b, n_bands) with doc_a < doc_b. Join key is
+    * (band_idx, band_key) — no O(n²) anywhere.
+    */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(Tables.load(spark, dir, "documents"))
+    val bandStructs = (0 until Bands).map { b =>
+      val key = concat_ws("-", (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*)
+      struct(lit(b).as("bidx"), key.as("bkey"))
+    }
+    val bx = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bkey").as("bkey"))
+    val a = bx.as("a"); val b = bx.as("b")
+    a.join(b, col("a.bidx") === col("b.bidx") && col("a.bkey") === col("b.bkey")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashCandidatesSql: String = {
+    val mins = (0 until NumPerms)
+      .map(i => s"min(${duckPerm(i, "hm")}) AS m$i").mkString(", ")
+    val bands = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"m${b * Rows + r}").mkString(", '-', ")
+      s"SELECT doc_id, $b AS bidx, concat($key) AS bkey FROM msig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $duckShingles,
+        hm0 AS (SELECT doc_id, ${duckH48p("shingle")} AS hm FROM sh),
+        msig AS (SELECT doc_id, $mins FROM hm0 GROUP BY doc_id),
+        bx AS ($bands)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        FROM bx a JOIN bx b
+          ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  val SimBits = 32
+  val SimBands = 4 // 8 bits each; hamming ≤ 3 < 4 bands ⇒ some band matches
+  val MaxHamming = 3
+
+  /** 32-bit SimHash per document over its shingle-hash set: bit j is the
+    * sign of Σ±1 over shingles (+1 if bit j of the shingle hash is set).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val h = shingles(docs).select(col("doc_id"), Hashing.h48(col("shingle")).as("h"))
+    val bitSums = (0 until SimBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val sig = (0 until SimBits).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) ≤ 3, found via 4×8-bit band
+    * join — candidates only where a band collides, then the exact hamming
+    * filter. By pigeonhole this equals brute force (the oracle's form).
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(Tables.load(spark, dir, "documents"))
+    val bandStructs = (0 until SimBands).map { b =>
+      struct(lit(b).as("bidx"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bkey"))
+    }
+    val bx = sig.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.bidx").as("bidx"), col("band.bkey").as("bkey"))
+    val a = bx.as("a"); val b = bx.as("b")
+    a.join(b, col("a.bidx") === col("b.bidx") && col("a.bkey") === col("b.bkey")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct() // a pair may collide in >1 band
+      .where(col("hamming") <= MaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String = {
+    val bits = (0 until SimBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val sig = (0 until SimBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $duckShingles,
+        h AS (SELECT doc_id, ${duckH48("shingle")} AS h FROM sh),
+        s AS (SELECT doc_id, $bits FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, $sig AS simhash FROM s)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+        ORDER BY doc_a, doc_b"""
+  }
+
+  // -------------------------------------------------------------- jaccard
+
+  val JaccardThreshold = 0.8
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join on
+    * shingle: |A∩B| from the join, |A|,|B| from per-doc sizes, keep
+    * J = i/(|A|+|B|−i) ≥ 0.8. Output: (doc_a, doc_b, jaccard).
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.load(spark, dir, "documents"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardPairsSql: String =
+    s"""WITH $duckShingles,
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+          >= $JaccardThreshold
+        ORDER BY doc_a, doc_b"""
+
+  // ------------------------------------------------------------ embedding
+
+  val CosineThreshold = 0.4
+
+  /** Embedding-cosine near-dup pairs over the `embeddings` table:
+    * brute-force pair join (correctness baseline; LSH variant in
+    * graft.similarity), cosine computed by a SEQUENTIAL array fold so the
+    * double-precision result is order-deterministic and oracle-identical.
+    * Output: (vec_a, vec_b, cosine) with cosine ≥ 0.4.
+    */
+  def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.as("a"); val b = e.as("b")
+    val cos = cosine(col("a.v"), col("b.v"))
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos.as("cosine"))
+      .where(col("cosine") >= CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** dot(a,b) as a left fold with 0.0 seed: aggregate(zip_with(.*.), 0, +).
+    * The fold order matches DuckDB's list_reduce(list_prepend(0.0, …)) term
+    * for term, so both engines produce the same IEEE-754 double.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB twin of [[dot]] — identical fold order. */
+  def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])),
+        (acc, x) -> acc + x)"""
+
+  def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  val embeddingPairsSql: String =
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          ${duckCosine("a.v", "b.v")} AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${duckCosine("a.v", "b.v")} >= $CosineThreshold
+        ORDER BY vec_a, vec_b"""
+}

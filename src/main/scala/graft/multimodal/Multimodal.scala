@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Multimodal-column plumbing: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata, and decode / feature-extract
+  * runs as imperative per-partition batch code over those bytes — the one
+  * place the engine deliberately drops below Catalyst, because real media
+  * decoding (JPEG/PNG/audio frames) is library code, not expressions.
+  *
+  * The media libraries are not in this container, so [[StubDecoder]] is a
+  * clearly-marked deterministic FAKE (md5-derived dimensions); everything
+  * around it — the binary schema, the Dataset[MediaBlob] encoder, the
+  * per-partition decoder lifecycle (init once per partition, stream the
+  * rows, never materialize the partition), the typed output row — is the
+  * real production plumbing a decoder would drop into.
+  *
+  * Scale notes (100 TB of media):
+  *  - the scan stays input-partitioned (`maxPartitionBytes` splits); decode
+  *    is per-row CPU work with no shuffle at all;
+  *  - only `doc_id` + payload are read (column pruning);
+  *  - the stub's arithmetic is reproduced exactly by the DuckDB oracle, so
+  *    this non-SQL operator still gets a full value-level correctness gate.
+  */
+object Multimodal {
+
+  /** A media payload: id + raw bytes (here synthesized from `documents.text`
+    * since the test corpus ships no real media — UTF-8 bytes exactly match
+    * the oracle's `encode(text)`).
+    */
+  final case class MediaBlob(doc_id: Long, content: Array[Byte])
+
+  /** Decoded stub metadata + first feature components. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      n_frames: Int, f0: Double, f1: Double)
+
+  /** Deterministic fake decoder: stands in for an image/audio library.
+    * Derives "dimensions" from the md5 of the payload and "features" from
+    * the same hash — byte-for-byte reproducible in SQL. A real decoder
+    * would replace `decode` only; the call sites stay identical.
+    */
+  object StubDecoder {
+    def h48(bytes: Array[Byte]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).take(6).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+
+    def decode(b: MediaBlob): MediaMeta = {
+      val n = b.content.length
+      val h = h48(b.content)
+      MediaMeta(
+        doc_id = b.doc_id,
+        n_bytes = n,
+        width = (64 + h % 448).toInt,
+        height = (64 + (h / 448) % 448).toInt,
+        n_frames = (1 + n % 30),
+        f0 = (h % 2001 - 1000) / 1000.0,
+        f1 = ((h / 2001) % 2001 - 1000) / 1000.0)
+    }
+  }
+
+  /** documents → binary payload column (the multimodal schema shape:
+    * id + `binary` + metadata columns).
+    */
+  def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[MediaBlob]
+  }
+
+  /** Decode/feature-extract pass: one decoder per partition, streaming
+    * iterator in/out (constant memory per task regardless of partition
+    * size — the property that matters when payloads are MBs each).
+    */
+  def decodeAll(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // real decoders initialize native state here, once per partition
+      val decoder = StubDecoder
+      it.map(decoder.decode)
+    }
+  }
+
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(blobs(spark, dir)).toDF().orderBy("doc_id")
+
+  val mediaMetaSql: String =
+    """WITH h AS (SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+              ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+              FROM documents)
+        SELECT doc_id, n_bytes,
+          CAST(64 + h % 448 AS INT) AS width,
+          CAST(64 + (h // 448) % 448 AS INT) AS height,
+          CAST(1 + n_bytes % 30 AS INT) AS n_frames,
+          CAST(h % 2001 - 1000 AS DOUBLE) / 1000.0 AS f0,
+          CAST((h // 2001) % 2001 - 1000 AS DOUBLE) / 1000.0 AS f1
+        FROM h ORDER BY doc_id"""
+}

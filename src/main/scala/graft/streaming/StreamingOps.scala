@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.Tables
+
+/** Structured Streaming surface of the engine + the batch twins that make
+  * its semantics oracle-checkable (a DuckDB gate can't run a stream, so
+  * every streaming op here has a batch query computing the identical
+  * result over the `events` table).
+  *
+  * Scale notes: all stateful ops key by `user_id` (or window start) —
+  * state partitions across executors; watermarks bound state size; the
+  * batch twins use the exact-integer `ts_ns` column so session arithmetic
+  * is engine-exact.
+  */
+object StreamingOps {
+
+  val SessionGapUs: Long = 30L * 60 * 1000000L // 30 min in µs
+
+  // ------------------------------------------------------- batch twins
+
+  /** Gap-based sessionization (30-min inactivity) in pure batch form:
+    * lag → new-session flag → running-sum session index → per-session agg.
+    * Exact integer arithmetic on microsecond timestamps (µs, not ns: the
+    * oracle's TIMESTAMP type is µs-precision, and the engine's own `ts`
+    * column is too — ns only exist in the raw parquet encoding).
+    * Output one row per session.
+    */
+  def sessionsBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val newSession = when(
+      col("prev_us").isNull ||
+        (col("ts_us") - col("prev_us")) > SessionGapUs, 1).otherwise(0)
+    e.select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("is_new", newSession)
+      .withColumn("session_idx", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionsBatchSql: String =
+    s"""WITH l AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events),
+        f AS (
+          SELECT user_id, event_id, ts_us,
+            CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessionGapUs
+              THEN 1 ELSE 0 END AS is_new
+          FROM l),
+        s AS (
+          SELECT user_id, ts_us,
+            CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_idx
+          FROM f)
+        SELECT user_id, session_idx, count(*) AS n_events,
+          min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM s GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx"""
+
+  // --------------------------------------------------- streaming graphs
+
+  /** Watermarked tumbling-window counts — the canonical streaming agg.
+    * Works on any streaming (or batch) DataFrame with (ts, event_type,
+    * value); late data beyond 2 hours is dropped by the watermark, which
+    * also lets the state store evict closed windows.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based session aggregation with the built-in `session_window`
+    * (Spark ≥3.2 merges overlapping per-event windows in the state store —
+    * the declarative form of sessionization; identical semantics to
+    * [[sessionsBatch]]).
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom arbitrary-state op: per-user running totals via
+    * `mapGroupsWithState` — the escape hatch for state machines that
+    * windowed aggs can't express. State is one tiny case class per user;
+    * timeout config would evict idle users in production.
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val next = it.foldLeft(prev)((acc, e) =>
+            UserRunning(userId, acc.n_events + 1, acc.sum_value + e.value))
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,200 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.functions.Hashing
+import graft.functions.Hashing.{P, duckH48p}
+
+/** Document-level text analysis for a training-data pipeline: token
+  * counting, quality scoring, n-gram language identification, and content
+  * fingerprinting. All four are single-pass narrow projections (plus one
+  * tiny groupBy where noted) — at 100 TB each is one embarrassingly
+  * parallel scan with full column pruning (only `doc_id`/`text` read).
+  *
+  * Double-valued scores are built from single divisions of exact integers
+  * with an explicit operand order mirrored in the DuckDB oracle, so values
+  * hash-match bit-exactly.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  private val duckToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  // ------------------------------------------------------------- counting
+
+  /** BPE-ish pre-tokenization regex: letter runs | single digits | any
+    * other non-space symbol — the shape GPT-style byte-pair pretokenizers
+    * use (letters chunk, digits split, punctuation isolated). Kept to a
+    * Java/RE2-common subset so Spark and DuckDB agree.
+    */
+  val BpeTokenRegex = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  /** Per-document token statistics: whitespace tokens, distinct tokens,
+    * BPE-ish subword count, chars. Pure projection — no shuffle.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_distinct"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRegex), lit(0)))
+          .as("n_bpe"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+        CAST(len($duckToks) AS INT) AS n_tokens,
+        CAST(len(list_distinct($duckToks)) AS INT) AS n_distinct,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))
+          AS INT) AS n_bpe,
+        CAST(len(text) AS INT) AS n_chars
+        FROM documents ORDER BY doc_id"""
+
+  // -------------------------------------------------------------- quality
+
+  /** English-ish stopwords used for the quality ratio (a quality signal:
+    * natural prose has a stable stopword share; keyword spam does not).
+    */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Per-document quality features + composite score:
+    *   stop_ratio  = stopword tokens / tokens
+    *   ttr         = distinct tokens / tokens        (type-token ratio)
+    *   avg_wlen    = chars-in-tokens / tokens
+    *   score       = 0.4·stop_ratio + 0.4·ttr + 0.2·min(avg_wlen,8)/8
+    * Single narrow pass; every ratio is one exact-int division.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, w => w.isInCollection(QualityStopwords))).cast("double")
+    val nDist = size(array_distinct(t)).cast("double")
+    val wChars = aggregate(t, lit(0), (acc, w) => acc + length(w)).cast("double")
+    val stopRatio = nStop / nTok
+    val ttr = nDist / nTok
+    val avgW = wChars / nTok
+    val score = lit(0.4) * stopRatio + lit(0.4) * ttr +
+      lit(0.2) * least(avgW, lit(8.0)) / lit(8.0)
+    docs(spark, dir)
+      .where(size(t) > 0)
+      .select(col("doc_id"), stopRatio.as("stop_ratio"), ttr.as("ttr"),
+        avgW.as("avg_wlen"), score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val inList = QualityStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents)
+        SELECT doc_id,
+          CAST(len(list_filter(t, w -> w IN $inList)) AS DOUBLE)
+            / CAST(len(t) AS DOUBLE) AS stop_ratio,
+          CAST(len(list_distinct(t)) AS DOUBLE)
+            / CAST(len(t) AS DOUBLE) AS ttr,
+          CAST(list_reduce(list_prepend(0, list_transform(t, w -> len(w))),
+              (acc, x) -> acc + x) AS DOUBLE)
+            / CAST(len(t) AS DOUBLE) AS avg_wlen,
+          0.4 * (CAST(len(list_filter(t, w -> w IN $inList)) AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE))
+          + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE))
+          + 0.2 * least(CAST(list_reduce(list_prepend(0,
+                list_transform(t, w -> len(w))), (acc, x) -> acc + x) AS DOUBLE)
+                / CAST(len(t) AS DOUBLE), 8.0) / 8.0 AS quality
+        FROM f WHERE len(t) > 0 ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------- lang id
+
+  /** Marker-word profiles for the n-gram/marker language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "como"))
+
+  /** Language ID: count marker hits per language, predict the argmax
+    * (ties → lexicographically first language, no hits → 'und').
+    * One narrow pass; the actual `lang` column rides along for accuracy
+    * inspection downstream.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val hits = LangMarkers.map { case (lang, ms) =>
+      (lang, size(filter(t, w => w.isInCollection(ms))))
+    }
+    // argmax with deterministic ties: fold over (score, lang) pairs,
+    // keeping the strictly-greater score — seq order = lexicographic langs
+    val (bestLang, _) = hits.tail.foldLeft[(Column, Column)](
+      (lit(hits.head._1), hits.head._2)) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    val anyHit = hits.map(_._2).reduce(_ + _) > 0
+    docs(spark, dir).select(col("doc_id"), col("lang"),
+        when(anyHit, bestLang).otherwise(lit("und")).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def cnt(ms: Seq[String]) = {
+      val in = ms.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"len(list_filter(t, w -> w IN $in))"
+    }
+    val scores = LangMarkers.map { case (l, ms) => s"${cnt(ms)} AS c_$l" }.mkString(", ")
+    val langs = LangMarkers.map(_._1)
+    // same fold: strictly-greater wins, seq order
+    val best = langs.tail.foldLeft(s"'${langs.head}'") { (acc, l) =>
+      s"(CASE WHEN c_$l > ${langs.take(langs.indexOf(l)).map(x => s"c_$x").mkString("greatest(", ", ", ")")} THEN '$l' ELSE $acc END)"
+    }
+    val total = langs.map(l => s"c_$l").mkString(" + ")
+    s"""WITH f AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+        s AS (SELECT doc_id, lang, $scores FROM f)
+        SELECT doc_id, lang,
+          CASE WHEN $total > 0 THEN $best ELSE 'und' END AS pred_lang
+        FROM s ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------- fingerprint
+
+  /** Content fingerprints: order-sensitive polynomial rolling hash over the
+    * token sequence (mod P) + the document's minimum shingle-hash (a
+    * 1-permutation MinHash). Integer arithmetic end-to-end — engine-exact.
+    * The groupBy-free plan: both fingerprints fold inside the row.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val poly = aggregate(
+      transform(t, w => Hashing.h48p(w)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % P)
+    val sh3 = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i),
+        element_at(t, i + 1), element_at(t, i + 2)))
+    val minShingle = array_min(transform(sh3, s => Hashing.h48p(s)))
+    docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(t) >= 3)
+      .select(col("doc_id"), poly.as("poly_fp"), minShingle.as("min_shingle_hash"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintsSql: String =
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents)
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(t, w -> ${duckH48p("w")})),
+            (acc, x) -> (acc * 31 + x) % $P) AS poly_fp,
+          list_min(list_transform(
+            list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+            s -> ${duckH48p("s")})) AS min_shingle_hash
+        FROM f WHERE len(t) >= 3 ORDER BY doc_id"""
+}

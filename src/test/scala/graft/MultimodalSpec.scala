@@ -1,0 +1,37 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaBlob, StubDecoder}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stub decoder is deterministic and in-range") {
+    val b = MediaBlob(7L, "hello world".getBytes("UTF-8"))
+    val m1 = StubDecoder.decode(b)
+    val m2 = StubDecoder.decode(MediaBlob(7L, "hello world".getBytes("UTF-8")))
+    assert(m1 == m2)
+    assert(m1.n_bytes == 11)
+    assert(m1.width >= 64 && m1.width < 512)
+    assert(m1.height >= 64 && m1.height < 512)
+    assert(m1.n_frames >= 1 && m1.n_frames <= 30)
+    assert(m1.f0 >= -1.0 && m1.f0 <= 1.0 && m1.f1 >= -1.0 && m1.f1 <= 1.0)
+  }
+
+  test("decodeAll streams partitions and matches per-row decode") {
+    val blobs = Multimodal.blobs(spark, sf)
+    val viaSpark = Multimodal.decodeAll(blobs).collect().map(m => m.doc_id -> m).toMap
+    val direct = blobs.collect().map(b => b.doc_id -> StubDecoder.decode(b)).toMap
+    assert(viaSpark.size == 500 && viaSpark == direct)
+  }
+
+  test("payload bytes are the exact UTF-8 of the text column") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    Multimodal.blobs(spark, sf).collect().foreach { b =>
+      assert(java.util.Arrays.equals(b.content, docs(b.doc_id).getBytes("UTF-8")))
+    }
+  }
+}

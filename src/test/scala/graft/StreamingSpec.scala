@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{UserEvent, UserRunning}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  // (ts, user_id, event_type, value) fixture: two users, u1 has a 40-min
+  // gap (→ 2 sessions), u2 stays inside the 30-min gap (→ 1 session)
+  private val fixture = Seq(
+    (ts(0), 1L, "click", 1.0), (ts(10), 1L, "view", 2.0),
+    (ts(55), 1L, "click", 3.0), // 45-min gap → new session
+    (ts(5), 2L, "view", 4.0), (ts(25), 2L, "view", 5.0), (ts(45), 2L, "buy", 6.0))
+
+  test("streaming hourly counts over MemoryStream match batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = StreamingOps.hourlyCounts(events).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .select("hour_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = StreamingOps.hourlyCounts(
+          fixture.toDF("ts", "user_id", "event_type", "value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming session_window sessions match the gap definition") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = StreamingOps.sessionWindows(events).writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select(col("user_id"), col("n_events"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      // u1: sessions of 2 and 1 events; u2: one session of 3
+      assert(got == Seq((1L, 1L), (1L, 2L), (2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("batch sessionization agrees with session_window on the events table") {
+    val sf = "/root/testdata/sf0.001"
+    val sessions = StreamingOps.sessionsBatch(spark, sf)
+    val viaWindow = graft.model.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    // same session count and same total events per user
+    val a = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val b = viaWindow.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("mapGroupsWithState running totals accumulate per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingOps.runningTotals(mem.toDS()).writeStream
+      .format("memory").queryName("running").outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1L, 100L, 2.0), UserEvent(1L, 200L, 3.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1L, 300L, 5.0))
+      q.processAllAvailable()
+      val last = spark.table("running").as[UserRunning].collect()
+        .filter(_.user_id == 1L).maxBy(_.n_events)
+      assert(last == UserRunning(1L, 3L, 10.0))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textanalysis.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("token stats on real data: invariants hold") {
+    val rows = TextAnalysis.tokenStats(spark, sf)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (_, nTok, nDist, nBpe, nChars) =>
+      assert(nDist <= nTok, "distinct tokens cannot exceed tokens")
+      assert(nBpe >= nTok, "BPE-ish pieces at least as many as words")
+      assert(nChars >= nTok, "chars at least tokens (1 char/word min)")
+    }
+  }
+
+  test("quality score bounded and ratio arithmetic correct on a fixture") {
+    // "the the cat": 3 tokens, 2 stopword hits ('the' x2), 2 distinct,
+    // word chars = 9 → stop=2/3, ttr=2/3, avg=3.0
+    val got = TextAnalysis.qualityScore(spark, sf)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    got.foreach { case (_, stop, ttr, avg, q) =>
+      assert(stop >= 0 && stop <= 1 && ttr > 0 && ttr <= 1 && avg > 0)
+      val expect = 0.4 * stop + 0.4 * ttr + 0.2 * math.min(avg, 8.0) / 8.0
+      assert(math.abs(q - expect) < 1e-12)
+    }
+  }
+
+  test("langId: marker argmax with deterministic ties") {
+    val rows = TextAnalysis.langId(spark, sf).as[(Long, String, String)].collect()
+    assert(rows.length == 500)
+    val preds = rows.map(_._3).toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es", "und")))
+    // the synthetic corpus is english-ish word salad containing 'the'/'a'
+    assert(rows.count(_._3 == "en") > rows.length / 2)
+  }
+
+  test("fingerprints: deterministic, order-sensitive, content-sensitive") {
+    def fp(rows: (Long, String)*) = {
+      val d = rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet("/tmp/graft_fp_docs/documents.parquet")
+      TextAnalysis.fingerprints(spark, "/tmp/graft_fp_docs")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    val m = fp(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta", // identical → identical fp
+      3L -> "delta gamma beta alpha", // permuted → poly differs
+      4L -> "alpha beta gamma epsilon")
+    assert(m(1L) == m(2L))
+    assert(m(1L)._1 != m(3L)._1, "poly hash must be order-sensitive")
+    assert(m(1L) != m(4L))
+  }
+}
