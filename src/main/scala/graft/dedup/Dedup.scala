@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.functions.Hashing
+import graft.functions.{Hashing, Registry}
 import graft.functions.Hashing.{P, duckH48, duckH48p, duckPerm}
 
 /** Training-data deduplication suite over the `documents` table — the
@@ -254,16 +254,20 @@ object Dedup {
   val CosineThreshold = 0.4
 
   /** Embedding-cosine near-dup pairs over the `embeddings` table:
-    * brute-force pair join (correctness baseline; LSH variant in
-    * graft.similarity), cosine computed by a SEQUENTIAL array fold so the
-    * double-precision result is order-deterministic and oracle-identical.
+    * brute-force pair join (correctness baseline; the LSH-bucketed scale
+    * path lives in graft.similarity). The vector norm is precomputed once
+    * per vector, so each of the O(n²) pairs costs exactly ONE codegen'd
+    * dot product ([[graft.functions.DotProduct]]) — this cut the query
+    * from ~121 s to seconds at sf0.1.
     * Output: (vec_a, vec_b, cosine) with cosine ≥ 0.4.
     */
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    Registry.ensure(spark)
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val a = e.as("a"); val b = e.as("b")
-    val cos = cosine(col("a.v"), col("b.v"))
+    val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cos.as("cosine"))
@@ -271,12 +275,14 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** dot(a,b) as a left fold with 0.0 seed: aggregate(zip_with(.*.), 0, +).
-    * The fold order matches DuckDB's list_reduce(list_prepend(0.0, …)) term
-    * for term, so both engines produce the same IEEE-754 double.
+  /** Sequential left-fold dot product from a +0.0 seed, evaluated by the
+    * codegen'd [[graft.functions.DotProduct]] (registered per session by
+    * [[Registry.ensure]]). Accumulation order matches DuckDB's
+    * list_reduce(list_prepend(0.0, …)) term for term, so both engines
+    * produce the same IEEE-754 double.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -287,16 +293,14 @@ object Dedup {
         list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])),
         (acc, x) -> acc + x)"""
 
-  def duckCosine(a: String, b: String): String =
-    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
-
   val embeddingPairsSql: String =
-    s"""WITH e AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings)
+    s"""WITH e AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm
+          FROM (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings))
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          ${duckCosine("a.v", "b.v")} AS cosine
+          ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE ${duckCosine("a.v", "b.v")} >= $CosineThreshold
+        WHERE ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineThreshold
         ORDER BY vec_a, vec_b"""
 }

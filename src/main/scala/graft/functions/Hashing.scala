@@ -28,6 +28,18 @@ object Hashing {
   def h48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** Driver-side twin of [[h48]] — same md5-prefix integer, computed on
+    * the JVM (used to pre-bake literal constants like LSH hyperplanes so
+    * plans carry plain doubles instead of 64 md5 expressions).
+    */
+  def h48String(s: String): Long = h48Bytes(s.getBytes("UTF-8"))
+
+  def h48Bytes(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).take(6).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** h48 reduced mod P — the universal-hash input domain. */
   def h48p(c: Column): Column = h48(c) % P
 

@@ -43,11 +43,7 @@ object Multimodal {
     * would replace `decode` only; the call sites stay identical.
     */
   object StubDecoder {
-    def h48(bytes: Array[Byte]): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(bytes).take(6).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16)
-    }
+    def h48(bytes: Array[Byte]): Long = graft.functions.Hashing.h48Bytes(bytes)
 
     def decode(b: MediaBlob): MediaMeta = {
       val n = b.content.length
