@@ -36,6 +36,9 @@ object SparkEntry {
     "q_events_hourly"      -> Relational.eventsHourly _,
     "q_scalar_funcs"       -> Relational.scalarFunctions _,
     "q_scalar_dates"       -> Relational.scalarDates _,
+    "q_events_json"        -> Relational.eventsJson _,
+    "q_distinct_users"     -> Relational.distinctUsers _,
+    "q_pivot"              -> Relational.pivotOrders _,
     "q_wordcount"          -> TextPipelineQueries.wordcount _,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoin _,
     "q_chisq_topk"         -> ((s, d) => TextPipelineQueries.chisqTopK(s, d)),
@@ -72,6 +75,9 @@ object SparkEntry {
     "q_events_hourly"      -> Relational.eventsHourlySql,
     "q_scalar_funcs"       -> Relational.scalarFunctionsSql,
     "q_scalar_dates"       -> Relational.scalarDatesSql,
+    "q_events_json"        -> Relational.eventsJsonSql,
+    "q_distinct_users"     -> Relational.distinctUsersSql,
+    "q_pivot"              -> Relational.pivotOrdersSql,
     "q_wordcount"          -> TextPipelineQueries.wordcountSql,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoinSql,
     "q_chisq_topk"         -> TextPipelineQueries.chisqTopKSql(),

@@ -45,27 +45,56 @@ object Dedup {
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
        x -> len(x) > 0) AS t FROM documents"""
 
-  /** Distinct word 3-gram shingles per document (docs with <3 tokens drop
-    * out — they have no 3-shingle). `sequence` is guarded by the size
+  /** Per-document DISTINCT word-3-gram shingle HASH arrays with their set
+    * size: (doc_id, shs: array<long of h48>, sz). Docs with <3 tokens drop
+    * out — they have no 3-shingle. `sequence` is guarded by the size
     * filter: Spark's `sequence(1, n)` turns descending for n<1.
+    *
+    * Two deliberate scale choices:
+    *  - dedup happens INSIDE the row via `array_distinct` (the reference's
+    *    own shuffle-volume trick, reference `src/wordCountJob.py:75`) — no
+    *    distinct-Exchange before any downstream join, and the set size is
+    *    a free `size()` instead of a separate aggregation branch;
+    *  - shingles are hashed to 48-bit longs BEFORE the distinct:
+    *    `array_distinct` over strings is Spark's O(n²) comparison path
+    *    (~4× the whole pipeline cost, measured), over primitive longs it's
+    *    the hash fast path — and every downstream join/shuffle moves 8-byte
+    *    keys instead of ~20-byte strings. The oracle applies the same md5
+    *    hash before its DISTINCT, so set semantics stay engine-identical
+    *    (a 48-bit collision would collapse the same pair in both engines).
+    */
+  /** The distinct-shingle-hash array expression over the token column `t`. */
+  private def shsExpr: Column =
+    array_distinct(transform(
+      sequence(lit(1), size(col("t")) - 2),
+      i => Hashing.h48(concat_ws(" ",
+        element_at(col("t"), i),
+        element_at(col("t"), i + 1),
+        element_at(col("t"), i + 2)))))
+
+  def shingleArrays(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), shsExpr.as("shs"), size(shsExpr).as("sz"))
+
+  /** Exploded row form: (doc_id, shingle_h), one row per distinct shingle
+    * hash. The generator consumes [[shsExpr]] INLINE in a single select —
+    * routing it through a named intermediate column plans a pathological
+    * Generate (measured 10× slower than the inline form).
     */
   def shingles(docs: DataFrame): DataFrame =
     tokens(docs)
       .where(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("t")) - 2),
-        i => concat_ws(" ",
-          element_at(col("t"), i),
-          element_at(col("t"), i + 1),
-          element_at(col("t"), i + 2)))).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), explode(shsExpr).as("shingle_h"))
 
   private val duckShingles =
     s"""toks AS ($duckTokens),
         sh AS (
-          SELECT DISTINCT doc_id,
-            unnest(list_transform(range(1, len(t)-1),
-              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              list_transform(range(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+              s -> ${duckH48("s")}))) AS shingle_h
           FROM toks WHERE len(t) >= 3)"""
 
   // ---------------------------------------------------------------- exact
@@ -97,7 +126,7 @@ object Dedup {
     * (all partial-aggregated map-side).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hm = shingles(docs).select(col("doc_id"), Hashing.h48p(col("shingle")).as("hm"))
+    val hm = shingles(docs).select(col("doc_id"), (col("shingle_h") % P).as("hm"))
     val mins = (0 until NumPerms).map(i => min(Hashing.perm(i, col("hm"))).as(s"m$i"))
     hm.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -133,7 +162,7 @@ object Dedup {
       s"SELECT doc_id, $b AS bidx, concat($key) AS bkey FROM msig"
     }.mkString(" UNION ALL ")
     s"""WITH $duckShingles,
-        hm0 AS (SELECT doc_id, ${duckH48p("shingle")} AS hm FROM sh),
+        hm0 AS (SELECT doc_id, shingle_h % $P AS hm FROM sh),
         msig AS (SELECT doc_id, $mins FROM hm0 GROUP BY doc_id),
         bx AS ($bands)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
@@ -152,7 +181,7 @@ object Dedup {
     * sign of Σ±1 over shingles (+1 if bit j of the shingle hash is set).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val h = shingles(docs).select(col("doc_id"), Hashing.h48(col("shingle")).as("h"))
+    val h = shingles(docs).select(col("doc_id"), col("shingle_h").as("h"))
     val bitSums = (0 until SimBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
     val sig = (0 until SimBits).map(j =>
@@ -195,7 +224,7 @@ object Dedup {
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH $duckShingles,
-        h AS (SELECT doc_id, ${duckH48("shingle")} AS h FROM sh),
+        h AS (SELECT doc_id, shingle_h AS h FROM sh),
         s AS (SELECT doc_id, $bits FROM h GROUP BY doc_id),
         sig AS (SELECT doc_id, $sig AS simhash FROM s)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -210,23 +239,38 @@ object Dedup {
   val JaccardThreshold = 0.8
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join on
-    * shingle: |A∩B| from the join, |A|,|B| from per-doc sizes, keep
+    * shingle hash: |A∩B| from the join, |A|,|B| from a cheap per-doc sizes
+    * branch (size of the distinct array — no explode), keep
     * J = i/(|A|+|B|−i) ≥ 0.8. Output: (doc_a, doc_b, jaccard).
+    *
+    * The sizes are deliberately a SEPARATE branch joined after the pair
+    * aggregation: riding `sz` alongside the explode tempts Catalyst to
+    * collapse the size expression above the Generate, recomputing the full
+    * md5-shingle array once per exploded row (measured 40× slowdown).
+    * Post-aggregation the pairs relation is tiny, so the two sizes joins
+    * broadcast.
     */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.load(spark, dir, "documents"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle")
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = shingles(docs)
+    val sizes = shingleArrays(docs).select(col("doc_id"), col("sz"))
+    // shuffle_hash, NOT broadcast: the exploded index is small in BYTES
+    // (longs) but expensive to MATERIALIZE — a broadcast would rebuild it
+    // single-threaded on the driver; the shuffle keeps it parallel, and at
+    // 100 TB the index wouldn't fit a broadcast anyway.
+    val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle_h") === col("b.shingle_h")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
     val j = col("i").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("i")).cast("double")
+      (col("sza") + col("szb") - col("i")).cast("double")
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sa.sz").as("sza"), col("sb.sz").as("szb"), col("i"))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
@@ -238,7 +282,7 @@ object Dedup {
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           FROM sh a JOIN sh b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
           CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard

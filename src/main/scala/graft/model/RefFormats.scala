@@ -59,4 +59,21 @@ object RefFormats {
       val dict = pairs.map { case (w, s) => s"'$w': $s" }.mkString("{", ", ", "}")
       s"$cat\t$dict"
     }
+
+  /** The reference's final output line: the sorted union vocabulary as a
+    * python-repr list (fixture `.../chisq/part-00000:23`).
+    */
+  def formatVocabulary(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Write the reference counters format: `<total> {'cat': n, ...}`
+    * (reference `src/wordCountWrapper.py:49-50`).
+    */
+  def writeCounters(path: String, total: Long, cats: Map[String, Long]): Unit = {
+    val dict = cats.toSeq.sortBy(_._1)
+      .map { case (c, n) => s"'$c': $n" }.mkString("{", ", ", "}")
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, s"$total $dict\n")
+  }
 }

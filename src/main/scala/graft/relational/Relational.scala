@@ -314,6 +314,73 @@ object Relational {
             ELSE 'small' END AS size_class
        FROM part ORDER BY p_partkey"""
 
+  /** JSON scalar extraction over the `events.props` JSON-string column:
+    * get_json_object pushes the parse into one codegen'd projection; the
+    * aggregate then runs on a plain long. (SURVEY.md §2 row 32 — the
+    * reference's json.loads surface, generalized.)
+    */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val eventsJsonSql: String =
+    """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+       FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** Exact COUNT(DISTINCT) — two-phase distinct aggregation (partial
+    * dedup map-side, exchange on the group key only). At 100 TB this is
+    * the exact path; approx_count_distinct is the sketch alternative when
+    * ±2% error is acceptable (not oracle-checkable, so not declared).
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** PIVOT: order counts by status × priority. Pivot values are declared
+    * explicitly (no discovery pass over the data) and re-aliased to
+    * parquet-safe names; absent cells coalesce to 0 to match the oracle's
+    * FILTER-aggregate form.
+    */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val safe = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+    val o = Tables.load(spark, dir, "orders")
+    val piv = o.groupBy("o_orderstatus")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    piv.select(col("o_orderstatus") +:
+        prios.zip(safe).map { case (p, s) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(s)
+        }: _*)
+      .orderBy("o_orderstatus")
+  }
+
+  val pivotOrdersSql: String =
+    """SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** Date/time scalar coverage over orders. */
   def scalarDates(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")

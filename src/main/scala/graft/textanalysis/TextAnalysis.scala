@@ -37,13 +37,17 @@ object TextAnalysis {
   val BpeTokenRegex = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
   /** Per-document token statistics: whitespace tokens, distinct tokens,
-    * BPE-ish subword count, chars. Pure projection — no shuffle.
+    * BPE-ish subword count, chars. Pure projection — no shuffle. The token
+    * array is materialized once per row (higher-order lambdas are outside
+    * codegen CSE, so naive repetition re-splits the text per column).
     */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .select(
         col("doc_id"),
-        size(toks(col("text"))).as("n_tokens"),
-        size(array_distinct(toks(col("text")))).as("n_distinct"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"),
         size(regexp_extract_all(lower(col("text")), lit(BpeTokenRegex), lit(0)))
           .as("n_bpe"),
         length(col("text")).as("n_chars"))
@@ -74,7 +78,7 @@ object TextAnalysis {
     * Single narrow pass; every ratio is one exact-int division.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
+    val t = col("t")
     val nTok = size(t).cast("double")
     val nStop = size(filter(t, w => w.isInCollection(QualityStopwords))).cast("double")
     val nDist = size(array_distinct(t)).cast("double")
@@ -85,6 +89,7 @@ object TextAnalysis {
     val score = lit(0.4) * stopRatio + lit(0.4) * ttr +
       lit(0.2) * least(avgW, lit(8.0)) / lit(8.0)
     docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
       .where(size(t) > 0)
       .select(col("doc_id"), stopRatio.as("stop_ratio"), ttr.as("ttr"),
         avgW.as("avg_wlen"), score.as("quality"))
@@ -127,7 +132,7 @@ object TextAnalysis {
     * inspection downstream.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
+    val t = col("t")
     val hits = LangMarkers.map { case (lang, ms) =>
       (lang, size(filter(t, w => w.isInCollection(ms))))
     }
@@ -138,7 +143,9 @@ object TextAnalysis {
       (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
     val anyHit = hits.map(_._2).reduce(_ + _) > 0
-    docs(spark, dir).select(col("doc_id"), col("lang"),
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
         when(anyHit, bestLang).otherwise(lit("und")).as("pred_lang"))
       .orderBy("doc_id")
   }

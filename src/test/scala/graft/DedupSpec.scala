@@ -16,10 +16,11 @@ class DedupSpec extends SparkSpec {
       1L -> "a b c d",
       2L -> "a b c a b c", // duplicate shingles collapse
       3L -> "x y")         // too short → no shingles
-    val got = Dedup.shingles(d).as[(Long, String)].collect().toSet
+    val got = Dedup.shingles(d).as[(Long, Long)].collect().toSet
+    def h(s: String) = graft.functions.Hashing.h48String(s)
     assert(got == Set(
-      (1L, "a b c"), (1L, "b c d"),
-      (2L, "a b c"), (2L, "b c a"), (2L, "c a b")))
+      (1L, h("a b c")), (1L, h("b c d")),
+      (2L, h("a b c")), (2L, h("b c a")), (2L, h("c a b"))))
   }
 
   test("exact dedup keeps min doc_id and counts copies") {
@@ -67,7 +68,7 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.shingles(d)
     val sizes = sh.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle_h") === col("b.shingle_h") && col("a.doc_id") < col("b.doc_id"))
       .count()
     assert(sizes == Map(1L -> 3L, 2L -> 3L) && inter == 2L)
   }
