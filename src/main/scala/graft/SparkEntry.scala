@@ -39,6 +39,10 @@ object SparkEntry {
     "q_events_json"        -> Relational.eventsJson _,
     "q_distinct_users"     -> Relational.distinctUsers _,
     "q_pivot"              -> Relational.pivotOrders _,
+    "q_window_analytics"   -> Relational.windowAnalytics _,
+    "q_string_funcs"       -> Relational.stringFunctions _,
+    "q_percentiles"        -> Relational.percentiles _,
+    "q_join_salted"        -> ((s, d) => Relational.saltedJoin(s, d)),
     "q_wordcount"          -> TextPipelineQueries.wordcount _,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoin _,
     "q_chisq_topk"         -> ((s, d) => TextPipelineQueries.chisqTopK(s, d)),
@@ -78,6 +82,10 @@ object SparkEntry {
     "q_events_json"        -> Relational.eventsJsonSql,
     "q_distinct_users"     -> Relational.distinctUsersSql,
     "q_pivot"              -> Relational.pivotOrdersSql,
+    "q_window_analytics"   -> Relational.windowAnalyticsSql,
+    "q_string_funcs"       -> Relational.stringFunctionsSql,
+    "q_percentiles"        -> Relational.percentilesSql,
+    "q_join_salted"        -> Relational.saltedJoinSql,
     "q_wordcount"          -> TextPipelineQueries.wordcountSql,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoinSql,
     "q_chisq_topk"         -> TextPipelineQueries.chisqTopKSql(),

@@ -381,6 +381,116 @@ object Relational {
        count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Analytic-window breadth: lag/lead/rank/dense_rank/ntile/first_value
+    * per customer order history. One exchange (custkey), one sort.
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, dir, "orders")
+    val seq = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(seq).as("prev_price"),
+        lead("o_totalprice", 1).over(seq).as("next_price"),
+        rank().over(byPrice).as("price_rank"),
+        dense_rank().over(byPrice).as("price_dense_rank"),
+        ntile(4).over(byPrice).as("price_quartile"),
+        first_value(col("o_orderkey")).over(seq).as("first_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+       lag(o_totalprice, 1) OVER seq AS prev_price,
+       lead(o_totalprice, 1) OVER seq AS next_price,
+       CAST(rank() OVER price AS INT) AS price_rank,
+       CAST(dense_rank() OVER price AS INT) AS price_dense_rank,
+       CAST(ntile(4) OVER price AS INT) AS price_quartile,
+       first_value(o_orderkey) OVER seq AS first_order
+       FROM orders
+       WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_custkey, o_orderkey"""
+
+  /** String-function breadth in one codegen'd projection. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+    p.select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, ".").as("brand_pad"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+        instr(col("p_name"), "a").as("a_pos"),
+        trim(col("p_name")).as("name_trim"),
+        reverse(col("p_brand")).as("brand_rev"),
+        repeat(col("p_brand"), 2).as("brand_twice"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("name_masked"),
+        split_part(col("p_type"), lit(" "), lit(2)).as("type_mid"))
+      .orderBy("p_partkey")
+  }
+
+  val stringFunctionsSql: String =
+    """SELECT p_partkey,
+       lpad(p_brand, 12, '.') AS brand_pad,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+       CAST(instr(p_name, 'a') AS INT) AS a_pos,
+       trim(p_name) AS name_trim,
+       reverse(p_brand) AS brand_rev,
+       repeat(p_brand, 2) AS brand_twice,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_masked,
+       split_part(p_type, ' ', 2) AS type_mid
+       FROM part ORDER BY p_partkey"""
+
+  /** Exact percentiles (interpolated, NOT approximate): Spark `percentile`
+    * sorts each group's values exactly — the oracle-checkable path.
+    * approx_percentile is the sketch alternative at 100 TB when ±ε is
+    * acceptable (not declared — not hash-checkable).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("q1"),
+        percentile(col("l_quantity"), lit(0.5)).as("median"),
+        percentile(col("l_quantity"), lit(0.75)).as("q3"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q1,
+       quantile_cont(l_quantity, 0.5) AS median,
+       quantile_cont(l_quantity, 0.75) AS q3,
+       count(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Skew-salted equi-join: the fact side's join key is salted into
+    * `salt` buckets (deterministically, from the fact's own primary key so
+    * the oracle can reproduce it — production would use a hash of anything
+    * uncorrelated) and the dimension side is replicated ×salt via an
+    * exploded sequence, turning one hot key's rows into `salt` parallel
+    * partitions. Result is value-identical to the plain join — the oracle
+    * states the plain form.
+    */
+  def saltedJoin(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("salt", pmod(col("o_orderkey"), lit(salt)))
+    val c = Tables.load(spark, dir, "customer")
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** Date/time scalar coverage over orders. */
   def scalarDates(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
