@@ -491,6 +491,29 @@ object Relational {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Top-k per group via the bounded-heap typed Aggregator
+    * (graft.functions.TopK) instead of a row_number window — the
+    * extreme-cardinality path: the shuffle carries ≤k rows per group per
+    * map partition, never the full group. Same rows as the window form
+    * (deterministic (score desc, tag asc) contract).
+    */
+  def topKAggregated(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    graft.functions.TopK.topKPerGroup(
+        o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        "o_orderpriority", "o_orderkey", "o_totalprice", 5)
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val topKAggregatedSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+         SELECT o_orderpriority, CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+                CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR)) AS rn
+         FROM orders) t
+       WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey"""
+
   /** Date/time scalar coverage over orders. */
   def scalarDates(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
