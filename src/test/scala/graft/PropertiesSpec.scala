@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.chisq.ChiSquare
+import graft.wordcount.WordCount
+
+/** Property-based invariants (SURVEY.md §5): tokenizer never leaks stripped
+  * chars or empties, χ² is non-negative and guard-safe, top-k ⊆ input,
+  * per-doc dedup idempotent. ScalaCheck generators feed the REAL Spark
+  * expressions in batches (one Spark job per property, not per case).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val strippedChars =
+    "()[]{}.!?,;:+=-_\"~#@&*%€$§/\\" + "0123456789" + "\t'"
+
+  private val textGen: Gen[String] = Gen.listOfN(40,
+    Gen.frequency(
+      8 -> Gen.alphaLowerChar,
+      3 -> Gen.oneOf(strippedChars.toSeq),
+      2 -> Gen.oneOf(' ', '\t'),
+      1 -> Gen.oneOf('<', '>', '|', '^'))).map(_.mkString)
+
+  test("tokenizer: no stripped chars, no empties, dedup idempotent") {
+    val texts = Gen.listOfN(200, textGen).sample.get
+    val toks = texts.toDF("text")
+      .select(explode(TextOps.reviewTokens(col("text"))).as("w"))
+      .as[String].collect()
+    val bad = strippedChars.toSet
+    toks.foreach { w =>
+      assert(w.nonEmpty, "empty token leaked")
+      assert(!w.exists(bad.contains), s"stripped char survived in '$w'")
+    }
+    // idempotence: tokenizing the join of tokens yields the same set per doc
+    val once = texts.toDF("text").select(TextOps.reviewTokens(col("text")).as("t"))
+    val twice = once.select(TextOps.distinctTokens(concat_ws(" ", col("t"))).as("t"))
+    assert(once.select(array_sort(col("t"))).as[Seq[String]].collect().toSeq ==
+      twice.select(array_sort(col("t"))).as[Seq[String]].collect().toSeq)
+  }
+
+  test("chi2: non-negative, finite, and guarded against zero marginals") {
+    val cells = for {
+      a <- Gen.chooseNum(0L, 500L); b <- Gen.chooseNum(0L, 500L)
+      c <- Gen.chooseNum(0L, 500L); d <- Gen.chooseNum(0L, 500L)
+    } yield (a, b, c, d)
+    val cases = Gen.listOfN(300, cells).sample.get
+      .filter { case (a, b, c, d) => a + c > 0 && a + b > 0 } // word+cat exist
+    // score via the real operator, one 2-category run per case
+    cases.take(20).zipWithIndex.foreach { case ((a, b, c, d), i) =>
+      val withOther = Seq((s"w$i", "cat", a), (s"w$i", "other", b))
+        .toDF("word", "category", "df_count")
+      val totals = Seq(("cat", a + c), ("other", b + d))
+        .toDF("category", "n_docs")
+      val scored = ChiSquare.score(withOther, totals, a + b + c + d)
+        .where(col("category") === "cat")
+        .as[(String, String, Double)].collect()
+      scored.foreach { case (_, _, chi2) =>
+        assert(chi2 >= 0.0 && !chi2.isNaN && !chi2.isInfinite,
+          s"chi2=$chi2 for cells ($a,$b,$c,$d)")
+      }
+    }
+  }
+
+  test("top-k is a subset of input and respects k per group") {
+    val rows = Gen.listOfN(300, for {
+      cat <- Gen.oneOf("a", "b", "c")
+      w <- Gen.identifier.map(_.take(6))
+      s <- Gen.chooseNum(0.0, 100.0)
+    } yield (w, cat, s)).sample.get.distinct
+    val df = rows.toDF("word", "category", "chi2")
+    val k = 7
+    val top = ChiSquare.topKPerCategory(df, k)
+      .as[(String, String, Double)].collect()
+    val inputSet = rows.toSet
+    assert(top.forall(inputSet.contains))
+    top.groupBy(_._2).foreach { case (_, gs) => assert(gs.length <= k) }
+  }
+
+  test("document frequency never exceeds category doc count") {
+    val docs = Gen.listOfN(100, for {
+      cat <- Gen.oneOf("x", "y")
+      words <- Gen.listOfN(8, Gen.oneOf("red", "green", "blue", "cyan"))
+    } yield (words.mkString(" "), cat)).sample.get
+    val df = docs.toDF("text", "category")
+    val counts = WordCount.documentFrequency(df, col("text"), col("category"))
+      .as[(String, String, Long)].collect()
+    val catDocs = docs.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    counts.foreach { case (w, c, n) =>
+      assert(n >= 1 && n <= catDocs(c), s"df($w,$c)=$n out of range")
+    }
+  }
+}
