@@ -254,21 +254,32 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents")
     val sh = shingles(docs)
     val sizes = shingleArrays(docs).select(col("doc_id"), col("sz"))
-    // shuffle_hash, NOT broadcast: the exploded index is small in BYTES
-    // (longs) but expensive to MATERIALIZE — a broadcast would rebuild it
-    // single-threaded on the driver; the shuffle keeps it parallel, and at
-    // 100 TB the index wouldn't fit a broadcast anyway.
-    val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle_h") === col("b.shingle_h")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Inverted-index via GROUP-then-COMBINE instead of a self-join: one
+    // evaluation of the shingle pipeline and one exchange (by shingle_h),
+    // then in-bucket pair combinations. A self-join would evaluate the
+    // expensive Generate branch twice and shuffle it twice; the pair
+    // multiset is identical (sorted bucket, i<j ⇒ doc_a < doc_b).
+    val buckets = sh.groupBy("shingle_h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+    val n = size(col("ds"))
+    val pairsExpr = flatten(transform(sequence(lit(1), n - 1), i =>
+      transform(sequence(i + 1, n), j =>
+        struct(element_at(col("ds"), i).as("doc_a"),
+          element_at(col("ds"), j).as("doc_b")))))
+    val inter = buckets
+      .select(explode(pairsExpr).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
     val j = col("i").cast("double") /
       (col("sza") + col("szb") - col("i")).cast("double")
+    // sizes is one small row per doc — broadcast both probes (the pair
+    // relation is orders of magnitude larger; a size-estimate miss here
+    // otherwise plans TWO sort-merge joins over every candidate pair)
     inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         col("sa.sz").as("sza"), col("sb.sz").as("szb"), col("i"))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
