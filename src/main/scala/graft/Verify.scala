@@ -12,6 +12,15 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it as a
       // raw long with this flag (graft.model.Tables.withEventTime).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate duplicates the generator's input
+      // expression into isnotnull/size>0 filters that predicate pushdown
+      // then drags below every exchange — for the md5-shingle pipelines
+      // that re-evaluates the whole array expression per SOURCE row in the
+      // (single-task) scan stage: measured 12 s of a 17 s query. The
+      // filters only skip null/empty arrays, which our generators never
+      // produce.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -103,7 +103,7 @@ object Dedup {
     * Output: (doc_id, content_hash, n_copies). One shuffle on the digest.
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
@@ -137,7 +137,7 @@ object Dedup {
     * (band_idx, band_key) — no O(n²) anywhere.
     */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(Tables.load(spark, dir, "documents"))
+    val sig = minhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id"))
     val bandStructs = (0 until Bands).map { b =>
       val key = concat_ws("-", (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*)
       struct(lit(b).as("bidx"), key.as("bkey"))
@@ -197,7 +197,7 @@ object Dedup {
     * Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(Tables.load(spark, dir, "documents"))
+    val sig = simhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id"))
     val bandStructs = (0 until SimBands).map { b =>
       struct(lit(b).as("bidx"),
         shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bkey"))
@@ -251,37 +251,46 @@ object Dedup {
     * broadcast.
     */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val sh = shingles(docs)
-    val sizes = shingleArrays(docs).select(col("doc_id"), col("sz"))
-    // Inverted-index via GROUP-then-COMBINE instead of a self-join: one
-    // evaluation of the shingle pipeline and one exchange (by shingle_h),
-    // then in-bucket pair combinations. A self-join would evaluate the
-    // expensive Generate branch twice and shuffle it twice; the pair
-    // multiset is identical (sorted bucket, i<j ⇒ doc_a < doc_b).
-    val buckets = sh.groupBy("shingle_h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val docs = Tables.loadSpread(spark, dir, "documents", "doc_id")
+    // ONE evaluation of the expensive shingle pipeline: materialize the
+    // per-doc array + size, then force an exchange boundary before the
+    // explode. Without the repartition, Catalyst collapses the projections
+    // and re-evaluates the md5-shingle array per EXPLODED row to produce
+    // `sz` (measured 40× slowdown); across the exchange the column is a
+    // materialized value. The shuffle is (doc_id, array) — same bytes the
+    // explode emits anyway.
+    val sh2 = tokens(docs)
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), shsExpr.as("shs"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), size(col("shs")).as("sz"),
+        explode(col("shs")).as("shingle_h"))
+    // Inverted-index via GROUP-then-COMBINE instead of a self-join (which
+    // would evaluate and shuffle the pipeline twice): collect each
+    // shingle's (doc_id, sz) postings sorted, emit in-bucket pair
+    // combinations — sorted bucket + i<j ⇒ doc_a < doc_b, multiset
+    // identical to the join form. Sizes ride in the postings, so no
+    // sizes-side join exists at all.
+    val buckets = sh2.groupBy("shingle_h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
       .where(size(col("ds")) > 1)
     val n = size(col("ds"))
     val pairsExpr = flatten(transform(sequence(lit(1), n - 1), i =>
       transform(sequence(i + 1, n), j =>
-        struct(element_at(col("ds"), i).as("doc_a"),
-          element_at(col("ds"), j).as("doc_b")))))
+        struct(
+          element_at(col("ds"), i).getField("doc_id").as("doc_a"),
+          element_at(col("ds"), j).getField("doc_id").as("doc_b"),
+          element_at(col("ds"), i).getField("sz").as("sza"),
+          element_at(col("ds"), j).getField("sz").as("szb")))))
     val inter = buckets
       .select(explode(pairsExpr).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sza").as("sza"), col("p.szb").as("szb"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"))
+      .agg(count(lit(1)).as("i"), max(col("sza")).as("sza"), max(col("szb")).as("szb"))
     val j = col("i").cast("double") /
       (col("sza") + col("szb") - col("i")).cast("double")
-    // sizes is one small row per doc — broadcast both probes (the pair
-    // relation is orders of magnitude larger; a size-estimate miss here
-    // otherwise plans TWO sort-merge joins over every candidate pair)
     inter
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        col("sa.sz").as("sza"), col("sb.sz").as("szb"), col("i"))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
@@ -318,7 +327,7 @@ object Dedup {
     */
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     Registry.ensure(spark)
-    val e = Tables.load(spark, dir, "embeddings")
+    val e = Tables.loadSpread(spark, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val a = e.as("a"); val b = e.as("b")

@@ -23,6 +23,23 @@ object Tables {
     if (name == "events") withEventTime(df) else df
   }
 
+  /** Load + hash-repartition on `byCol`: decouples COMPUTE parallelism from
+    * the file layout. A small table in one parquet row group scans as ONE
+    * task, so any CPU-heavy pipeline above it (tokenize+md5, per-pair
+    * cosine) runs single-threaded — measured 14 s of a 20 s query on one
+    * core. The repartition shuffles only the raw rows (cheap) and spreads
+    * the expensive expressions across all cores. Use for compute-bound
+    * paths; pure scan→filter→agg queries should stay on `load` (their
+    * parallelism comes from `maxPartitionBytes` splits at real scale, and
+    * an extra exchange would only add cost).
+    */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String,
+      byCol: String): DataFrame =
+    // EXPLICIT partition count: AQE coalesces advisory shuffles by BYTES
+    // and would fold this tiny-but-CPU-heavy relation back to one task
+    load(spark, sfDir, name)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(byCol))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw nanosecond long (`spark.sql.legacy.parquet.nanosAsLong=true`, set
     * in Verify/Bench/tests). Keep the exact nanos as `ts_ns` and expose

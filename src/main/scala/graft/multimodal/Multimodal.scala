@@ -64,7 +64,7 @@ object Multimodal {
     */
   def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[MediaBlob]
   }

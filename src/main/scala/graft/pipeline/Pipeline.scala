@@ -27,7 +27,10 @@ object Pipeline {
     // cache the pruned 2-column projection: it feeds both the counters
     // aggregation and the wordcount — one scan instead of two at 100 TB
     // (the reference piggybacked counters on job 1 for the same reason)
+    // repartition before persist: a single-row-group input file would
+    // otherwise pin the whole tokenize+explode pipeline to one task
     val pruned = docs.select(col(textCol).as("text"), col(categoryCol).as("category"))
+      .repartition(col("category"), col("text"))
       .persist()
     try {
       val catTotals = WordCount.categoryTotals(pruned, col("category"))
@@ -68,7 +71,7 @@ object TextPipelineQueries {
 
   /** Per-language document frequency of every non-stopword token. */
   def wordcount(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents", "doc_id")
     WordCount.documentFrequency(docs, col("text"), col("lang"), stopwords.toSet)
       .withColumnRenamed("category", "lang")
       .orderBy("word", "lang")
@@ -85,7 +88,7 @@ object TextPipelineQueries {
     */
   def stopwordAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents", "doc_id")
     val tokens = docs.select(col("doc_id"),
         explode(TextOps.reviewTokens(col("text"))).as("word"))
       .where(length(col("word")) > 0)

@@ -19,7 +19,7 @@ import graft.functions.Hashing.{P, duckH48p}
 object TextAnalysis {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
 
   private def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), w => length(w) > 0)
