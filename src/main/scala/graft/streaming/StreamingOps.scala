@@ -96,6 +96,16 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("start"),
         col("session_window.end").as("end"), col("n_events"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen
+    * within the watermark horizon. The watermark bounds the dedup state
+    * (without it state grows forever); duplicates arriving later than the
+    * horizon pass through — the documented at-least-once boundary.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -70,6 +70,24 @@ class StreamingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("streaming dedup drops within-watermark duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_id", "event_type", "value")
+    val q = StreamingOps.dedupStream(events).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L, "click", 1.0), (ts(1), 2L, "view", 2.0),
+        (ts(2), 1L, "click", 1.0)) // dup of event 1
+      q.processAllAvailable()
+      mem.addData((ts(3), 2L, "view", 2.0), (ts(4), 3L, "buy", 3.0)) // dup of 2
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
