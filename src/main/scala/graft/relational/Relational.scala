@@ -514,6 +514,43 @@ object Relational {
          FROM orders) t
        WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey"""
 
+  /** AS-OF (point-in-time) join, composed from window primitives — the
+    * preferred form for an operator Spark lacks natively (SURVEY.md §2
+    * row 22 delta): for every `click` event, the user's most recent `buy`
+    * at or before it. One exchange by user, one ordered scan —
+    * last_value(... IGNORE NULLS) over an unbounded-preceding frame IS the
+    * as-of lookup, with none of the O(n²) a naive theta-join would cost.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buyTs = when(col("event_type") === "buy", col("ts_us"))
+    val buyVal = when(col("event_type") === "buy", col("value"))
+    e.select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+        last(buyTs, ignoreNulls = true).over(w).as("asof_buy_us"),
+        last(buyVal, ignoreNulls = true).over(w).as("asof_buy_value"))
+      .where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts_us", "asof_buy_us", "asof_buy_value")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT user_id, event_id, ts_us, asof_buy_us, asof_buy_value FROM (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           last_value(CASE WHEN event_type = 'buy' THEN epoch_us(ts) END
+             IGNORE NULLS) OVER w AS asof_buy_us,
+           last_value(CASE WHEN event_type = 'buy' THEN value END
+             IGNORE NULLS) OVER w AS asof_buy_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+       WHERE event_type = 'click'
+       ORDER BY user_id, ts_us, event_id"""
+
   /** Date/time scalar coverage over orders. */
   def scalarDates(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
