@@ -56,6 +56,9 @@ object SparkEntry {
     "q_dedup_embed"        -> Dedup.embeddingPairs _,
     "q_sim_topk"           -> Similarity.cosineTopK _,
     "q_ann_topk"           -> Similarity.annTopK _,
+    "q_dedup_embed_lsh"    -> Similarity.lshNearDupPairs _,
+    "q_text_tfidf"         -> TextAnalysis.tfidf _,
+    "q_text_split"         -> TextAnalysis.trainTestSplit _,
     "q_text_tokenstats"    -> TextAnalysis.tokenStats _,
     "q_text_quality"       -> TextAnalysis.qualityScore _,
     "q_text_langid"        -> TextAnalysis.langId _,
@@ -101,6 +104,9 @@ object SparkEntry {
     "q_dedup_embed"        -> Dedup.embeddingPairsSql,
     "q_sim_topk"           -> Similarity.cosineTopKSql,
     "q_ann_topk"           -> Similarity.annTopKSql,
+    "q_dedup_embed_lsh"    -> Similarity.lshNearDupPairsSql,
+    "q_text_tfidf"         -> TextAnalysis.tfidfSql,
+    "q_text_split"         -> TextAnalysis.trainTestSplitSql,
     "q_text_tokenstats"    -> TextAnalysis.tokenStatsSql,
     "q_text_quality"       -> TextAnalysis.qualityScoreSql,
     "q_text_langid"        -> TextAnalysis.langIdSql,

@@ -169,6 +169,87 @@ object TextAnalysis {
         FROM s ORDER BY doc_id"""
   }
 
+  // -------------------------------------------------------------- tf-idf
+
+  /** TF-IDF with top-3 terms per document: tf = term count / doc length,
+    * idf = ln(N/df). Three aggregations (term counts, doc lengths ride on
+    * the token array, document frequencies) + one broadcast of the
+    * N-scalar; `ln` is bit-identical between the JVM and DuckDB's libm on
+    * this platform (verified), and every other value is a single division
+    * or product of exact integers.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+    val tok = d.select(col("doc_id"), size(col("t")).as("n_tok"),
+      explode(col("t")).as("word"))
+    val perDoc = tok.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("n_tok"))
+    val dfDocs = perDoc.groupBy("word").agg(count(lit(1)).as("df_docs"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    // round(…, 10): the JVM's Math.log intrinsic is allowed 1 ulp of error
+    // and disagrees with libm (= DuckDB) on some arguments — every other
+    // value in the engine is bit-exact, this is the one transcendental.
+    // Rounded BEFORE the window so rank assignment matches too.
+    val tfidfCol = round(
+      (col("cnt").cast("double") / col("n_tok").cast("double")) *
+        log(col("n_docs").cast("double") / col("df_docs").cast("double")), 10)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word").asc)
+    perDoc
+      .join(dfDocs, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), tfidfCol.as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("word"), col("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val tfidfSql: String =
+    s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+        d2 AS (SELECT doc_id, t FROM d WHERE len(t) > 0),
+        tok AS (SELECT doc_id, len(t) AS n_tok, unnest(t) AS word FROM d2),
+        per_doc AS (SELECT doc_id, word, count(*) AS cnt, max(n_tok) AS n_tok
+                    FROM tok GROUP BY doc_id, word),
+        df_docs AS (SELECT word, count(*) AS df_docs FROM per_doc GROUP BY word),
+        n AS (SELECT count(*) AS n_docs FROM d2),
+        scored AS (
+          SELECT doc_id, word,
+            round((CAST(cnt AS DOUBLE) / CAST(n_tok AS DOUBLE))
+              * ln(CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)), 10) AS tfidf
+          FROM per_doc JOIN df_docs USING (word), n)
+        SELECT doc_id, word, tfidf, rn FROM (
+          SELECT doc_id, word, tfidf,
+            CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, word) AS INT) AS rn
+          FROM scored) t
+        WHERE rn <= 3 ORDER BY doc_id, rn"""
+
+  // ------------------------------------------------------------ splitting
+
+  /** Deterministic train/test split by content-independent hash of the
+    * document id (stable across runs, machines, and engines — the property
+    * random() lacks): 80/20, reported per (lang, split).
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Hashing.h48(concat(lit("split-"), col("doc_id"))) % 100
+    docs(spark, dir)
+      .select(col("lang"),
+        when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
+  val trainTestSplitSql: String =
+    s"""SELECT lang,
+        CASE WHEN ${Hashing.duckH48("concat('split-', doc_id)")} % 100 < 80
+          THEN 'train' ELSE 'test' END AS split,
+        count(*) AS n_docs
+        FROM documents GROUP BY 1, 2 ORDER BY lang, split"""
+
   // ---------------------------------------------------------- fingerprint
 
   /** Content fingerprints: order-sensitive polynomial rolling hash over the
