@@ -26,10 +26,13 @@ import graft.functions.Hashing.{P, duckH48, duckH48p, duckPerm}
   *  - SimHash: banded the same way (4×8-bit bands); the hamming≤3 filter
   *    runs only on band-collision candidates. Pigeonhole guarantees the
   *    banded plan returns EXACTLY the brute-force hamming≤3 result.
-  *  - shingle-Jaccard: inverted-index self-join on shingle (the classic
-  *    suffix-array-free plan); AQE skew-join handles hot shingles.
+  *  - shingle-Jaccard: inverted-index built by grouping postings per
+  *    shingle hash and emitting in-bucket pair combinations — the shingle
+  *    pipeline is evaluated exactly once; cost scales with bucket
+  *    collisions.
   *  - embedding near-dup: the brute-force O(n²) pair join is the correctness
-  *    baseline; the scale path is LSH bucketing (graft.similarity.Similarity).
+  *    baseline; the scale path is LSH bucketing
+  *    (graft.similarity.Similarity.lshNearDupPairs).
   */
 object Dedup {
 
@@ -63,7 +66,6 @@ object Dedup {
     *    hash before its DISTINCT, so set semantics stay engine-identical
     *    (a 48-bit collision would collapse the same pair in both engines).
     */
-  /** The distinct-shingle-hash array expression over the token column `t`. */
   private def shsExpr: Column =
     array_distinct(transform(
       sequence(lit(1), size(col("t")) - 2),
