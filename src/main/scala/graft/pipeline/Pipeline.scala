@@ -29,12 +29,20 @@ object Pipeline {
     // (the reference piggybacked counters on job 1 for the same reason)
     // repartition before persist: a single-row-group input file would
     // otherwise pin the whole tokenize+explode pipeline to one task
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pruned = docs.select(col(textCol).as("text"), col(categoryCol).as("category"))
-      .repartition(col("category"), col("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("category"), col("text"))
       .persist()
     try {
-      val catTotals = WordCount.categoryTotals(pruned, col("category"))
-      val total = catTotals.agg(sum("n_docs")).head().getLong(0)
+      // ONE action for all scalar state: collect the (tiny) per-category
+      // counts, sum N driver-side, and re-ship them as the broadcast join
+      // side — the reference's counters.txt round-trip without the file
+      val catRows = WordCount.categoryTotals(pruned, col("category"))
+        .as[(String, Long)].collect()
+      val total = catRows.map(_._2).sum
+      val catTotals = catRows.toSeq.toDF("category", "n_docs")
       val df = WordCount.documentFrequency(pruned, col("text"), col("category"), stopwords)
       val scored = ChiSquare.score(df, catTotals, total)
       val topk = ChiSquare.topKPerCategory(scored, k)

@@ -43,4 +43,15 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Compact a directory into `nFiles` parquet files — the small-files
+    * remedy (a 100 TB table accreted from streaming micro-batches ends up
+    * as millions of KB-files; scans then pay per-file open cost and the
+    * driver pays per-file listing). Reads, round-robin repartitions
+    * (coalesce would skip the shuffle but inherits skewed input file
+    * sizes), rewrites.
+    */
+  def compact(spark: SparkSession, path: String, out: String, nFiles: Int): Unit =
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(out)
 }

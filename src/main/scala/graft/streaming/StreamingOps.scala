@@ -70,6 +70,15 @@ object StreamingOps {
 
   // --------------------------------------------------- streaming graphs
 
+  /** File-source stream: tail a directory of parquet drops (the batch →
+    * streaming bridge — each new file becomes a micro-batch). Schema is
+    * REQUIRED: streaming readers cannot infer, and inference would race
+    * the producer anyway.
+    */
+  def parquetStream(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
   /** Watermarked tumbling-window counts — the canonical streaming agg.
     * Works on any streaming (or batch) DataFrame with (ts, event_type,
     * value); late data beyond 2 hours is dropped by the watermark, which
