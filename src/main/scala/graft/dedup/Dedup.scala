@@ -42,7 +42,8 @@ object Dedup {
     */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      filter(split(lower(col("text")), "\\s+"), w => length(w) > 0).as("t"))
+      filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
+        w => length(w) > 0).as("t"))
 
   private val duckTokens =
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

@@ -51,8 +51,14 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"),
         col("d_sum_qty").cast("double").as("sum_qty"),
         col("d_sum_base").cast("double").as("sum_base_price"),
-        col("d_sum_disc").cast("double").as("sum_disc_price"),
-        col("d_sum_charge").cast("double").as("sum_charge"),
+        // squeeze scale-10 product sums to cents IN THE DECIMAL DOMAIN
+        // before touching doubles: past ~17 significant digits the exact
+        // decimal no longer casts to the same double in both engines
+        // (surfaced at sf0.1), and decimal scale-reduction ROUNDING also
+        // differs (Spark HALF_UP, DuckDB half-even) — floor(x*100) is the
+        // unambiguous form; the integer fits a double exactly to ~1e13
+        (floor(col("d_sum_disc") * 100).cast("double") / 100.0).as("sum_disc_price"),
+        (floor(col("d_sum_charge") * 100).cast("double") / 100.0).as("sum_charge"),
         (col("d_sum_qty").cast("double") / col("count_order")).as("avg_qty"),
         col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -62,8 +68,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(6,4)))*(1+CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(6,4)))) * 100) AS DOUBLE) / 100.0 AS sum_disc_price,
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(6,4)))*(1+CAST(l_tax AS DECIMAL(6,4)))) * 100) AS DOUBLE) / 100.0 AS sum_charge,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
        count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -103,14 +109,14 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg((floor(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))) * 100)
+        .cast("double") / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val joinRevenueByNationSql: String =
     """SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(6,4)))) * 100) AS DOUBLE) / 100.0 AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
        JOIN nation ON c_nationkey = n_nationkey

@@ -21,8 +21,10 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.loadSpread(spark, dir, "documents", "doc_id")
 
+  // coalesce first: a NULL text would otherwise null-propagate through
+  // split/filter/size and emit null-stat rows instead of zero-stat rows
   private def toks(c: Column): Column =
-    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+    filter(split(lower(coalesce(c, lit(""))), "\\s+"), w => length(w) > 0)
 
   private val duckToks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
