@@ -45,6 +45,7 @@ object SparkEntry {
     "q_join_salted"        -> ((s, d) => Relational.saltedJoin(s, d)),
     "q_topk_agg"           -> Relational.topKAggregated _,
     "q_asof_join"          -> Relational.asofJoin _,
+    "q_moment_stats"       -> Relational.momentStats _,
     "q_wordcount"          -> TextPipelineQueries.wordcount _,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoin _,
     "q_chisq_topk"         -> ((s, d) => TextPipelineQueries.chisqTopK(s, d)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_join_salted"        -> Relational.saltedJoinSql,
     "q_topk_agg"           -> Relational.topKAggregatedSql,
     "q_asof_join"          -> Relational.asofJoinSql,
+    "q_moment_stats"       -> Relational.momentStatsSql,
     "q_wordcount"          -> TextPipelineQueries.wordcountSql,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoinSql,
     "q_chisq_topk"         -> TextPipelineQueries.chisqTopKSql(),

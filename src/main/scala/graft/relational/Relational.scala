@@ -557,6 +557,45 @@ object Relational {
        WHERE event_type = 'click'
        ORDER BY user_id, ts_us, event_id"""
 
+  /** Moment statistics (mean / sample variance / stddev) from EXACT
+    * decimal power sums instead of the built-in `var_samp`/`stddev`
+    * aggregates: the builtins accumulate in double with a partial-merge
+    * order that differs run to run and engine to engine, so they can
+    * never hash-match an oracle. Σx and Σx² are exact decimals (map-side
+    * combined like any sum); the closed form touches doubles only in the
+    * final, operand-order-matched projection.
+    */
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val q = dec2(col("l_quantity"))
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val n = col("n").cast("double")
+    val variance = (s2 - s1 * s1 / n) / (n - 1.0)
+    l.groupBy("l_returnflag")
+      .agg(sum(q).as("s1"), sum(q * q).as("s2"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        (s1 / n).as("mean_qty"),
+        variance.as("var_qty"),
+        sqrt(variance).as("stddev_qty"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val momentStatsSql: String =
+    """SELECT l_returnflag,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0)) AS stddev_qty,
+       n
+       FROM (SELECT l_returnflag,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s2,
+               count(*) AS n
+             FROM lineitem GROUP BY l_returnflag)
+       ORDER BY l_returnflag"""
+
   /** Date/time scalar coverage over orders. */
   def scalarDates(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
