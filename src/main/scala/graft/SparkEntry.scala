@@ -46,6 +46,8 @@ object SparkEntry {
     "q_topk_agg"           -> Relational.topKAggregated _,
     "q_asof_join"          -> Relational.asofJoin _,
     "q_moment_stats"       -> Relational.momentStats _,
+    "q_grouping_sets"      -> Relational.groupingSets _,
+    "q_window_range"       -> Relational.windowRange _,
     "q_wordcount"          -> TextPipelineQueries.wordcount _,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoin _,
     "q_chisq_topk"         -> ((s, d) => TextPipelineQueries.chisqTopK(s, d)),
@@ -95,6 +97,8 @@ object SparkEntry {
     "q_topk_agg"           -> Relational.topKAggregatedSql,
     "q_asof_join"          -> Relational.asofJoinSql,
     "q_moment_stats"       -> Relational.momentStatsSql,
+    "q_grouping_sets"      -> Relational.groupingSetsSql,
+    "q_window_range"       -> Relational.windowRangeSql,
     "q_wordcount"          -> TextPipelineQueries.wordcountSql,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoinSql,
     "q_chisq_topk"         -> TextPipelineQueries.chisqTopKSql(),

@@ -596,6 +596,55 @@ object Relational {
              FROM lineitem GROUP BY l_returnflag)
        ORDER BY l_returnflag"""
 
+  /** Explicit GROUPING SETS through the engine's SQL surface: the query
+    * is ANSI SQL against a registered view — demonstrating that every
+    * relation the library exposes is equally reachable via `spark.sql`
+    * (same Catalyst plan as the DataFrame form).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders_v
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority))
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""")
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                               (o_orderstatus, o_orderpriority))
+       ORDER BY o_orderstatus ASC NULLS FIRST,
+                o_orderpriority ASC NULLS FIRST"""
+
+  /** RANGE-frame window: trailing-7-day order revenue per customer. The
+    * frame is value-based (epoch days), not row-based — same-day orders
+    * all see the same trailing sum regardless of row order, so the result
+    * is deterministic without a row tiebreak.
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("epoch_day", datediff(col("o_orderdate"), lit("1970-01-01")))
+    val w = Window.partitionBy("o_custkey").orderBy("epoch_day")
+      .rangeBetween(-7, 0)
+    o.select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("trailing_7d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowRangeSql: String =
+    """SELECT o_custkey, o_orderkey,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INT) AS epoch_day,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+         RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+       FROM orders ORDER BY o_custkey, o_orderkey"""
+
   /** Date/time scalar coverage over orders. */
   def scalarDates(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
