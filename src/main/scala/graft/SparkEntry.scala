@@ -48,6 +48,8 @@ object SparkEntry {
     "q_moment_stats"       -> Relational.momentStats _,
     "q_grouping_sets"      -> Relational.groupingSets _,
     "q_window_range"       -> Relational.windowRange _,
+    "q_array_agg"          -> Relational.arrayAgg _,
+    "q_setops_all"         -> Relational.setOpsAll _,
     "q_wordcount"          -> TextPipelineQueries.wordcount _,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoin _,
     "q_chisq_topk"         -> ((s, d) => TextPipelineQueries.chisqTopK(s, d)),
@@ -99,6 +101,8 @@ object SparkEntry {
     "q_moment_stats"       -> Relational.momentStatsSql,
     "q_grouping_sets"      -> Relational.groupingSetsSql,
     "q_window_range"       -> Relational.windowRangeSql,
+    "q_array_agg"          -> Relational.arrayAggSql,
+    "q_setops_all"         -> Relational.setOpsAllSql,
     "q_wordcount"          -> TextPipelineQueries.wordcountSql,
     "q_stopword_antijoin"  -> TextPipelineQueries.stopwordAntiJoinSql,
     "q_chisq_topk"         -> TextPipelineQueries.chisqTopKSql(),

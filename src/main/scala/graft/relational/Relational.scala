@@ -645,6 +645,57 @@ object Relational {
          RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
        FROM orders ORDER BY o_custkey, o_orderkey"""
 
+  /** Collection aggregation: the distinct order priorities per customer
+    * as a sorted, comma-joined string (sorted + distinct makes the
+    * nondeterministic collection order irrelevant; string form keeps the
+    * oracle compare engine-neutral).
+    */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy("o_custkey")
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  val arrayAggSql: String =
+    """SELECT o_custkey,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+         AS priorities,
+       count(*) AS n_orders
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
+  /** INTERSECT and EXCEPT ALL (bag semantics) coverage over customer
+    * keys — complements [[setOps]]'s UNION/EXCEPT DISTINCT.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val withOrders = o.select(col("o_custkey").as("c_custkey"))
+    // customers in BUILDING that have >=1 order (intersect is distinct),
+    // then EXCEPT ALL against one copy of machinery — bag semantics keep
+    // multiplicity
+    val machinery = c.where(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    building.intersect(withOrders)
+      .union(withOrders) // bag with duplicates
+      .exceptAll(machinery)
+      .groupBy("c_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("c_custkey")
+  }
+
+  val setOpsAllSql: String =
+    """SELECT c_custkey, count(*) AS multiplicity FROM (
+         (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          INTERSECT
+          SELECT o_custkey AS c_custkey FROM orders)
+         UNION ALL
+         SELECT o_custkey AS c_custkey FROM orders
+         EXCEPT ALL
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+       GROUP BY c_custkey ORDER BY c_custkey"""
+
   /** Date/time scalar coverage over orders. */
   def scalarDates(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
