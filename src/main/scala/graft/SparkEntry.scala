@@ -69,6 +69,8 @@ object SparkEntry {
     "q_text_langid"        -> TextAnalysis.langId _,
     "q_text_fingerprint"   -> TextAnalysis.fingerprints _,
     "q_multimodal_meta"    -> Multimodal.mediaMeta _,
+    "q_multimodal_frames"  -> Multimodal.mediaFrames _,
+    "q_embed_quantize"     -> Similarity.quantize _,
     "q_events_sessions"    -> StreamingOps.sessionsBatch _,
   )
 
@@ -122,6 +124,8 @@ object SparkEntry {
     "q_text_langid"        -> TextAnalysis.langIdSql,
     "q_text_fingerprint"   -> TextAnalysis.fingerprintsSql,
     "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
+    "q_multimodal_frames"  -> Multimodal.mediaFramesSql,
+    "q_embed_quantize"     -> Similarity.quantizeSql,
     "q_events_sessions"    -> StreamingOps.sessionsBatchSql,
   )
 }

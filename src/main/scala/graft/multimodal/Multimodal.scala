@@ -85,6 +85,43 @@ object Multimodal {
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     decodeAll(blobs(spark, dir)).toDF().orderBy("doc_id")
 
+  /** One sampled "frame" row. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Frame sampling: every `stride`-th frame of each payload becomes its
+    * own row — the 1→N imperative flatMap shape a video pipeline needs
+    * (decode once per payload, emit per-frame records, stream both
+    * directions). The frame "content" hash is md5-derived from
+    * payload+index, so the oracle regenerates it.
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], stride: Int = 4): Dataset[MediaFrame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      val decoder = StubDecoder
+      it.flatMap { b =>
+        val meta = decoder.decode(b)
+        (0 until meta.n_frames by stride).iterator.map { i =>
+          MediaFrame(b.doc_id, i,
+            graft.functions.Hashing.h48Bytes(
+              b.content ++ s"-frame-$i".getBytes("UTF-8")))
+        }
+      }
+    }
+  }
+
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(blobs(spark, dir)).toDF().orderBy("doc_id", "frame_idx")
+
+  val mediaFramesSql: String =
+    """WITH h AS (SELECT doc_id, text,
+              CAST(1 + octet_length(encode(text)) % 30 AS INT) AS n_frames
+              FROM documents),
+        f AS (SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS i FROM h)
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+          ('0x' || substr(md5(text || '-frame-' || i), 1, 12))::BIGINT
+            AS frame_hash
+        FROM f ORDER BY doc_id, frame_idx"""
+
   val mediaMetaSql: String =
     """WITH h AS (SELECT doc_id,
               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
