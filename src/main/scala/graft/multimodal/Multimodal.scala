@@ -32,9 +32,12 @@ object Multimodal {
     */
   final case class MediaBlob(doc_id: Long, content: Array[Byte])
 
-  /** Decoded stub metadata + first feature components. */
+  /** Decoded stub metadata, resize-to-224-long-side dims, and first
+    * feature components.
+    */
   final case class MediaMeta(
       doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      resized_w: Int, resized_h: Int,
       n_frames: Int, f0: Double, f1: Double)
 
   /** Deterministic fake decoder: stands in for an image/audio library.
@@ -48,11 +51,17 @@ object Multimodal {
     def decode(b: MediaBlob): MediaMeta = {
       val n = b.content.length
       val h = h48(b.content)
+      val w = (64 + h % 448).toInt
+      val ht = (64 + (h / 448) % 448).toInt
+      // "resize": scale the long side to 224, integer math (exact in SQL)
+      val long = math.max(w, ht)
       MediaMeta(
         doc_id = b.doc_id,
         n_bytes = n,
-        width = (64 + h % 448).toInt,
-        height = (64 + (h / 448) % 448).toInt,
+        width = w,
+        height = ht,
+        resized_w = w * 224 / long,
+        resized_h = ht * 224 / long,
         n_frames = (1 + n % 30),
         f0 = (h % 2001 - 1000) / 1000.0,
         f1 = ((h / 2001) % 2001 - 1000) / 1000.0)
@@ -126,12 +135,16 @@ object Multimodal {
     """WITH h AS (SELECT doc_id,
               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
               ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
-              FROM documents)
-        SELECT doc_id, n_bytes,
-          CAST(64 + h % 448 AS INT) AS width,
-          CAST(64 + (h // 448) % 448 AS INT) AS height,
+              FROM documents),
+        d AS (SELECT doc_id, n_bytes,
+              CAST(64 + h % 448 AS INT) AS width,
+              CAST(64 + (h // 448) % 448 AS INT) AS height,
+              h FROM h)
+        SELECT doc_id, n_bytes, width, height,
+          CAST(width * 224 // greatest(width, height) AS INT) AS resized_w,
+          CAST(height * 224 // greatest(width, height) AS INT) AS resized_h,
           CAST(1 + n_bytes % 30 AS INT) AS n_frames,
           CAST(h % 2001 - 1000 AS DOUBLE) / 1000.0 AS f0,
           CAST((h // 2001) % 2001 - 1000 AS DOUBLE) / 1000.0 AS f1
-        FROM h ORDER BY doc_id"""
+        FROM d ORDER BY doc_id"""
 }

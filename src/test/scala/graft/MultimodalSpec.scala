@@ -16,8 +16,25 @@ class MultimodalSpec extends SparkSpec {
     assert(m1.n_bytes == 11)
     assert(m1.width >= 64 && m1.width < 512)
     assert(m1.height >= 64 && m1.height < 512)
+    assert(math.max(m1.resized_w, m1.resized_h) == 224,
+      "resize scales the long side to exactly 224")
+    assert(m1.resized_w <= 224 && m1.resized_h <= 224)
     assert(m1.n_frames >= 1 && m1.n_frames <= 30)
     assert(m1.f0 >= -1.0 && m1.f0 <= 1.0 && m1.f1 >= -1.0 && m1.f1 <= 1.0)
+  }
+
+  test("frame sampling: stride-4 indices, one decode per payload") {
+    val frames = Multimodal.sampleFrames(Multimodal.blobs(spark, sf)).collect()
+    val metas = Multimodal.decodeAll(Multimodal.blobs(spark, sf)).collect()
+      .map(m => m.doc_id -> m.n_frames).toMap
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.keySet == metas.keySet)
+    byDoc.foreach { case (id, fs) =>
+      val expected = (0 until metas(id) by 4).toSeq
+      assert(fs.map(_.frame_idx).sorted.toSeq == expected)
+      assert(fs.map(_.frame_hash).distinct.length == fs.length,
+        "frame hashes must differ per index")
+    }
   }
 
   test("decodeAll streams partitions and matches per-row decode") {
