@@ -176,17 +176,36 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  val SimBits = 32
-  val SimBands = 4 // 8 bits each; hamming ≤ 3 < 4 bands ⇒ some band matches
+  val SimBits = 64
+  val SimBands = 4 // 16 bits each; hamming ≤ 3 < 4 bands ⇒ some band matches
+  val SimBandBits = 16
   val MaxHamming = 3
 
-  /** 32-bit SimHash per document over its shingle-hash set: bit j is the
-    * sign of Σ±1 over shingles (+1 if bit j of the shingle hash is set).
+  /** LCG-style constants for the 16 extension bits (48..63) of the 64-bit
+    * per-shingle hash: h2 = (a·(h mod P) + b) mod P. All arithmetic stays
+    * below 2^62, and the identical expression is inlined in the oracle SQL.
+    */
+  private val ExtA = 1103515245L
+  private val ExtB = 12345L
+
+  /** 64-bit SimHash per document over its shingle-hash set: bit j is the
+    * sign of Σ±1 over shingles (+1 if bit j of the per-shingle 64-bit hash
+    * is set). Bits 0..47 come straight from the 48-bit md5-derived shingle
+    * hash; bits 48..63 from a second universal hash of it mod P — both
+    * reproducible bit-exactly by the DuckDB oracle (no engine-private
+    * hashing). 64 bits (vs the earlier 32) is what makes the band space
+    * scale: 4×16-bit bands give 262,144 bucket keys per band instead of
+    * 256, so the band self-join stays collision-driven at corpus scale.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val h = shingles(docs).select(col("doc_id"), col("shingle_h").as("h"))
+    val h = shingles(docs)
+      .select(col("doc_id"), col("shingle_h").as("h"),
+        (((col("shingle_h") % P) * ExtA + ExtB) % P).as("h2"))
+    def bit(j: Int): Column =
+      if (j < 48) shiftright(col("h"), j).bitwiseAND(1)
+      else shiftright(col("h2"), j - 48).bitwiseAND(1)
     val bitSums = (0 until SimBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+      sum(when(bit(j) === 1, 1).otherwise(-1)).as(s"s$j"))
     val sig = (0 until SimBits).map(j =>
         when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -194,16 +213,17 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Near-dup pairs with hamming(simhash) ≤ 3, found via 4×8-bit band
+  /** Near-dup pairs with hamming(simhash) ≤ 3, found via 4×16-bit band
     * join — candidates only where a band collides, then the exact hamming
-    * filter. By pigeonhole this equals brute force (the oracle's form).
+    * filter. By pigeonhole (3 differing bits touch ≤ 3 of the 4 bands)
+    * this equals brute force (the oracle's form).
     * Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id"))
     val bandStructs = (0 until SimBands).map { b =>
       struct(lit(b).as("bidx"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bkey"))
+        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(65535).as("bkey"))
     }
     val bx = sig.select(col("doc_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("band"))
@@ -220,16 +240,23 @@ object Dedup {
   }
 
   val simhashPairsSql: String = {
+    def bitExpr(j: Int): String =
+      if (j < 48) s"(h >> $j) & 1" else s"(h2 >> ${j - 48}) & 1"
     val bits = (0 until SimBits)
-      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .map(j => s"sum(CASE WHEN ${bitExpr(j)} = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(", ")
+    // bit 63's weight is Long.MinValue: spell it as (-(2^63-1) - 1) so the
+    // SQL parser never sees the unrepresentable literal 2^63
+    def weight(j: Int): String =
+      if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
     val sig = (0 until SimBits)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${weight(j)} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH $duckShingles,
-        h AS (SELECT doc_id, shingle_h AS h FROM sh),
+        h AS (SELECT doc_id, shingle_h AS h,
+                ((shingle_h % $P) * $ExtA + $ExtB) % $P AS h2 FROM sh),
         s AS (SELECT doc_id, $bits FROM h GROUP BY doc_id),
-        sig AS (SELECT doc_id, $sig AS simhash FROM s)
+        sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
