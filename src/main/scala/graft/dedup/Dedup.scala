@@ -268,59 +268,57 @@ object Dedup {
 
   val JaccardThreshold = 0.8
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join on
-    * shingle hash: |A∩B| from the join, |A|,|B| from a cheap per-doc sizes
-    * branch (size of the distinct array — no explode), keep
+  /** Stop-shingle ceiling: a shingle appearing in more than this many
+    * documents carries no near-dup signal (boilerplate) and its posting
+    * bucket would otherwise emit |bucket|² pair structs inside ONE row —
+    * the hot-bucket OOM at corpus scale. Shingles above the ceiling are
+    * excluded from BOTH the intersection counts and the set sizes, so
+    * Jaccard is measured over the retained (informative) shingles in both
+    * engines identically. 256 bounds any bucket's in-row pair array at
+    * 32,640 structs while sitting ~10× above the max observed df in the
+    * test corpora (7 at sf0.01, 25 at sf0.1 — results unchanged there).
+    */
+  val MaxShingleDf = 256
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted index on shingle
+    * hash with a stop-shingle df-ceiling: |A∩B| from in-bucket pair
+    * combinations, |A|,|B| counted over retained shingles, keep
     * J = i/(|A|+|B|−i) ≥ 0.8. Output: (doc_a, doc_b, jaccard).
     *
-    * The sizes are deliberately a SEPARATE branch joined after the pair
-    * aggregation: riding `sz` alongside the explode tempts Catalyst to
-    * collapse the size expression above the Generate, recomputing the full
-    * md5-shingle array once per exploded row (measured 40× slowdown).
-    * Post-aggregation the pairs relation is tiny, so the two sizes joins
-    * broadcast.
+    * Plan shape: one explode → groupBy(shingle_h) builds the postings
+    * (sorted doc_id lists); the df-ceiling filters hot buckets; pair
+    * emission (sorted bucket + i<j ⇒ doc_a < doc_b) and the retained-size
+    * branch BOTH read the same postings aggregate, so the expensive
+    * md5-shingle map stage and its exchange are planned once and reused
+    * (ReusedExchange) rather than recomputed.
     */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents", "doc_id")
-    // ONE evaluation of the expensive shingle pipeline: materialize the
-    // per-doc array + size, then force an exchange boundary before the
-    // explode. Without the repartition, Catalyst collapses the projections
-    // and re-evaluates the md5-shingle array per EXPLODED row to produce
-    // `sz` (measured 40× slowdown); across the exchange the column is a
-    // materialized value. The shuffle is (doc_id, array) — same bytes the
-    // explode emits anyway.
-    val sh2 = tokens(docs)
-      .where(size(col("t")) >= 3)
-      .select(col("doc_id"), shsExpr.as("shs"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
-      .select(col("doc_id"), size(col("shs")).as("sz"),
-        explode(col("shs")).as("shingle_h"))
-    // Inverted-index via GROUP-then-COMBINE instead of a self-join (which
-    // would evaluate and shuffle the pipeline twice): collect each
-    // shingle's (doc_id, sz) postings sorted, emit in-bucket pair
-    // combinations — sorted bucket + i<j ⇒ doc_a < doc_b, multiset
-    // identical to the join form. Sizes ride in the postings, so no
-    // sizes-side join exists at all.
-    val buckets = sh2.groupBy("shingle_h")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
-      .where(size(col("ds")) > 1)
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(Tables.loadSpread(spark, dir, "documents", "doc_id"))
+
+  def jaccardPairsFrom(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val posts = shingles(docs)
+      .groupBy("shingle_h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= maxDf) // stop-shingle cut
+    val sizes = posts.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val buckets = posts.where(size(col("ds")) > 1)
     val n = size(col("ds"))
     val pairsExpr = flatten(transform(sequence(lit(1), n - 1), i =>
       transform(sequence(i + 1, n), j =>
         struct(
-          element_at(col("ds"), i).getField("doc_id").as("doc_a"),
-          element_at(col("ds"), j).getField("doc_id").as("doc_b"),
-          element_at(col("ds"), i).getField("sz").as("sza"),
-          element_at(col("ds"), j).getField("sz").as("szb")))))
+          element_at(col("ds"), i).as("doc_a"),
+          element_at(col("ds"), j).as("doc_b")))))
     val inter = buckets
       .select(explode(pairsExpr).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sza").as("sza"), col("p.szb").as("szb"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"), max(col("sza")).as("sza"), max(col("szb")).as("szb"))
+      .agg(count(lit(1)).as("i"))
     val j = col("i").cast("double") /
       (col("sza") + col("szb") - col("i")).cast("double")
     inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
@@ -328,10 +326,15 @@ object Dedup {
 
   val jaccardPairsSql: String =
     s"""WITH $duckShingles,
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        sdf AS (SELECT shingle_h, count(*) AS df FROM sh GROUP BY shingle_h),
+        kept AS (
+          SELECT sh.doc_id, sh.shingle_h FROM sh
+          JOIN sdf ON sh.shingle_h = sdf.shingle_h
+          WHERE sdf.df <= $MaxShingleDf),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b
+          FROM kept a JOIN kept b
             ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
@@ -347,12 +350,13 @@ object Dedup {
 
   val CosineThreshold = 0.4
 
-  /** Embedding-cosine near-dup pairs over the `embeddings` table:
-    * brute-force pair join (correctness baseline; the LSH-bucketed scale
-    * path lives in graft.similarity). The vector norm is precomputed once
-    * per vector, so each of the O(n²) pairs costs exactly ONE codegen'd
-    * dot product ([[graft.functions.DotProduct]]) — this cut the query
-    * from ~121 s to seconds at sf0.1.
+  /** Brute-force embedding-cosine pair join — TEST-ONLY recall audit for
+    * the declared LSH near-dup operator
+    * ([[graft.similarity.Similarity.lshNearDupPairs]], `q_dedup_embed_lsh`).
+    * Deliberately NOT registered in [[graft.SparkEntry.queries]]: the
+    * `vec_id < vec_id` join is O(n²) (BroadcastNestedLoopJoin) and has no
+    * 100 TB execution, so it must not be part of the user-facing contract.
+    * DedupSpec uses it as ground truth to measure LSH recall.
     * Output: (vec_a, vec_b, cosine) with cosine ≥ 0.4.
     */
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -387,14 +391,4 @@ object Dedup {
         list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])),
         (acc, x) -> acc + x)"""
 
-  val embeddingPairsSql: String =
-    s"""WITH e AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm
-          FROM (SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings))
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineThreshold
-        ORDER BY vec_a, vec_b"""
 }

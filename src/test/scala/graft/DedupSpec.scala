@@ -73,10 +73,39 @@ class DedupSpec extends SparkSpec {
     assert(sizes == Map(1L -> 3L, 2L -> 3L) && inter == 2L)
   }
 
-  test("embedding near-dup pairs are symmetric-free and above threshold") {
-    val pairs = Dedup.embeddingPairs(spark, sf)
+  test("jaccard df-ceiling cuts hot stop-shingles from pairs and sizes") {
+    // docs 1,2: identical, built from unique (cold) shingles → J = 1.0
+    // docs 3..7: identical to each other; BOTH their shingles reach df=5,
+    // an adversarial hot bucket that would emit 5·4/2 pair structs per
+    // shingle row and (uncapped) declare all 10 pairs J = 1.0
+    val d = docsDF(
+      (1L -> "p q r s t u") +: (2L -> "p q r s t u") +:
+        (3L to 7L).map(i => i -> "x y z w"): _*)
+    val capped = Dedup.jaccardPairsFrom(d, maxDf = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((1L, 2L, 1.0)),
+      "hot shingles (df=5 > cap=3) must not produce pairs")
+    val uncapped = Dedup.jaccardPairsFrom(d, maxDf = 256)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.size == 11 && uncapped.forall(_._3 == 1.0),
+      s"without the cap the hot cluster contributes C(5,2)=10 pairs: $uncapped")
+  }
+
+  test("embedding LSH near-dup recall audited against brute-force truth") {
+    // brute force is test-only ground truth (not a declared operator):
+    // every LSH pair must be a true pair (precision 1.0 — the exact cosine
+    // re-check guarantees it) and recall must clear the 4-table
+    // OR-amplification's design point
+    val truth = Dedup.embeddingPairs(spark, sf)
       .as[(Long, Long, Double)].collect()
-    assert(pairs.nonEmpty)
-    assert(pairs.forall { case (a, b, c) => a < b && c >= Dedup.CosineThreshold })
+    assert(truth.nonEmpty)
+    assert(truth.forall { case (a, b, c) => a < b && c >= Dedup.CosineThreshold })
+    val lsh = graft.similarity.Similarity.lshNearDupPairs(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val truthSet = truth.map(p => (p._1, p._2)).toSet
+    assert(lsh.forall(p => truthSet.contains((p._1, p._2))),
+      "LSH emitted a pair brute force rejects — exact re-check broken")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.5, s"LSH recall $recall below design point")
   }
 }
