@@ -58,7 +58,9 @@ object SparkEntry {
     "q_dedup_minhash"      -> Dedup.minhashCandidates _,
     "q_dedup_simhash"      -> Dedup.simhashPairs _,
     "q_dedup_jaccard"      -> Dedup.jaccardPairs _,
-    "q_dedup_embed"        -> Dedup.embeddingPairs _,
+    // embedding near-dup is declared ONLY via the LSH scale path
+    // (q_dedup_embed_lsh); the brute-force O(n²) baseline stays test-only
+    // as a recall audit (DedupSpec) so no quadratic join is reachable here
     "q_sim_topk"           -> Similarity.cosineTopK _,
     "q_ann_topk"           -> Similarity.annTopK _,
     "q_dedup_embed_lsh"    -> Similarity.lshNearDupPairs _,
@@ -113,7 +115,6 @@ object SparkEntry {
     "q_dedup_minhash"      -> Dedup.minhashCandidatesSql,
     "q_dedup_simhash"      -> Dedup.simhashPairsSql,
     "q_dedup_jaccard"      -> Dedup.jaccardPairsSql,
-    "q_dedup_embed"        -> Dedup.embeddingPairsSql,
     "q_sim_topk"           -> Similarity.cosineTopKSql,
     "q_ann_topk"           -> Similarity.annTopKSql,
     "q_dedup_embed_lsh"    -> Similarity.lshNearDupPairsSql,
