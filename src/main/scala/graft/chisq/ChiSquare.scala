@@ -51,6 +51,32 @@ object ChiSquare {
       .select(col("word"), col("category"), chi2.as("chi2"))
   }
 
+  /** [[score]] with the reference's EXACT arithmetic
+    * ([[graft.functions.ChiSqExact]]): big-int numerator/denominator, one
+    * correctly-rounded division — bit-identical to the reference's Python
+    * floats, which byte-level RawProtocol parity requires. Used by the
+    * reference-format sink (graft.pipeline.Main) and the golden spec; the
+    * DECLARED query keeps [[score]] because DuckDB cannot reproduce
+    * correctly-rounded big-int division (see ChiSqExact scaladoc).
+    */
+  def scoreExact(df: DataFrame, catTotals: DataFrame, total: Long): DataFrame = {
+    graft.functions.Registry.ensure(df.sparkSession)
+    val wordWindow = Window.partitionBy("word")
+    val withTotals = df
+      .withColumn("word_total", sum(col("df_count")).over(wordWindow))
+      .join(broadcast(catTotals), "category")
+    val a = col("df_count")
+    val b = col("word_total") - col("df_count")
+    val c = col("n_docs") - col("df_count")
+    val d = lit(total) - col("word_total") - col("n_docs") + col("df_count")
+    withTotals
+      .where((a + b) =!= 0 && (a + c) =!= 0 && (b + d) =!= 0 && (c + d) =!= 0)
+      .select(col("word"), col("category"),
+        call_function("graft_chisq_py",
+          col("df_count").cast("long"), col("word_total").cast("long"),
+          col("n_docs").cast("long"), lit(total)).as("chi2"))
+  }
+
   /** Top-k per category by χ² descending. The reference's tie order is
     * arrival order (nondeterministic — `src/chiSquaredJob.py:105`); we impose
     * `word ASC` as a deterministic tiebreak (documented deviation).

@@ -76,6 +76,7 @@ case class DotProduct(left: Expression, right: Expression)
   */
 object Registry {
   private val dotId = FunctionIdentifier("graft_dot")
+  private val chisqId = FunctionIdentifier("graft_chisq_py")
 
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -84,6 +85,12 @@ object Registry {
         dotId,
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    }
+    if (!reg.functionExists(chisqId)) {
+      reg.registerFunction(
+        chisqId,
+        new ExpressionInfo(classOf[ChiSqExact].getName, "graft_chisq_py"),
+        (c: Seq[Expression]) => ChiSqExact(c(0), c(1), c(2), c(3)))
     }
   }
 }

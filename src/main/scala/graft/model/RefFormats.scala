@@ -50,13 +50,55 @@ object RefFormats {
     (total.toLong, Map(m.toSeq: _*))
   }
 
+  /** Python float `repr` (CPython ≥3.1): the SHORTEST correctly-rounded
+    * decimal string that round-trips to the same double, rendered fixed
+    * for 10⁻⁴ ≤ |x| < 10¹⁶ and as `Ne±XX` scientific outside. Java 17's
+    * `Double.toString` disagrees on both counts (`1.0E7` where Python
+    * prints `10000000.0`, and pre-JDK-19 it is not always shortest), so
+    * byte-level parity with the reference's RawProtocol output (Python
+    * `str(dict)` — reference `src/chiSquaredJob.py:124,127`) needs this
+    * formatter.
+    */
+  def pythonRepr(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"no repr for $d")
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val x = math.abs(d)
+    // shortest %.{p}e form that round-trips (p = significant digits)
+    val sci = (1 to 17).iterator
+      .map(p => String.format("%." + (p - 1) + "e", Double.box(x)))
+      .find(s => s.toDouble == x)
+      .get
+    val Array(mant, expS) = sci.split("e")
+    val exp = expS.toInt
+    val digits = mant.replace(".", "")
+    val body =
+      if (exp >= 16 || exp < -4) {
+        // scientific: first digit, optional fraction, e±XX (2+ exp digits)
+        val frac = digits.drop(1).reverse.dropWhile(_ == '0').reverse
+        val m = if (frac.isEmpty) digits.take(1) else s"${digits.take(1)}.$frac"
+        f"${m}e${if (exp < 0) "-" else "+"}${math.abs(exp)}%02d"
+      } else if (exp < 0) {
+        "0." + ("0" * (-exp - 1)) + digits.reverse.dropWhile(_ == '0').reverse
+      } else {
+        val intPart =
+          if (digits.length > exp + 1) digits.take(exp + 1)
+          else digits + ("0" * (exp + 1 - digits.length))
+        val frac = digits.drop(exp + 1).reverse.dropWhile(_ == '0').reverse
+        s"$intPart.${if (frac.isEmpty) "0" else frac}"
+      }
+    if (neg) s"-$body" else body
+  }
+
   /** Format the χ² result the way the reference's RawProtocol output does:
-    * `Category\t{'word': score, ...}` in χ²-descending order. Used for
-    * parity inspection only — canonical engine output stays columnar.
+    * `Category\t{'word': score, ...}` in χ²-descending order, floats in
+    * Python repr — byte-identical to the reference's part file (golden
+    * byte-equal test in ChiSquareGoldenSpec).
     */
   def formatChiSq(rows: Seq[(String, Seq[(String, Double)])]): Seq[String] =
     rows.map { case (cat, pairs) =>
-      val dict = pairs.map { case (w, s) => s"'$w': $s" }.mkString("{", ", ", "}")
+      val dict = pairs.map { case (w, s) => s"'$w': ${pythonRepr(s)}" }
+        .mkString("{", ", ", "}")
       s"$cat\t$dict"
     }
 

@@ -64,7 +64,10 @@ object Main {
         pruned, col("text"), col("category"), stopwords)
       df.write.mode("overwrite").parquet(s"$outDir/wordcount")
 
-      val scored = ChiSquare.score(
+      // exact (big-int + correctly-rounded division) scoring: this CLI is
+      // the reference replacement, so its chisq artifacts reproduce the
+      // reference's Python floats bit-for-bit (ChiSquare.scoreExact)
+      val scored = ChiSquare.scoreExact(
         spark.read.parquet(s"$outDir/wordcount"), catTotals, total)
       val topk = ChiSquare.topKPerCategory(scored, k)
         .orderBy(col("category"), col("chi2").desc, col("word"))

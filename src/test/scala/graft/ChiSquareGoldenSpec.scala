@@ -38,12 +38,30 @@ class ChiSquareGoldenSpec extends SparkSpec {
     val wc = RefFormats.readWordCounts(spark, s"$refOut/wordcount/part-*")
     val (total, counters) = RefFormats.readCounters(spark, countersPath)
     val catTotals = spark.createDataFrame(counters.toSeq).toDF("category", "n_docs")
-    val scored = ChiSquare.score(wc, catTotals, total)
+    val scored = ChiSquare.scoreExact(wc, catTotals, total)
     ChiSquare.topKPerCategory(scored, 75)
       .collect()
       .map(r => (r.getString(1), r.getString(0), r.getDouble(2)))
       .groupBy(_._1)
       .map { case (c, rs) => c -> rs.map(t => (t._2, t._3)).toSeq }
+  }
+
+  test("ChiSqExact matches CPython int-division bits on adversarial cells") {
+    // fixtures generated with CPython: cases where double(num)/double(den)
+    // differs from the correctly-rounded num/den (1-ulp traps); expected
+    // bits are the exact Python results
+    val cases = Seq(
+      (123L, 24684L, 114752L, 4315799L, java.lang.Double.longBitsToDouble(4646584838587836589L)),
+      (1139L, 41897L, 114025L, 45717651L, java.lang.Double.longBitsToDouble(4666875217051517209L)),
+      (1471L, 91636L, 140156L, 13031052L, java.lang.Double.longBitsToDouble(4642766933800744766L)),
+      (2989L, 123424L, 284126L, 5881819L, java.lang.Double.longBitsToDouble(4654713097196612910L)),
+      (1551L, 22207L, 290979L, 16803883L, java.lang.Double.longBitsToDouble(4660146857921098775L)),
+      (788L, 185487L, 37254L, 77540893L, java.lang.Double.longBitsToDouble(4662765720152674110L)))
+    for ((a, wt, nd, n, want) <- cases) {
+      val got = graft.functions.ChiSqExact.compute(a, wt, nd, n)
+      assert(java.lang.Double.doubleToLongBits(got) ===
+        java.lang.Double.doubleToLongBits(want), s"cells ($a,$wt,$nd,$n)")
+    }
   }
 
   test("devset golden: 22 categories, 75 words each") {
@@ -68,6 +86,18 @@ class ChiSquareGoldenSpec extends SparkSpec {
         assert(math.abs(o - g) <= 1e-9 * math.abs(g), s"$c/$w: ours=$o golden=$g")
       }
     }
+  }
+
+  test("devset golden: RawProtocol output is byte-equal, all 23 lines") {
+    val fixture = scala.io.Source
+      .fromFile(s"$refOut/chisq/part-00000", "UTF-8").getLines().toSeq
+    val byCat = ourTopK.toSeq.sortBy(_._1).map { case (c, ws) =>
+      c -> ws.sortBy { case (w, s) => (-s, w) }
+    }
+    val vocab = ourTopK.values.flatMap(_.map(_._1)).toSeq.distinct.sorted
+    val ours = RefFormats.formatChiSq(byCat) :+ RefFormats.formatVocabulary(vocab)
+    assert(ours.size === fixture.size)
+    for ((o, f) <- ours.zip(fixture)) assert(o === f)
   }
 
   test("devset golden: union vocabulary matches exactly, sorted") {
