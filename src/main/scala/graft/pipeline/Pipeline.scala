@@ -59,13 +59,23 @@ object Pipeline {
   */
 object TextPipelineQueries {
 
-  /** Small fixed stopword list (the reference ships a 596-word file; the
-    * operator is identical — an InSet filter below the first shuffle).
+  /** The reference's full 596-line stopword artifact, shipped as a
+    * classpath resource (reference `src/data/stopwords.txt`; its
+    * duplicates, e.g. `album` at `:17-18`, collapse here — the reference
+    * loads into a Python set with the same effect). 591 distinct words
+    * drive every declared query AND its oracle twin, so the driver's
+    * correctness gate exercises the real artifact, not a toy list.
     */
-  val stopwords: Seq[String] =
-    Seq("the", "a", "and", "of", "to", "in", "on", "for", "is", "it")
+  val stopwords: Seq[String] = {
+    val in = getClass.getResourceAsStream("/stopwords.txt")
+    require(in != null, "stopwords.txt missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toSeq.distinct
+    finally in.close()
+  }
 
-  private def sqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def sqlList =
+    stopwords.map(w => s"'${w.replace("'", "''")}'").mkString("(", ", ", ")")
 
   /** The tokenizer char class as a DuckDB/RE2 literal: same as
     * TextOps.strippedClass with the `'` doubled for SQL quoting.

@@ -40,6 +40,28 @@ class TextOpsSpec extends SparkSpec {
     assert(tokensOf("   \t  123 ... ") === Seq.empty)
   }
 
+  test("stopword artifact: 596 lines collapse to 591 distinct filterable words") {
+    val sw = graft.pipeline.TextPipelineQueries.stopwords
+    assert(sw.size === 591, "reference file has 5 duplicate words")
+    assert(sw.distinct === sw)
+    // the InSet filter runs on TOKENIZER OUTPUT, so every stopword must
+    // survive tokenization unchanged (lowercase, no stripped chars) or it
+    // could never match and would silently leak through
+    for (w <- sw) assert(tokensOf(w) === Seq(w), s"stopword '$w' not tokenizer-stable")
+  }
+
+  test("full stopword list drives the wordcount filter") {
+    val docs = Seq(
+      (1L, "about the games", "en"),
+      (2L, "the games about", "de")).toDF("doc_id", "text", "lang")
+    val got = graft.wordcount.WordCount.documentFrequency(
+        docs, col("text"), col("lang"),
+        graft.pipeline.TextPipelineQueries.stopwords.toSet)
+      .as[(String, String, Long)].collect().toSet
+    // 'about' and 'the' are in the 596-word artifact; 'games' is not
+    assert(got === Set(("games", "en", 1L), ("games", "de", 1L)))
+  }
+
   test("property: tokens never contain stripped chars, never empty, always distinct") {
     val stripped = "()[]{}.!?,;:+=-_\"~#@&*%€$§/\\0123456789\t'".toSet
     val pool = "ab c(d)e1!?\t'€§<>|^/\\\n日本語ümn.,;:" // mixes kept + stripped + unicode
