@@ -56,21 +56,39 @@ object Tables {
     * malformed lines silently dropped (reference `src/wordCountJob.py:62-72`).
     * PERMISSIVE mode + corrupt-record filter reproduces the bare-`except`
     * skip; schema pruning pushes the 2-column projection into the parser.
+    *
+    * With `counters`, each dropped line bumps the advisory
+    * [[PipelineCounters.malformedLines]] accumulator (a typed filter —
+    * only this observability variant leaves codegen; the default path
+    * stays a pure Catalyst predicate).
     */
-  def reviews(spark: SparkSession, path: String): DataFrame = {
+  def reviews(spark: SparkSession, path: String,
+      counters: Option[PipelineCounters] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("category", StringType),
       StructField("reviewText", StringType),
       StructField("_corrupt", StringType)))
-    spark.read
+    val parsed = spark.read
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
-      .where(col("_corrupt").isNull)
-      .select(
-        coalesce(col("category"), lit("Unknown")).as("category"),
-        coalesce(col("reviewText"), lit("")).as("reviewText"))
+    val kept = counters match {
+      case Some(c) =>
+        val idx = schema.fieldIndex("_corrupt")
+        // capture ONLY the accumulator (serializable) in the task closure,
+        // not the counters wrapper
+        val malformed = c.malformedLines
+        parsed.filter { r: org.apache.spark.sql.Row =>
+          val ok = r.isNullAt(idx)
+          if (!ok) malformed.add(1L)
+          ok
+        }
+      case None => parsed.where(col("_corrupt").isNull)
+    }
+    kept.select(
+      coalesce(col("category"), lit("Unknown")).as("category"),
+      coalesce(col("reviewText"), lit("")).as("reviewText"))
   }
 }

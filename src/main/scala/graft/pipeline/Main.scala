@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Verify
-import graft.model.{RefFormats, Tables}
+import graft.model.{PipelineCounters, RefFormats, Tables}
 import graft.wordcount.WordCount
 import graft.chisq.ChiSquare
 
@@ -39,16 +39,21 @@ object Main {
   }
 
   def run(spark: SparkSession, input: String, stopPath: String,
-      outDir: String, k: Int = 75): Unit = {
+      outDir: String, k: Int = 75): PipelineCounters = {
+    val counters = PipelineCounters(spark)
     // stopword side input: tiny file read driver-side, broadcast by the
-    // InSet filter (reference ships it via distributed cache)
+    // InSet filter (reference ships it via distributed cache); on failure
+    // continue with an empty set + advisory counter (reference
+    // `src/wordCountJob.py:46-48`)
     val stopwords: Set[String] =
-      if (Files.exists(Paths.get(stopPath)))
-        Files.readAllLines(Paths.get(stopPath)).asScala
-          .map(_.trim).filter(_.nonEmpty).toSet
-      else Set.empty // reference: missing stopwords → empty set + counter
+      try Files.readAllLines(Paths.get(stopPath)).asScala
+        .map(_.trim).filter(_.nonEmpty).toSet
+      catch { case _: Exception =>
+        counters.stopwordLoadFailures.add(1L)
+        Set.empty
+      }
 
-    val reviews = Tables.reviews(spark, input)
+    val reviews = Tables.reviews(spark, input, Some(counters))
     val pruned = reviews
       .select(col("reviewText").as("text"), col("category")).persist()
     try {
@@ -88,6 +93,8 @@ object Main {
         lines.mkString("", "\n", "\n"))
       println(s"[graft] $total reviews, ${catMap.size} categories, " +
         s"${rows.length} scored terms → $outDir")
+      println(s"[graft] anomalies: ${counters.summary}")
+      counters
     } finally pruned.unpersist(blocking = false)
   }
 }

@@ -24,12 +24,18 @@ class MainSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$dir/reviews.json"), reviews)
     Files.writeString(Paths.get(s"$dir/stopwords.txt"), "was\nis\n&\n")
 
-    Main.run(spark, s"$dir/reviews.json", s"$dir/stopwords.txt", s"$dir/out", k = 2)
+    val anomalies =
+      Main.run(spark, s"$dir/reviews.json", s"$dir/stopwords.txt", s"$dir/out", k = 2)
 
     // counters: 6 parsed reviews (malformed line dropped)
     val (total, cats) = RefFormats.readCounters(spark, s"$dir/out/counters.txt")
     assert(total == 6)
     assert(cats == Map("Book" -> 3L, "Game" -> 2L, "Unknown" -> 1L))
+
+    // advisory anomaly surface: exactly the one malformed line, and the
+    // stopword file loaded fine
+    assert(anomalies.malformedLines.value == 1L)
+    assert(anomalies.stopwordLoadFailures.value == 0L)
 
     val wc = spark.read.parquet(s"$dir/out/wordcount")
     import spark.implicits._
@@ -51,5 +57,22 @@ class MainSpec extends SparkSpec {
     assert(parity.size == topk.select("category").distinct().count() + 1)
     assert(parity.get(parity.size - 1).startsWith("['"))
     assert(parity.get(0).matches("""\S+\t\{'.*"""))
+  }
+
+  test("missing stopword file: pipeline continues, anomaly counter fires") {
+    val dir = Files.createTempDirectory("graft_main2").toString
+    Files.writeString(Paths.get(s"$dir/reviews.json"),
+      """{"category": "Book", "reviewText": "the plot is great"}""")
+
+    val anomalies = Main.run(
+      spark, s"$dir/reviews.json", s"$dir/no_such_stopwords.txt", s"$dir/out", k = 2)
+
+    assert(anomalies.stopwordLoadFailures.value == 1L)
+    assert(anomalies.malformedLines.value == 0L)
+    // empty stopword set: 'the'/'is' survive (reference semantics)
+    import spark.implicits._
+    val words = spark.read.parquet(s"$dir/out/wordcount")
+      .select("word").as[String].collect().toSet
+    assert(words == Set("the", "plot", "is", "great"))
   }
 }
