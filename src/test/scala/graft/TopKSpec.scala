@@ -22,6 +22,26 @@ class TopKSpec extends SparkSpec {
     assert(viaHeap == viaWindow && viaHeap.nonEmpty)
   }
 
+  test("buffer compaction: groups far larger than 2k stay correct") {
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle(
+      (1 to 1000).map(i => ("g", f"t$i%04d", i.toDouble)))
+    val got = TopK.topKPerGroup(rows.toDF("grp", "tag", "score"),
+        "grp", "tag", "score", 3)
+      .as[(String, String, Double)].collect().toList.sortBy(-_._3)
+    assert(got == List(("g", "t1000", 1000.0), ("g", "t0999", 999.0),
+      ("g", "t0998", 998.0)))
+  }
+
+  test("group column keeps its native type (no string round-trip)") {
+    val df = Seq((1L, "a", 2.0), (1L, "b", 1.0), (2L, "c", 5.0))
+      .toDF("grp", "tag", "score")
+    val out = TopK.topKPerGroup(df, "grp", "tag", "score", 1)
+    assert(out.schema("grp").dataType.typeName === "long")
+    assert(out.as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 2.0), (2L, "c", 5.0)))
+  }
+
   test("heap never holds more than k and handles ties deterministically") {
     val df = Seq(
       ("g", "b", 2.0), ("g", "a", 2.0), ("g", "c", 2.0),
