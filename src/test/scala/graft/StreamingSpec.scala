@@ -88,6 +88,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from hourly counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    // update mode: watermark-late rows are filtered before the agg, so a
+    // dropped event produces NO output row (complete mode would hide this)
+    val q = StreamingOps.hourlyCounts(events).writeStream
+      .format("memory").queryName("late_hourly").outputMode("update").start()
+    try {
+      // batch 1: events at 0h and 10h → watermark after batch = 10h − 2h = 8h
+      mem.addData((ts(0), 1L, "click", 1.0), (ts(600), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: out-of-order event at 3h — 5 hours beyond the watermark
+      mem.addData((ts(180), 2L, "view", 9.0))
+      q.processAllAvailable()
+      // batch 3: out-of-order event at 9h — still ≥ watermark, must survive
+      mem.addData((ts(540), 3L, "view", 7.0))
+      q.processAllAvailable()
+      val hours = spark.table("late_hourly")
+        .select(col("hour_start").cast("long") / 3600).as[Double]
+        .collect().toSet
+      assert(!hours.contains(3.0),
+        "watermark-late event leaked into the aggregation")
+      assert(hours == Set(0.0, 10.0, 9.0))
+    } finally q.stop()
+  }
+
+  test("dedup at-least-once boundary: redelivery after state eviction passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_id", "event_type", "value")
+    val q = StreamingOps.dedupStream(events).writeStream
+      .format("memory").queryName("late_dedup").outputMode("append").start()
+    try {
+      // (fixture starts at 1h, not epoch 0: the initial watermark is 0 and
+      // the late-row filter drops rows at-or-before it)
+      // batch 1: event 1 at 1h; traffic at 11h pushes the watermark to 9h
+      mem.addData((ts(60), 1L, "click", 1.0), (ts(660), 2L, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: unrelated traffic — state eviction runs against the 9h
+      // watermark (eviction lags one batch behind the data that advanced
+      // it), expiring event 1's entry (1h + 2h delay < 9h)
+      mem.addData((ts(670), 3L, "view", 3.0))
+      q.processAllAvailable()
+      // batch 3: event 1 redelivered with a fresh timestamp (typical
+      // at-least-once re-send) — its state is gone, so it passes through:
+      // the documented at-least-once boundary of watermark-bounded dedup
+      mem.addData((ts(690), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("late_dedup").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 1L, 2L, 3L),
+        "evicted-state duplicate must re-emit (at-least-once), not vanish")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
