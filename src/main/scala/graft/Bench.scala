@@ -17,11 +17,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
-    // two measured runs per query, report the min: single-shot numbers
+    // three measured runs per query, report the min: single-shot numbers
     // carry multi-second GC/compilation spikes that land on random queries
     // (observed run to run); the min is the steady-state operator cost
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> Dedup.minhashCandidates _,
     "q_dedup_simhash"      -> Dedup.simhashPairs _,
     "q_dedup_jaccard"      -> Dedup.jaccardPairs _,
+    "q_dedup_clusters"     -> Dedup.nearDupClusters _,
     // embedding near-dup is declared ONLY via the LSH scale path
     // (q_dedup_embed_lsh); the brute-force O(n²) baseline stays test-only
     // as a recall audit (DedupSpec) so no quadratic join is reachable here
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> Dedup.minhashCandidatesSql,
     "q_dedup_simhash"      -> Dedup.simhashPairsSql,
     "q_dedup_jaccard"      -> Dedup.jaccardPairsSql,
+    "q_dedup_clusters"     -> Dedup.nearDupClustersSql,
     "q_sim_topk"           -> Similarity.cosineTopKSql,
     "q_ann_topk"           -> Similarity.annTopKSql,
     "q_dedup_embed_lsh"    -> Similarity.lshNearDupPairsSql,

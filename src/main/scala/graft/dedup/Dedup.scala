@@ -346,6 +346,72 @@ object Dedup {
           >= $JaccardThreshold
         ORDER BY doc_a, doc_b"""
 
+  // ------------------------------------------------------------ clusters
+
+  /** Near-dup CLUSTER RESOLUTION: connected components over the Jaccard
+    * near-dup pair graph, labeling every clustered document with the
+    * minimum doc_id of its component. Pair emission alone doesn't dedup a
+    * corpus — "keep one representative per duplicate cluster" needs the
+    * transitive closure (A≈B, B≈C ⇒ drop two of {A,B,C} even when A,C
+    * were never compared). Output: (doc_id, canonical_id), one row per
+    * clustered doc; unclustered docs are implicitly their own canonical.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(jaccardPairs(spark, dir).select("doc_a", "doc_b"))
+
+  /** Iterative min-label propagation until fixpoint: each round every
+    * vertex takes the min root over itself and its neighbors — one
+    * shuffle (groupBy doc) per round, rounds = component diameter.
+    * Near-dup components are clique-like (diameter 1–2) so this settles
+    * in 2–3 rounds; for adversarial long-chain graphs the
+    * large-star/small-star variant (O(log n) rounds) would replace the
+    * loop body, same driver-side convergence protocol. Labels persist
+    * per round (the convergence count is the materializing action) and
+    * the previous round unpersists, so lineage stays one round deep —
+    * no exponential recompute across iterations.
+    */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = e.select(col("u").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("root")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = e.join(labels.withColumnRenamed("doc", "v"), "v")
+        .select(col("u").as("doc"), col("root"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("doc").agg(min("root").as("root")).persist()
+      // min-propagation is monotone (roots only decrease), so
+      // "no decrease" IS the fixpoint
+      changed = next.join(
+          labels.select(col("doc"), col("root").as("old")), "doc")
+        .where(col("root") < col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    e.unpersist(blocking = false)
+    labels
+      .select(col("doc").as("doc_id"), col("root").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: transitive closure by recursive CTE (UNION dedup drives
+    * convergence), then min reachable label per doc — same fixpoint the
+    * iterative propagation reaches.
+    */
+  val nearDupClustersSql: String =
+    s"""WITH RECURSIVE
+        pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql)),
+        e2 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+        lab(doc, root) AS (
+          SELECT u, u FROM e2
+          UNION
+          SELECT e2.u, lab.root FROM e2, lab WHERE e2.v = lab.doc)
+        SELECT doc AS doc_id, min(root) AS canonical_id
+        FROM lab GROUP BY doc ORDER BY doc_id"""
+
   // ------------------------------------------------------------ embedding
 
   val CosineThreshold = 0.4

@@ -91,6 +91,35 @@ class DedupSpec extends SparkSpec {
       s"without the cap the hot cluster contributes C(5,2)=10 pairs: $uncapped")
   }
 
+  test("cluster resolution: components get min-id canonical, chains converge") {
+    // component {1,2,3} via transitive pairs, singleton pair {10,11}, and
+    // a 4-node CHAIN 5-6-7-8 whose min label needs 3 propagation rounds
+    // to reach the far end — exercises the fixpoint loop, not just one hop
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L),
+      (7L, 8L), (6L, 7L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersFromPairs(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+  }
+
+  test("clusters on real data: every pair endpoint labeled, canonical in cluster") {
+    val pairs = Dedup.jaccardPairs(spark, sf).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val clusters = Dedup.clustersFromPairs(
+        pairs.toSeq.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs) {
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= a && clusters(a) <= b, "canonical must be the min id")
+    }
+  }
+
   test("embedding LSH near-dup recall audited against brute-force truth") {
     // brute force is test-only ground truth (not a declared operator):
     // every LSH pair must be a true pair (precision 1.0 — the exact cosine
