@@ -27,14 +27,20 @@ object Pipeline {
     // cache the pruned 2-column projection: it feeds both the counters
     // aggregation and the wordcount — one scan instead of two at 100 TB
     // (the reference piggybacked counters on job 1 for the same reason)
-    // repartition before persist: a single-row-group input file would
-    // otherwise pin the whole tokenize+explode pipeline to one task
     val spark = docs.sparkSession
     import spark.implicits._
-    val pruned = docs.select(col(textCol).as("text"), col(categoryCol).as("category"))
-      .repartition(spark.sessionState.conf.numShufflePartitions,
+    val pruned0 = docs.select(col(textCol).as("text"), col(categoryCol).as("category"))
+    // spread ONLY when the scan under-parallelizes (a single-row-group test
+    // file pins the whole tokenize+explode pipeline to one task). At real
+    // scale the scan already splits by maxPartitionBytes and this
+    // repartition would be a full-corpus shuffle bought for nothing — the
+    // cost that would dominate the whole pipeline at 100 TB.
+    val scanParts = pruned0.rdd.getNumPartitions
+    val spread =
+      if (scanParts >= spark.sparkContext.defaultParallelism) pruned0
+      else pruned0.repartition(spark.sessionState.conf.numShufflePartitions,
         col("category"), col("text"))
-      .persist()
+    val pruned = spread.persist()
     try {
       // ONE action for all scalar state: collect the (tiny) per-category
       // counts, sum N driver-side, and re-ship them as the broadcast join
