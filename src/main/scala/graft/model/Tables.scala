@@ -34,11 +34,16 @@ object Tables {
     * an extra exchange would only add cost).
     */
   def loadSpread(spark: SparkSession, sfDir: String, name: String,
-      byCol: String): DataFrame =
+      byCol: String): DataFrame = {
     // EXPLICIT partition count: AQE coalesces advisory shuffles by BYTES
-    // and would fold this tiny-but-CPU-heavy relation back to one task
-    load(spark, sfDir, name)
-      .repartition(spark.sessionState.conf.numShufflePartitions, col(byCol))
+    // and would fold this tiny-but-CPU-heavy relation back to one task.
+    // Skipped when the scan already yields enough splits — at real scale
+    // maxPartitionBytes provides the parallelism and the repartition
+    // would shuffle the whole table for nothing.
+    val df = load(spark, sfDir, name)
+    if (df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) df
+    else df.repartition(spark.sessionState.conf.numShufflePartitions, col(byCol))
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw nanosecond long (`spark.sql.legacy.parquet.nanosAsLong=true`, set
