@@ -36,6 +36,16 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC round-trip — same columnar guarantees as parquet (predicate
+    * pushdown, column pruning, vectorized read) for shops standardized on
+    * ORC. Parquet stays the engine's default interchange format.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Hive-style partitioned parquet: one directory per partition value.
     * Choose a LOW-cardinality column (hundreds, not millions — small-file
     * explosion otherwise); at 100 TB this is the primary pruning axis

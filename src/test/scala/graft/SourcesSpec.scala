@@ -26,6 +26,12 @@ class SourcesSpec extends SparkSpec {
     assert(rows(Sources.readJson(spark, sample.schema, dir)) == rows(sample))
   }
 
+  test("orc round-trip preserves rows under explicit schema") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Sources.writeOrc(sample, dir)
+    assert(rows(Sources.readOrc(spark, sample.schema, dir)) == rows(sample))
+  }
+
   test("compact rewrites a many-file table into n files, rows preserved") {
     val in = Files.createTempDirectory("graft_many").toString
     val out = Files.createTempDirectory("graft_compact").toString

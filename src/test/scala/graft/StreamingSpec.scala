@@ -144,6 +144,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: restart resumes exactly-once, no replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_id", "event_type", "value")
+    def start() = events.writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("append").start()
+    // run 1 commits batch 0, then dies
+    val q1 = start()
+    mem.addData((ts(60), 1L, "click", 1.0), (ts(61), 2L, "view", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    // run 2 resumes from the checkpoint: batch 0 must NOT be re-emitted
+    // (the file sink's transaction log makes file output exactly-once
+    // even though the source replays are at-least-once)
+    val q2 = start()
+    mem.addData((ts(62), 3L, "buy", 3.0))
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(s"$base/out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"expected exactly-once output, got $ids")
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
