@@ -38,6 +38,10 @@ object SparkEntry {
     "q_scalar_dates"       -> Relational.scalarDates _,
     "q_events_json"        -> Relational.eventsJson _,
     "q_distinct_users"     -> Relational.distinctUsers _,
+    // sketch scale-twin: no oracle twin by design (sketches are
+    // engine-specific) → driver records the rows-only check; error is
+    // bounded against the exact queries in ApproxSpec
+    "q_approx_stats"       -> Relational.approxStats _,
     "q_pivot"              -> Relational.pivotOrders _,
     "q_window_analytics"   -> Relational.windowAnalytics _,
     "q_string_funcs"       -> Relational.stringFunctions _,

@@ -717,4 +717,27 @@ object Relational {
        CAST(quarter(o_orderdate) AS INT) AS o_quarter,
        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
        FROM orders ORDER BY o_orderkey"""
+
+  /** Sketch-based SCALE TWIN of [[distinctUsers]]/[[percentiles]]:
+    * HyperLogLog++ distinct counts (1% target error) and
+    * quantile-summary percentiles (1e-4 relative accuracy). Both sketches
+    * are mergeable with FIXED memory per group, so the shuffle carries a
+    * few KB per group instead of every distinct key / every value — the
+    * only form that survives a 100 TB distinct-count (the exact queries
+    * remain the correctness anchors, same twin pattern as
+    * `q_dedup_embed_lsh` vs the brute-force audit).
+    *
+    * No DuckDB oracle twin: sketch estimates are engine-specific (the
+    * driver records the weaker rows-only check); ApproxSpec bounds the
+    * estimates against the exact queries instead.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
 }
