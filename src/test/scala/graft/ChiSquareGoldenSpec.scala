@@ -88,6 +88,26 @@ class ChiSquareGoldenSpec extends SparkSpec {
     }
   }
 
+  test("property: divToDouble is correctly rounded (error-minimal vs neighbors)") {
+    // q is THE correctly-rounded quotient iff no adjacent double is
+    // closer to the exact rational: |q·den − num| ≤ |q'·den − num| for
+    // both neighbors q' — checked in exact BigDecimal arithmetic
+    import java.math.{BigDecimal => JBD, BigInteger => JBI}
+    val rng = new scala.util.Random(3)
+    def err(q: Double, num: JBI, den: JBI): JBD =
+      new JBD(q).multiply(new JBD(den)).subtract(new JBD(num)).abs()
+    for (_ <- 1 to 5000) {
+      val num = new JBI(rng.nextInt(120) + 8, rng.self)
+      val den = new JBI(rng.nextInt(90) + 8, rng.self).add(JBI.ONE)
+      val q = graft.functions.ChiSqExact.divToDouble(num, den)
+      val e = err(q, num, den)
+      assert(e.compareTo(err(Math.nextUp(q), num, den)) <= 0,
+        s"nextUp closer for $num/$den")
+      assert(e.compareTo(err(Math.nextDown(q), num, den)) <= 0,
+        s"nextDown closer for $num/$den")
+    }
+  }
+
   test("devset golden: RawProtocol output is byte-equal, all 23 lines") {
     val fixture = scala.io.Source
       .fromFile(s"$refOut/chisq/part-00000", "UTF-8").getLines().toSeq
