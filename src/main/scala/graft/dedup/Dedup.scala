@@ -359,41 +359,62 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
     clustersFromPairs(jaccardPairs(spark, dir).select("doc_a", "doc_b"))
 
-  /** Iterative min-label propagation until fixpoint: each round every
-    * vertex takes the min root over itself and its neighbors — one
-    * shuffle (groupBy doc) per round, rounds = component diameter.
-    * Near-dup components are clique-like (diameter 1–2) so this settles
-    * in 2–3 rounds; for adversarial long-chain graphs the
-    * large-star/small-star variant (O(log n) rounds) would replace the
-    * loop body, same driver-side convergence protocol. Labels persist
-    * per round (the convergence count is the materializing action) and
-    * the previous round unpersists, so lineage stays one round deep —
-    * no exponential recompute across iterations.
+  /** Iterative min-label propagation WITH pointer jumping until fixpoint.
+    * Each round every vertex takes the min root over itself and its
+    * neighbors (one shuffle), then labels compress one level —
+    * L(v) ← L(L(v)) — halving label-chain depth (a second shuffle). The
+    * jump bounds rounds at O(log n) even on adversarial path-shaped
+    * components, where plain propagation needs diameter rounds; clique-like
+    * near-dup graphs still settle in 2–3. Both steps are monotone (roots
+    * only decrease, and a root's own label is ≤ itself), so "no label
+    * decreased" remains the exact fixpoint test. Each round's labels are
+    * CHECKPOINTED, not merely persisted: the jump join reads the round's
+    * plan twice, so without lineage truncation the Catalyst tree doubles
+    * per round — exponential plan growth that OOMs the driver long before
+    * the data does. Reliable checkpoint when the session has a checkpoint
+    * dir (the cluster setting, survives executor loss); localCheckpoint
+    * otherwise. The previous round unpersists after the convergence count,
+    * so at most two rounds of label data are resident.
     */
-  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+  def clustersFromPairs(pairs: DataFrame): DataFrame =
+    clustersFromPairsCounted(pairs)._1
+
+  private[graft] def clustersFromPairsCounted(pairs: DataFrame): (DataFrame, Int) = {
     val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
     var labels = e.select(col("u").as("doc")).distinct()
       .select(col("doc"), col("doc").as("root")).persist()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val viaNeighbors = e.join(labels.withColumnRenamed("doc", "v"), "v")
         .select(col("u").as("doc"), col("root"))
-      val next = labels.unionByName(viaNeighbors)
+      // persisted: both sides of the jump join read it
+      val propagated = labels.unionByName(viaNeighbors)
         .groupBy("doc").agg(min("root").as("root")).persist()
-      // min-propagation is monotone (roots only decrease), so
-      // "no decrease" IS the fixpoint
+      // pointer jump: follow each root to ITS root (roots are docs too,
+      // every doc has a label row, so the join is total)
+      val jumped = propagated.as("a")
+        .join(propagated.select(col("doc").as("r"), col("root").as("rr")).as("b"),
+          col("a.root") === col("b.r"))
+        .select(col("a.doc").as("doc"), col("b.rr").as("root"))
+      val next =
+        if (jumped.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          jumped.checkpoint(eager = true)
+        else jumped.localCheckpoint(eager = true)
       changed = next.join(
           labels.select(col("doc"), col("root").as("old")), "doc")
         .where(col("root") < col("old")).count()
+      propagated.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
     }
     e.unpersist(blocking = false)
-    labels
+    (labels
       .select(col("doc").as("doc_id"), col("root").as("canonical_id"))
-      .orderBy("doc_id")
+      .orderBy("doc_id"), rounds)
   }
 
   /** DuckDB twin: transitive closure by recursive CTE (UNION dedup drives
