@@ -68,6 +68,8 @@ object SparkEntry {
     // as a recall audit (DedupSpec) so no quadratic join is reachable here
     "q_sim_topk"           -> Similarity.cosineTopK _,
     "q_ann_topk"           -> Similarity.annTopK _,
+    "q_ivf_assign"         -> Similarity.ivfAssign _,
+    "q_ivf_topk"           -> Similarity.ivfTopK _,
     "q_dedup_embed_lsh"    -> Similarity.lshNearDupPairs _,
     "q_text_tfidf"         -> TextAnalysis.tfidf _,
     "q_text_split"         -> TextAnalysis.trainTestSplit _,
@@ -123,6 +125,8 @@ object SparkEntry {
     "q_dedup_clusters"     -> Dedup.nearDupClustersSql,
     "q_sim_topk"           -> Similarity.cosineTopKSql,
     "q_ann_topk"           -> Similarity.annTopKSql,
+    "q_ivf_assign"         -> Similarity.ivfAssignSql,
+    "q_ivf_topk"           -> Similarity.ivfTopKSql,
     "q_dedup_embed_lsh"    -> Similarity.lshNearDupPairsSql,
     "q_text_tfidf"         -> TextAnalysis.tfidfSql,
     "q_text_split"         -> TextAnalysis.trainTestSplitSql,

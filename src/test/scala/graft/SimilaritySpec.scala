@@ -49,4 +49,51 @@ class SimilaritySpec extends SparkSpec {
     val recall = brute.keySet.count(ann.map(_._1).toSet).toDouble / brute.size
     assert(recall > 0.0, "ANN found none of the true top-k")
   }
+
+  test("ivf assignment is total, exclusive, and argmax-consistent") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val n = e.length
+    val summary = Similarity.ivfAssign(spark, sf)
+      .as[(Int, Long, Long)].collect()
+    // every vector in exactly one cluster, ids conserved
+    assert(summary.map(_._2).sum == n.toLong)
+    assert(summary.map(_._3).sum == e.map(_._1).sum)
+    assert(summary.forall { case (cid, cnt, _) =>
+      cid >= 0 && cid < Similarity.IvfClusters && cnt > 0 })
+    // driver-side argmax over the same centroid choice agrees per cluster
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val cents = e.sortBy(-_._1).take(Similarity.IvfClusters).map(_._2)
+    val byCluster = e.groupBy { case (_, v) =>
+      val nv = math.sqrt(dot(v, v))
+      cents.zipWithIndex.map { case (c, i) =>
+        (dot(v, c) / (nv * math.sqrt(dot(c, c))), i) }
+        .reduceLeft((a, b) => if (b._1 > a._1) b else a)._2
+    }
+    summary.foreach { case (cid, cnt, idSum) =>
+      val exp = byCluster(cid)
+      assert(cnt == exp.length && idSum == exp.map(_._1).sum,
+        s"cluster $cid: got ($cnt, $idSum), want (${exp.length}, ${exp.map(_._1).sum})")
+    }
+  }
+
+  test("ivf topk re-ranks exactly within probed clusters and reaches the brute top-k") {
+    val ivf = Similarity.ivfTopK(spark, sf).as[(Long, Double)].collect()
+    assert(ivf.nonEmpty && ivf.length <= Similarity.K)
+    // exact scores: every IVF hit carries the true cosine
+    val brute = Similarity.cosineTopK(spark, sf).as[(Long, Double)].collect()
+    val bruteById = brute.toMap
+    ivf.foreach { case (id, c) =>
+      bruteById.get(id).foreach(bc => assert(c == bc)) }
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).sortBy(-_).toSeq)
+    // probing 2 of 8 clusters must still find part of the true top-k —
+    // in particular the query's own cluster is always probed, and
+    // near-neighbors concentrate there
+    val recall = brute.map(_._1).count(ivf.map(_._1).toSet).toDouble / brute.length
+    assert(recall > 0.0, "IVF with nprobe=2 found none of the true top-k")
+  }
 }
