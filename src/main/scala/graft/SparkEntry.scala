@@ -81,6 +81,7 @@ object SparkEntry {
     "q_multimodal_frames"  -> Multimodal.mediaFrames _,
     "q_embed_quantize"     -> Similarity.quantize _,
     "q_events_sessions"    -> StreamingOps.sessionsBatch _,
+    "q_events_enriched"    -> StreamingOps.enrichedHourlyBatch _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,5 +139,6 @@ object SparkEntry {
     "q_multimodal_frames"  -> Multimodal.mediaFramesSql,
     "q_embed_quantize"     -> Similarity.quantizeSql,
     "q_events_sessions"    -> StreamingOps.sessionsBatchSql,
+    "q_events_enriched"    -> StreamingOps.enrichedHourlyBatchSql,
   )
 }

@@ -68,6 +68,31 @@ object StreamingOps {
         FROM s GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx"""
 
+  /** Batch twin of [[enrichedHourly]] — the declared, oracle-gated form.
+    * Broadcast inner join (customer is the classic small dim; every
+    * event's user_id resolves in the generated data), decimal-domain value
+    * sum so the rollup is fold-order-independent and engine-exact.
+    */
+  def enrichedHourlyBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val c = Tables.load(spark, dir, "customer")
+    e.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .select(expr("ts_ns div 3600000000000").multiply(3600L).as("hour_sec"),
+        col("c_mktsegment"), col("value"))
+      .groupBy("hour_sec", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("hour_sec", "c_mktsegment")
+  }
+
+  val enrichedHourlyBatchSql: String =
+    """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_sec,
+       c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1, 2 ORDER BY hour_sec, c_mktsegment"""
+
   // --------------------------------------------------- streaming graphs
 
   /** File-source stream: tail a directory of parquet drops (the batch →
@@ -104,6 +129,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("start"),
         col("session_window.end").as("end"), col("n_events"))
+
+  /** Stream-static enrichment join — the canonical streaming enrichment:
+    * each micro-batch of events broadcast-joins the static customer
+    * dimension, then rolls up watermarked hourly windows per market
+    * segment. Broadcast keeps the static side off the shuffle path (no
+    * state, re-planned per micro-batch, picks up dim refreshes on
+    * re-read sources), so the only stateful stage is the windowed agg.
+    */
+  def enrichedHourly(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
 
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * within the watermark horizon. The watermark bounds the dedup state

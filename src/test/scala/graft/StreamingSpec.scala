@@ -70,6 +70,28 @@ class StreamingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("stream-static enrichment join matches the batch form of the same graph") {
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = StreamingOps.enrichedHourly(events, customers).writeStream
+      .format("memory").queryName("enriched").outputMode("complete").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enriched")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = StreamingOps.enrichedHourly(
+          fixture.toDF("ts", "user_id", "event_type", "value"), customers)
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // the join really enriched: both users' segments appear
+      assert(streamed.map(_._2) == Set("BUILDING", "MACHINERY"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
