@@ -28,6 +28,7 @@ object SparkEntry {
     "q_join_semi"          -> Relational.joinSemi _,
     "q_join_anti"          -> Relational.joinAnti _,
     "q_join_outer"         -> Relational.joinOuterLineCounts _,
+    "q_sql_shipping"       -> Relational.shippingPriority _,
     "q_window_topk"        -> Relational.windowTopOrders _,
     "q_window_running"     -> Relational.windowRunningTotal _,
     "q_setops"             -> Relational.setOps _,
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_join_semi"          -> Relational.joinSemiSql,
     "q_join_anti"          -> Relational.joinAntiSql,
     "q_join_outer"         -> Relational.joinOuterLineCountsSql,
+    "q_sql_shipping"       -> Relational.shippingPrioritySql,
     "q_window_topk"        -> Relational.windowTopOrdersSql,
     "q_window_running"     -> Relational.windowRunningTotalSql,
     "q_setops"             -> Relational.setOpsSql,

@@ -114,6 +114,42 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q3-shaped shipping-priority query driven ENTIRELY through the
+    * `spark.sql` entry point over registered views — the engine's SQL API
+    * surface, exercised end-to-end. One SQL text serves both engines (the
+    * oracle twin IS this string), so the parity gate also proves the SQL
+    * front-end agrees with DuckDB on the same ANSI text. Catalyst gets the
+    * declarative plan it optimizes best: both date predicates push into
+    * the parquet scans, the filtered customer side broadcasts, and the one
+    * fact-fact join (lineitem ⋈ orders) shuffles on the 8-byte orderkey —
+    * at 100 TB that single exchange is the query's only data movement.
+    * Money stays in the decimal domain, cent-floored (engines disagree on
+    * double rounding past 17 significant digits).
+    */
+  private val shippingPriorityText: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS DOUBLE) / 100.0
+         AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10"""
+
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(shippingPriorityText)
+  }
+
+  val shippingPrioritySql: String = shippingPriorityText
+
   val joinRevenueByNationSql: String =
     """SELECT n_name,
        CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(6,4)))) * 100) AS DOUBLE) / 100.0 AS revenue
