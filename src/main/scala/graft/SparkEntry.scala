@@ -44,6 +44,7 @@ object SparkEntry {
     // bounded against the exact queries in ApproxSpec
     "q_approx_stats"       -> Relational.approxStats _,
     "q_pivot"              -> Relational.pivotOrders _,
+    "q_unpivot"            -> Relational.unpivotMetrics _,
     "q_window_analytics"   -> Relational.windowAnalytics _,
     "q_string_funcs"       -> Relational.stringFunctions _,
     "q_percentiles"        -> Relational.percentiles _,
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_events_json"        -> Relational.eventsJsonSql,
     "q_distinct_users"     -> Relational.distinctUsersSql,
     "q_pivot"              -> Relational.pivotOrdersSql,
+    "q_unpivot"            -> Relational.unpivotMetricsSql,
     "q_window_analytics"   -> Relational.windowAnalyticsSql,
     "q_string_funcs"       -> Relational.stringFunctionsSql,
     "q_percentiles"        -> Relational.percentilesSql,

@@ -423,6 +423,35 @@ object Relational {
        count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** UNPIVOT (melt) — the inverse reshaping of [[pivotOrders]]: wide
+    * measure columns to (id, metric, value) long form, the layout feature
+    * stores and training pipelines ingest. Melt happens AFTER the
+    * aggregation: unpivoting the fact table first would multiply the
+    * shuffle by the measure count for identical results. The oracle twin
+    * is the portable UNION ALL form (one branch per measure — what
+    * `unpivot` desugars to).
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.groupBy("l_returnflag")
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_base_price")), "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH base AS (SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM base
+       UNION ALL
+       SELECT l_returnflag, 'sum_base_price', sum_base_price FROM base
+       ORDER BY l_returnflag, metric"""
+
   /** Analytic-window breadth: lag/lead/rank/dense_rank/ntile/first_value
     * per customer order history. One exchange (custkey), one sort.
     */
