@@ -79,6 +79,7 @@ object SparkEntry {
     "q_text_quality"       -> TextAnalysis.qualityScore _,
     "q_text_langid"        -> TextAnalysis.langId _,
     "q_text_fingerprint"   -> TextAnalysis.fingerprints _,
+    "q_corpus_clean"       -> TextAnalysis.corpusClean _,
     "q_multimodal_meta"    -> Multimodal.mediaMeta _,
     "q_multimodal_frames"  -> Multimodal.mediaFrames _,
     "q_embed_quantize"     -> Similarity.quantize _,
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_text_quality"       -> TextAnalysis.qualityScoreSql,
     "q_text_langid"        -> TextAnalysis.langIdSql,
     "q_text_fingerprint"   -> TextAnalysis.fingerprintsSql,
+    "q_corpus_clean"       -> TextAnalysis.corpusCleanSql,
     "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
     "q_multimodal_frames"  -> Multimodal.mediaFramesSql,
     "q_embed_quantize"     -> Similarity.quantizeSql,

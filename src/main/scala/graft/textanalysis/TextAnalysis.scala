@@ -79,24 +79,29 @@ object TextAnalysis {
     *   score       = 0.4·stop_ratio + 0.4·ttr + 0.2·min(avg_wlen,8)/8
     * Single narrow pass; every ratio is one exact-int division.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  // quality feature expressions over a token-array column named "t" —
+  // shared by [[qualityScore]] and the fused [[corpusClean]] pass
+  private def stopRatioExpr: Column = {
     val t = col("t")
-    val nTok = size(t).cast("double")
-    val nStop = size(filter(t, w => w.isInCollection(QualityStopwords))).cast("double")
-    val nDist = size(array_distinct(t)).cast("double")
-    val wChars = aggregate(t, lit(0), (acc, w) => acc + length(w)).cast("double")
-    val stopRatio = nStop / nTok
-    val ttr = nDist / nTok
-    val avgW = wChars / nTok
-    val score = lit(0.4) * stopRatio + lit(0.4) * ttr +
-      lit(0.2) * least(avgW, lit(8.0)) / lit(8.0)
+    size(filter(t, w => w.isInCollection(QualityStopwords))).cast("double") /
+      size(t).cast("double")
+  }
+  private def ttrExpr: Column =
+    size(array_distinct(col("t"))).cast("double") / size(col("t")).cast("double")
+  private def avgWlenExpr: Column =
+    aggregate(col("t"), lit(0), (acc, w) => acc + length(w)).cast("double") /
+      size(col("t")).cast("double")
+  private def qualityExpr: Column =
+    lit(0.4) * stopRatioExpr + lit(0.4) * ttrExpr +
+      lit(0.2) * least(avgWlenExpr, lit(8.0)) / lit(8.0)
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
-      .where(size(t) > 0)
-      .select(col("doc_id"), stopRatio.as("stop_ratio"), ttr.as("ttr"),
-        avgW.as("avg_wlen"), score.as("quality"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), stopRatioExpr.as("stop_ratio"), ttrExpr.as("ttr"),
+        avgWlenExpr.as("avg_wlen"), qualityExpr.as("quality"))
       .orderBy("doc_id")
-  }
 
   val qualityScoreSql: String = {
     val inList = QualityStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -133,24 +138,31 @@ object TextAnalysis {
     * One narrow pass; the actual `lang` column rides along for accuracy
     * inspection downstream.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** Marker-argmax language prediction over a token-array column named
+    * "t" — shared by [[langId]] and the fused [[corpusClean]] pass.
+    * Fold keeps the strictly-greater score (ties → lexicographically
+    * first language); no hits → 'und'. (The small fixed language count
+    * keeps the when-fold's expression duplication harmless here, unlike
+    * the IVF argmax — k=4 strings, not k=8 64-double vectors.)
+    */
+  private def predLangExpr: Column = {
     val t = col("t")
     val hits = LangMarkers.map { case (lang, ms) =>
       (lang, size(filter(t, w => w.isInCollection(ms))))
     }
-    // argmax with deterministic ties: fold over (score, lang) pairs,
-    // keeping the strictly-greater score — seq order = lexicographic langs
     val (bestLang, _) = hits.tail.foldLeft[(Column, Column)](
       (lit(hits.head._1), hits.head._2)) { case ((bl, bs), (lang, s)) =>
       (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
     val anyHit = hits.map(_._2).reduce(_ + _) > 0
+    when(anyHit, bestLang).otherwise(lit("und"))
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
-      .select(col("doc_id"), col("lang"),
-        when(anyHit, bestLang).otherwise(lit("und")).as("pred_lang"))
+      .select(col("doc_id"), col("lang"), predLangExpr.as("pred_lang"))
       .orderBy("doc_id")
-  }
 
   val langIdSql: String = {
     def cnt(ms: Seq[String]) = {
@@ -251,6 +263,61 @@ object TextAnalysis {
           THEN 'train' ELSE 'test' END AS split,
         count(*) AS n_docs
         FROM documents GROUP BY 1, 2 ORDER BY lang, split"""
+
+  // ------------------------------------------------------------- curation
+
+  val QualityThreshold = 0.35
+
+  /** End-to-end corpus curation — the flagship training-data composition,
+    * one DAG: quality gate → language gate → exact dedup → near-dup
+    * canonical selection → deterministic train/test split. The quality
+    * and language scores come from a single FUSED scan (the standalone
+    * queries each scan `documents`; at 100 TB fusing halves the dominant
+    * cost — the oracle composes the unfused twins, same semantics).
+    * Near-dup policy: a survivor is kept iff it is in no Jaccard cluster
+    * or is its cluster's canonical (minimum id). Output is the compact
+    * membership-pinning form (split, n_docs, id_sum).
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val surv = docs(spark, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), col("text"),
+        qualityExpr.as("quality"), predLangExpr.as("pred_lang"))
+      .where(col("quality") >= QualityThreshold && col("pred_lang") === "en")
+    val exactKept = surv
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val clus = graft.dedup.Dedup.nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val kept = exactKept.join(clus, Seq("doc_id"), "left")
+      .where(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+    val bucket = Hashing.h48(concat(lit("split-"), col("doc_id"))) % 100
+    kept
+      .select(col("doc_id"),
+        when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("split")
+  }
+
+  val corpusCleanSql: String =
+    s"""WITH q AS ($qualityScoreSql),
+        l AS ($langIdSql),
+        surv AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN q ON d.doc_id = q.doc_id
+          JOIN l ON d.doc_id = l.doc_id
+          WHERE q.quality >= $QualityThreshold AND l.pred_lang = 'en'),
+        ek AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+        clus AS (${graft.dedup.Dedup.nearDupClustersSql}),
+        kept AS (SELECT ek.doc_id FROM ek
+          LEFT JOIN clus ON ek.doc_id = clus.doc_id
+          WHERE clus.doc_id IS NULL OR clus.canonical_id = ek.doc_id)
+        SELECT CASE WHEN ${Hashing.duckH48("concat('split-', doc_id)")} % 100 < 80
+            THEN 'train' ELSE 'test' END AS split,
+          count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM kept GROUP BY 1 ORDER BY split"""
 
   // ---------------------------------------------------------- fingerprint
 

@@ -40,6 +40,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.count(_._3 == "en") > rows.length / 2)
   }
 
+  test("corpus clean composes exactly from its component queries") {
+    // recompute the kept set driver-side from the standalone component
+    // queries, then compare membership checksums with the fused pipeline
+    val quality = TextAnalysis.qualityScore(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val lang = TextAnalysis.langId(spark, sf)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val canon = graft.dedup.Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val surv = texts.keys.filter(id =>
+      quality.get(id).exists(_ >= TextAnalysis.QualityThreshold) &&
+        lang.get(id).contains("en")).toSeq
+    val exactKept = surv.groupBy(texts(_)).values.map(_.min).toSet
+    val kept = exactKept.filter(id => canon.get(id).forall(_ == id))
+    val expected = kept.groupBy { id =>
+      val h = graft.functions.Hashing.h48String(s"split-$id") % 100
+      if (h < 80) "train" else "test"
+    }.map { case (s, ids) => (s, ids.size.toLong, ids.sum) }.toSet
+    val got = TextAnalysis.corpusClean(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected && kept.nonEmpty,
+      s"fused pipeline diverged: got $got, expected $expected")
+  }
+
   test("fingerprints: deterministic, order-sensitive, content-sensitive") {
     def fp(rows: (Long, String)*) = {
       val d = rows.toDF("doc_id", "text")
