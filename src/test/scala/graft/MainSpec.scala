@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.model.RefFormats
+import graft.model.{Observe, RefFormats}
 import graft.pipeline.Main
 
 /** End-to-end drive of the CLI pipeline on a synthetic review file
@@ -74,5 +74,17 @@ class MainSpec extends SparkSpec {
     val words = spark.read.parquet(s"$dir/out/wordcount")
       .select("word").as[String].collect().toSet
     assert(words == Set("the", "plot", "is", "great"))
+  }
+
+  test("observed metrics report exactly the consumed rows") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, null), (3L, "beta"))
+      .toDF("doc_id", "text")
+    val (framed, obs) = Observe.inputStats(df)
+    framed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") == 3L, s"n_rows: $m")
+    assert(m("null_texts") == 1L, s"null_texts: $m")
+    assert(m("text_chars") == 9L, s"text_chars: $m")
   }
 }
