@@ -25,6 +25,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Registry.ensure(spark)
+    // session-scoped optimizer rule: declaratively-written dot-product
+    // folds become the codegen'd DotProduct expression (clusters built by
+    // the platform use spark.sql.extensions=graft.plans.GraftExtensions)
+    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteDotProduct)
     spark
   }
 
