@@ -30,10 +30,15 @@ object Sessions {
     *    the md5-shingle generators (SURVEY.md §9.4).
     *  - Kryo: the TopK Aggregator's heap buffer and the multimodal
     *    Dataset[MediaBlob] path serialize through it.
+    *  - sql.extensions GraftExtensions: injects the RewriteDotProduct
+    *    optimizer rule (declarative folds → codegen'd DotProduct) at
+    *    session build — the injection path that works when the platform,
+    *    not the application, constructs the session.
     */
   def production(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8192")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.adaptive.enabled", "true")
