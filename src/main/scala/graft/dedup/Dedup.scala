@@ -359,25 +359,33 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
     clustersFromPairs(jaccardPairs(spark, dir).select("doc_a", "doc_b"))
 
-  /** Iterative min-label propagation WITH pointer jumping until fixpoint.
-    * Each round every vertex takes the min root over itself and its
-    * neighbors (one shuffle), then labels compress one level —
-    * L(v) ← L(L(v)) — halving label-chain depth (a second shuffle). The
-    * jump bounds rounds at O(log n) even on adversarial path-shaped
-    * components, where plain propagation needs diameter rounds; clique-like
-    * near-dup graphs still settle in 2–3. Both steps are monotone (roots
-    * only decrease, and a root's own label is ≤ itself), so "no label
-    * decreased" remains the exact fixpoint test. Each round's labels are
-    * CHECKPOINTED, not merely persisted: the jump join reads the round's
-    * plan twice, so without lineage truncation the Catalyst tree doubles
-    * per round — exponential plan growth that OOMs the driver long before
-    * the data does. Reliable checkpoint when the session has a checkpoint
-    * dir (the cluster setting, survives executor loss); localCheckpoint
-    * otherwise. The previous round unpersists after the convergence count,
-    * so at most two rounds of label data are resident.
+  /** Iterative min-label propagation with ADAPTIVE pointer jumping until
+    * fixpoint. Each round every vertex takes the min root over itself and
+    * its neighbors (one shuffle). Clique-like near-dup graphs settle in
+    * 2–3 such rounds (measured: 2 at sf0.1), so the first
+    * [[JumpAfterRounds]] rounds run propagation alone; if convergence is
+    * still outstanding — path-shaped components, where plain propagation
+    * needs diameter rounds — every later round also compresses labels one
+    * level, L(v) ← L(L(v)), halving label-chain depth and bounding total
+    * rounds at O(log n). Both steps are monotone (per-vertex labels only
+    * decrease), so the fixpoint test is one cheap aggregate: the exact
+    * decimal SUM of labels is strictly decreasing until convergence —
+    * no comparison join needed. The jump is the identity at the
+    * propagation fixpoint (labels are constant per component there), so
+    * the adaptive switch cannot change the result.
+    *
+    * Each round's labels are CHECKPOINTED, not merely persisted: the jump
+    * join reads the round's plan twice, so without lineage truncation the
+    * Catalyst tree doubles per round — exponential plan growth that OOMs
+    * the driver long before the data does. Reliable checkpoint when the
+    * session has a checkpoint dir (the cluster setting, survives executor
+    * loss); localCheckpoint otherwise. The previous round unpersists after
+    * the convergence check, so at most two rounds of labels are resident.
     */
   def clustersFromPairs(pairs: DataFrame): DataFrame =
     clustersFromPairsCounted(pairs)._1
+
+  val JumpAfterRounds = 4
 
   private[graft] def clustersFromPairsCounted(pairs: DataFrame): (DataFrame, Int) = {
     val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -385,29 +393,35 @@ object Dedup {
       .persist()
     var labels = e.select(col("u").as("doc")).distinct()
       .select(col("doc"), col("doc").as("root")).persist()
-    var changed = 1L
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("root").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0) {
+    var converged = prevSum.isEmpty // no edges → nothing to do
+    while (!converged) {
       rounds += 1
       val viaNeighbors = e.join(labels.withColumnRenamed("doc", "v"), "v")
         .select(col("u").as("doc"), col("root"))
-      // persisted: both sides of the jump join read it
       val propagated = labels.unionByName(viaNeighbors)
-        .groupBy("doc").agg(min("root").as("root")).persist()
-      // pointer jump: follow each root to ITS root (roots are docs too,
-      // every doc has a label row, so the join is total)
-      val jumped = propagated.as("a")
-        .join(propagated.select(col("doc").as("r"), col("root").as("rr")).as("b"),
-          col("a.root") === col("b.r"))
-        .select(col("a.doc").as("doc"), col("b.rr").as("root"))
+        .groupBy("doc").agg(min("root").as("root"))
+      // pointer jump (rounds > JumpAfterRounds): follow each root to ITS
+      // root — roots are docs too, every doc has a label row, so the join
+      // is total; persisted because both join sides read it
+      val cached = if (rounds <= JumpAfterRounds) None else Some(propagated.persist())
+      val stepped = cached.fold(propagated) { p =>
+        p.as("a")
+          .join(p.select(col("doc").as("r"), col("root").as("rr")).as("b"),
+            col("a.root") === col("b.r"))
+          .select(col("a.doc").as("doc"), col("b.rr").as("root"))
+      }
       val next =
-        if (jumped.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          jumped.checkpoint(eager = true)
-        else jumped.localCheckpoint(eager = true)
-      changed = next.join(
-          labels.select(col("doc"), col("root").as("old")), "doc")
-        .where(col("root") < col("old")).count()
-      propagated.unpersist(blocking = false)
+        if (stepped.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          stepped.checkpoint(eager = true)
+        else stepped.localCheckpoint(eager = true)
+      val curSum = labelSum(next)
+      converged = curSum == prevSum
+      prevSum = curSum
+      cached.foreach(_.unpersist(blocking = false))
       labels.unpersist(blocking = false)
       labels = next
     }

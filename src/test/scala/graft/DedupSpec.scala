@@ -107,14 +107,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("pointer jumping: a 64-node path converges in O(log n) rounds") {
-    // worst case for plain propagation (63 rounds along the chain);
-    // path halving must land well under that
+    // worst case for plain propagation (63 rounds along the chain); after
+    // the JumpAfterRounds adaptive delay, path halving must land well
+    // under that
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labeled, rounds) = Dedup.clustersFromPairsCounted(chain)
     val got = labeled.as[(Long, Long)].collect()
     assert(got.length == 64 && got.forall(_._2 == 1L),
       s"all chain members must resolve to min id 1: ${got.filter(_._2 != 1L).toSeq}")
-    assert(rounds <= 12, s"expected O(log n) rounds on a path, took $rounds")
+    assert(rounds <= Dedup.JumpAfterRounds + 10,
+      s"expected O(log n) rounds on a path, took $rounds")
   }
 
   test("clusters on real data: every pair endpoint labeled, canonical in cluster") {
