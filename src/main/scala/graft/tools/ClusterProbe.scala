@@ -1,6 +1,11 @@
 package graft.tools
 import graft.Verify
 import graft.dedup.Dedup
+
+/** Dev tool: split the near-dup cluster cost into pair generation vs
+  * label propagation, and report the round count. Not part of the
+  * driver contract.
+  */
 object ClusterProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
