@@ -35,6 +35,7 @@ object SparkEntry {
     "q_rollup"             -> Relational.rollupQuantities _,
     "q_cube"               -> Relational.cubeOrders _,
     "q_events_hourly"      -> Relational.eventsHourly _,
+    "q_events_funnel"      -> Relational.eventsFunnel _,
     "q_scalar_funcs"       -> Relational.scalarFunctions _,
     "q_scalar_dates"       -> Relational.scalarDates _,
     "q_events_json"        -> Relational.eventsJson _,
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_rollup"             -> Relational.rollupQuantitiesSql,
     "q_cube"               -> Relational.cubeOrdersSql,
     "q_events_hourly"      -> Relational.eventsHourlySql,
+    "q_events_funnel"      -> Relational.eventsFunnelSql,
     "q_scalar_funcs"       -> Relational.scalarFunctionsSql,
     "q_scalar_dates"       -> Relational.scalarDatesSql,
     "q_events_json"        -> Relational.eventsJsonSql,

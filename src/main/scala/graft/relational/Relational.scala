@@ -326,6 +326,54 @@ object Relational {
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type"""
 
+  /** Funnel analysis — staged sequence matching per user: first `view`,
+    * first `click` STRICTLY AFTER it, first `purchase` strictly after
+    * that. Three stacked unbounded window aggregates over the same
+    * partition spec — Spark plans ONE user_id exchange (the later Window
+    * operators reuse the partitioning and sort). The per-stage user
+    * counts then collapse to one row per user FIRST (reusing that same
+    * partitioning — no second exchange) so the final global aggregate is
+    * plain `count(col)` over n_users rows; the naive multi-countDistinct
+    * form instead plans an Expand that multiplies every event row ×4
+    * before its shuffle. µs integer timestamps keep the strictly-after
+    * comparisons engine-exact.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+    e.withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+          col("ts_us"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+          col("ts_us"))).over(byUser))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked"),
+        count(col("t3")).as("n_converted"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                OVER (PARTITION BY user_id) AS t1 FROM e),
+       s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1
+                THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+       s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2
+                THEN ts_us END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+       u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+             FROM s3 GROUP BY user_id)
+       SELECT count(*) AS n_users, count(t1) AS n_viewed,
+         count(t2) AS n_clicked, count(t3) AS n_converted
+       FROM u"""
+
   /** Scalar-function coverage: string / math / conditional builtins in one
     * narrow codegen'd projection (no shuffle at all).
     */
