@@ -338,11 +338,17 @@ object Relational {
     * before its shuffle. µs integer timestamps keep the strictly-after
     * comparisons engine-exact.
     */
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us")))
+
+  /** Core funnel over a prepared (user_id, event_type, ts_us) frame —
+    * separated so specs can drive the strictly-after semantics on crafted
+    * fixtures (a click BEFORE the first view must not count).
+    */
+  def funnelStages(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id")
-    val e = Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
     e.withColumn("t1",
         min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
       .withColumn("t2",

@@ -1,0 +1,28 @@
+package graft
+
+import graft.relational.Relational
+
+/** Unit fixtures for relational operators whose semantics the oracle gate
+  * exercises only statistically — here the funnel's strictly-after
+  * ordering rules.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel counts only strictly-after stage sequences") {
+    val events = Seq(
+      // user 1: clean view → click → purchase
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: only click BEFORE the first view — viewed, not clicked
+      (2L, "click", 5L), (2L, "view", 10L),
+      // user 3: purchase precedes the qualifying click — clicked, not converted
+      (3L, "view", 10L), (3L, "purchase", 15L), (3L, "click", 20L),
+      // user 4: never enters the funnel
+      (4L, "error", 10L))
+      .toDF("user_id", "event_type", "ts_us")
+    val got = Relational.funnelStages(events)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((4L, 3L, 2L, 1L)),
+      s"(n_users, n_viewed, n_clicked, n_converted) was $got")
+  }
+}
