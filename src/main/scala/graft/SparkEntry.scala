@@ -36,6 +36,7 @@ object SparkEntry {
     "q_cube"               -> Relational.cubeOrders _,
     "q_events_hourly"      -> Relational.eventsHourly _,
     "q_events_funnel"      -> Relational.eventsFunnel _,
+    "q_sample_stratified"  -> Relational.sampleStratified _,
     "q_scalar_funcs"       -> Relational.scalarFunctions _,
     "q_scalar_dates"       -> Relational.scalarDates _,
     "q_events_json"        -> Relational.eventsJson _,
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_cube"               -> Relational.cubeOrdersSql,
     "q_events_hourly"      -> Relational.eventsHourlySql,
     "q_events_funnel"      -> Relational.eventsFunnelSql,
+    "q_sample_stratified"  -> Relational.sampleStratifiedSql,
     "q_scalar_funcs"       -> Relational.scalarFunctionsSql,
     "q_scalar_dates"       -> Relational.scalarDatesSql,
     "q_events_json"        -> Relational.eventsJsonSql,

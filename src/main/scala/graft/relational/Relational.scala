@@ -326,6 +326,47 @@ object Relational {
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type"""
 
+  /** Per-stratum sampling fractions, in thousandths so the keep test is
+    * pure integer arithmetic: a training-data REBALANCING pass (keep every
+    * purchase, drop 90% of error noise).
+    */
+  val SampleFractions: Seq[(String, Int)] = Seq(
+    "click" -> 500, "error" -> 100, "purchase" -> 1000,
+    "signup" -> 200, "view" -> 500)
+
+  /** Deterministic stratified sampling — `sampleBy` with the property
+    * `random()` lacks: the kept set is a pure function of the row key, so
+    * reruns, retried tasks, and other engines select IDENTICAL rows (the
+    * same md5-derived hash family as the train/test split). One narrow
+    * scan, the keep test is a codegen'd integer compare per row, and the
+    * per-stratum summary is one exchange. Output: (event_type, n_kept,
+    * id_sum) — the checksum pins exact membership.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.Hashing.h48(
+      concat(lit("sample-"), col("event_id"))) % 1000
+    val keepBelow = SampleFractions.foldLeft(lit(0)) { case (acc, (t, f)) =>
+      when(col("event_type") === t, lit(f)).otherwise(acc)
+    }
+    Tables.load(spark, dir, "events")
+      .where(bucket < keepBelow)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), sum("event_id").as("id_sum"))
+      .orderBy("event_type")
+  }
+
+  val sampleStratifiedSql: String = {
+    val cases = SampleFractions
+      .map { case (t, f) => s"WHEN event_type = '$t' THEN $f" }
+      .mkString(" ")
+    s"""SELECT event_type, count(*) AS n_kept,
+        CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM events
+        WHERE ${graft.functions.Hashing.duckH48("concat('sample-', event_id)")}
+          % 1000 < (CASE $cases ELSE 0 END)
+        GROUP BY event_type ORDER BY event_type"""
+  }
+
   /** Funnel analysis — staged sequence matching per user: first `view`,
     * first `click` STRICTLY AFTER it, first `purchase` strictly after
     * that. Three stacked unbounded window aggregates over the same
