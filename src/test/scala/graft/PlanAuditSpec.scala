@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Scan-level plan audit: the brief's "push down and prune" contract,
+  * pinned as a test instead of a one-off explain. A scan that reads all
+  * columns for a narrow projection, or evaluates a pushable predicate
+  * above the source, silently multiplies 100 TB of IO — this is the
+  * regression guard for that.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_sql_shipping: filters reach every scan, columns pruned to use") {
+    val plan = formatted("q_sql_shipping")
+    // predicates pushed into the parquet readers, not evaluated above them
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("LessThan(o_orderdate,"), plan)
+    assert(plan.contains("GreaterThan(l_shipdate,"), plan)
+    // each scan reads exactly the referenced columns — lineitem's wide
+    // money/comment columns must not appear
+    assert(plan.contains(
+      "struct<c_custkey:bigint,c_mktsegment:string>"), plan)
+    assert(plan.contains(
+      "struct<l_orderkey:bigint,l_extendedprice:double," +
+        "l_discount:double,l_shipdate:timestamp_ntz>"), plan)
+    assert(!plan.contains("l_quantity") && !plan.contains("l_tax"), plan)
+  }
+
+  test("q_agg_pricing: projection pruning holds on the widest fact table") {
+    val plan = formatted("q_agg_pricing")
+    // the scan schema carries only the aggregation's inputs
+    val scanSchemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    for (c <- Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))
+      assert(scanSchemas.contains(c), s"$c missing from scan: $scanSchemas")
+    for (c <- Seq("l_orderkey", "l_partkey", "l_comment"))
+      assert(!scanSchemas.contains(c), s"$c not pruned: $scanSchemas")
+  }
+}
