@@ -32,6 +32,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("l_quantity") && !plan.contains("l_tax"), plan)
   }
 
+  test("no declared query plans a cartesian or an unjustified nested-loop join") {
+    // BNLJ is acceptable ONLY against a broadcast single-row side (a
+    // scalar riding along every row): the min-vec_id query vector in
+    // q_sim_topk, the corpus-size N in q_text_tfidf. Anything else —
+    // and any CartesianProduct — is an O(n²)-at-scale regression.
+    val singleRowBroadcastCross = Set("q_sim_topk", "q_text_tfidf")
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      if (!singleRowBroadcastCross(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unjustified nested-loop join")
+    }
+  }
+
   test("q_agg_pricing: projection pruning holds on the widest fact table") {
     val plan = formatted("q_agg_pricing")
     // the scan schema carries only the aggregation's inputs
