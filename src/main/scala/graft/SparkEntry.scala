@@ -64,6 +64,7 @@ object SparkEntry {
     "q_vocabulary"         -> ((s, d) => TextPipelineQueries.vocabulary(s, d)),
     "q_dedup_exact"        -> Dedup.exact _,
     "q_dedup_minhash"      -> Dedup.minhashCandidates _,
+    "q_minhash_est"        -> Dedup.minhashEstimates _,
     "q_dedup_simhash"      -> Dedup.simhashPairs _,
     "q_dedup_jaccard"      -> Dedup.jaccardPairs _,
     "q_dedup_clusters"     -> Dedup.nearDupClusters _,
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_vocabulary"         -> TextPipelineQueries.vocabularySql(),
     "q_dedup_exact"        -> Dedup.exactSql,
     "q_dedup_minhash"      -> Dedup.minhashCandidatesSql,
+    "q_minhash_est"        -> Dedup.minhashEstimatesSql,
     "q_dedup_simhash"      -> Dedup.simhashPairsSql,
     "q_dedup_jaccard"      -> Dedup.jaccardPairsSql,
     "q_dedup_clusters"     -> Dedup.nearDupClustersSql,

@@ -157,21 +157,69 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val minhashCandidatesSql: String = {
+  /** Shared oracle CTEs: shingle hashes → 16-perm signatures → band rows,
+    * reused by the candidate join and the estimation query.
+    */
+  private val duckMsig: String = {
     val mins = (0 until NumPerms)
       .map(i => s"min(${duckPerm(i, "hm")}) AS m$i").mkString(", ")
     val bands = (0 until Bands).map { b =>
       val key = (0 until Rows).map(r => s"m${b * Rows + r}").mkString(", '-', ")
       s"SELECT doc_id, $b AS bidx, concat($key) AS bkey FROM msig"
     }.mkString(" UNION ALL ")
-    s"""WITH $duckShingles,
+    s"""$duckShingles,
         hm0 AS (SELECT doc_id, shingle_h % $P AS hm FROM sh),
         msig AS (SELECT doc_id, $mins FROM hm0 GROUP BY doc_id),
-        bx AS ($bands)
+        bx AS ($bands)"""
+  }
+
+  val minhashCandidatesSql: String =
+    s"""WITH $duckMsig
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
         FROM bx a JOIN bx b
           ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+
+  /** MinHash Jaccard ESTIMATION over the LSH candidate pairs: the fraction
+    * of agreeing signature slots is an unbiased estimator of the true
+    * Jaccard (std err √(J(1−J)/16) ≤ 0.125 at 16 perms) — the sketch-side
+    * answer that needs only the 16-slot signatures, never the shingle
+    * sets. Integer agreement count / constant ⇒ engine-exact double.
+    * At corpus scale this is the cheap filter between candidate
+    * generation and the exact re-check: signatures are ~128 bytes/doc
+    * against full shingle sets.
+    */
+  def minhashEstimates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id"))
+    val sa = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val agree = (0 until NumPerms)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashCandidates(spark, dir).select("doc_a", "doc_b")
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / NumPerms).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashEstimatesSql: String = {
+    val agree = (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $duckMsig,
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bx a JOIN bx b
+            ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT c.doc_a, c.doc_b,
+          CAST($agree AS DOUBLE) / $NumPerms AS est_jaccard
+        FROM cand c
+        JOIN msig sa ON sa.doc_id = c.doc_a
+        JOIN msig sb ON sb.doc_id = c.doc_b
+        ORDER BY doc_a, doc_b"""
   }
 
   // -------------------------------------------------------------- simhash

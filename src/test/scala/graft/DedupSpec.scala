@@ -106,6 +106,23 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
   }
 
+  test("minhash estimates track true jaccard on shared pairs") {
+    val est = Dedup.minhashEstimates(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(est.nonEmpty)
+    val exact = Dedup.jaccardPairs(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val shared = est.keySet.intersect(exact.keySet)
+    assert(shared.nonEmpty, "no overlap between candidates and exact pairs")
+    val errs = shared.toSeq.map(k => math.abs(est(k) - exact(k)))
+    // 16 perms: std err <= 0.125, so 0.45 is a ~3.6 sigma outlier bound
+    assert(errs.max <= 0.45, s"worst estimate off by ${errs.max}")
+    assert(errs.sum / errs.size <= 0.2,
+      s"mean estimation error ${errs.sum / errs.size} too high for 16 perms")
+  }
+
   test("pointer jumping: a 64-node path converges in O(log n) rounds") {
     // worst case for plain propagation (63 rounds along the chain); after
     // the JumpAfterRounds adaptive delay, path halving must land well
