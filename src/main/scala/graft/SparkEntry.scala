@@ -82,6 +82,7 @@ object SparkEntry {
     "q_text_quality"       -> TextAnalysis.qualityScore _,
     "q_text_langid"        -> TextAnalysis.langId _,
     "q_text_fingerprint"   -> TextAnalysis.fingerprints _,
+    "q_text_pmi"           -> TextAnalysis.pmiPairs _,
     "q_corpus_clean"       -> TextAnalysis.corpusClean _,
     "q_multimodal_meta"    -> Multimodal.mediaMeta _,
     "q_multimodal_frames"  -> Multimodal.mediaFrames _,
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_text_quality"       -> TextAnalysis.qualityScoreSql,
     "q_text_langid"        -> TextAnalysis.langIdSql,
     "q_text_fingerprint"   -> TextAnalysis.fingerprintsSql,
+    "q_text_pmi"           -> TextAnalysis.pmiPairsSql,
     "q_corpus_clean"       -> TextAnalysis.corpusCleanSql,
     "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
     "q_multimodal_frames"  -> Multimodal.mediaFramesSql,

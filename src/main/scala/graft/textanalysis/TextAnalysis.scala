@@ -264,6 +264,60 @@ object TextAnalysis {
         count(*) AS n_docs
         FROM documents GROUP BY 1, 2 ORDER BY lang, split"""
 
+  // ------------------------------------------------------------------ pmi
+
+  val PmiMinDf = 25
+  val PmiMinCo = 10
+  val PmiTopK = 25
+
+  /** Pointwise mutual information over in-document word co-occurrence:
+    * PMI(w1,w2) = ln(c12·N / (c1·c2)) with document-level counts (per-doc
+    * dedup first — the reference's df semantics). The quadratic-per-doc
+    * pair join is preceded by a VOCABULARY FILTER (df ≥ [[PmiMinDf]]):
+    * at corpus scale the frequent-word dictionary is small enough to
+    * broadcast, and pruning BEFORE the self-join is what keeps the pair
+    * explosion proportional to useful output rather than raw text. The
+    * single `ln` is rounded to 10 decimals on both sides (the tfidf
+    * precedent: JVM Math.log is 1 ulp off libm for some arguments).
+    */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"),
+      explode(array_distinct(toks(col("text")))).as("w"))
+    val dfc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c") >= PmiMinDf)
+    val ft = tok.join(broadcast(dfc), "w")
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val a = ft.select(col("doc_id"), col("w").as("w1"), col("c").as("c1"))
+    val b = ft.select(col("doc_id"), col("w").as("w2"), col("c").as("c2"))
+    a.join(b, Seq("doc_id")).where(col("w1") < col("w2"))
+      .groupBy("w1", "w2", "c1", "c2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= PmiMinCo)
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") * col("n_docs")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 10).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val pmiPairsSql: String =
+    s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+        tok AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM d),
+        dfc AS (SELECT w, count(*) AS c FROM tok GROUP BY w
+                HAVING count(*) >= $PmiMinDf),
+        ft AS (SELECT tok.doc_id, tok.w, dfc.c FROM tok JOIN dfc USING (w)),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        p AS (SELECT a.w AS w1, b.w AS w2, a.c AS c1, b.c AS c2,
+                count(*) AS c12
+              FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+              GROUP BY 1, 2, 3, 4)
+        SELECT w1, w2, c12,
+          round(ln(CAST(c12 * n_docs AS DOUBLE)
+            / CAST(c1 * c2 AS DOUBLE)), 10) AS pmi
+        FROM p, n WHERE c12 >= $PmiMinCo
+        ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK"""
+
   // ------------------------------------------------------------- curation
 
   val QualityThreshold = 0.35
