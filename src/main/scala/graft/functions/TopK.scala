@@ -42,10 +42,18 @@ object TopK {
   final case class TopKBuf(var n: Int, tags: Array[String], scores: Array[Double])
 
   /** `true` iff (tagA, scoreA) ranks strictly better than (tagB, scoreB)
-    * under the (score desc, tag asc) contract.
+    * under the (score desc, tag asc) contract. Scores compare via
+    * `java.lang.Double.compare` with −0.0 normalized to +0.0 (`x + 0.0`),
+    * which is exactly Spark's sort order for doubles (NaN largest — so NaN
+    * ranks FIRST descending, like the row_number() window form — and
+    * −0.0 == 0.0 per `NormalizeFloatingNumbers`). The old `sa > sb` form
+    * was false in both directions for NaN, silently ranking NaN last and
+    * breaking the "identical rows to the window form" contract.
     */
-  @inline private def better(ta: String, sa: Double, tb: String, sb: Double): Boolean =
-    sa > sb || (sa == sb && ta < tb)
+  @inline private def better(ta: String, sa: Double, tb: String, sb: Double): Boolean = {
+    val c = java.lang.Double.compare(sa + 0.0, sb + 0.0)
+    c > 0 || (c == 0 && ta < tb)
+  }
 
   final class TopKAggregator(k: Int)
       extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
@@ -93,8 +101,11 @@ object TopK {
 
     override def finish(b: TopKBuf): Seq[Scored] = {
       compact(b)
+      // Sort with the same comparator as compact/better — sortBy on
+      // (-score, tag) would rank NaN last (−NaN is NaN, largest in the
+      // ascending total order) and disagree with the window form.
       (0 until math.min(b.n, k)).map(i => Scored(b.tags(i), b.scores(i)))
-        .sortBy(s => (-s.score, s.tag))
+        .sortWith((x, y) => better(x.tag, x.score, y.tag, y.score))
     }
 
     override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]

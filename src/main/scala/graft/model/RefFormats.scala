@@ -65,8 +65,10 @@ object RefFormats {
     val neg = d < 0
     val x = math.abs(d)
     // shortest %.{p}e form that round-trips (p = significant digits)
+    // Locale.ROOT: the default locale may use ',' as the decimal separator,
+    // which would make s.toDouble throw instead of round-tripping.
     val sci = (1 to 17).iterator
-      .map(p => String.format("%." + (p - 1) + "e", Double.box(x)))
+      .map(p => String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", Double.box(x)))
       .find(s => s.toDouble == x)
       .get
     val Array(mant, expS) = sci.split("e")

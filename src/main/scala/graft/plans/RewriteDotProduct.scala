@@ -74,7 +74,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   private def isIdentity(f: Expression): Boolean = f match {
     case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
       v.exprId == arg.exprId
-    case _ => true // aggregate() without finish analyzes to the identity
+    // aggregate() without an explicit finish analyzes to an identity
+    // LambdaFunction, which the case above accepts — so anything else is a
+    // real transformation (e.g. `s -> sqrt(s)` for an L2 norm) and the
+    // rewrite must NOT fire, or the finish would be silently dropped.
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

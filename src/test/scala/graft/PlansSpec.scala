@@ -80,4 +80,27 @@ class PlansSpec extends SparkSpec {
       assert(!rewritten(ints))
     }
   }
+
+  test("non-identity finish lambdas block the rewrite") {
+    withRule {
+      // halved dot product: dropping the finish would double the answer
+      val halved = spark.range(1).select(expr(
+        """aggregate(zip_with(array(1.0d, 2.0d), array(3.0d, 4.0d),
+           (x, y) -> x * y), 0.0d, (acc, v) -> acc + v, s -> s / 2.0d)""").as("d"))
+      assert(!rewritten(halved), halved.queryExecution.optimizedPlan.toString)
+      assert(halved.as[Double].collect().toSeq == Seq(5.5))
+      // L2 norm: finish = sqrt(s) over a self dot product
+      val l2 = spark.range(1).select(expr(
+        """aggregate(zip_with(array(3.0d, 4.0d), array(3.0d, 4.0d),
+           (x, y) -> x * y), 0.0d, (acc, v) -> acc + v, s -> sqrt(s))""").as("d"))
+      assert(!rewritten(l2), l2.queryExecution.optimizedPlan.toString)
+      assert(l2.as[Double].collect().toSeq == Seq(5.0))
+      // explicit identity finish still rewrites
+      val ident = spark.range(1).select(expr(
+        """aggregate(zip_with(array(1.0d, 2.0d), array(3.0d, 4.0d),
+           (x, y) -> x * y), 0.0d, (acc, v) -> acc + v, s -> s)""").as("d"))
+      assert(rewritten(ident), ident.queryExecution.optimizedPlan.toString)
+      assert(ident.as[Double].collect().toSeq == Seq(11.0))
+    }
+  }
 }

@@ -52,4 +52,31 @@ class TopKSpec extends SparkSpec {
     // top-3 = e(3.0), then ties at 2.0 broken by tag asc: a, b
     assert(got == List(("g", "e", 3.0), ("g", "a", 2.0), ("g", "b", 2.0)))
   }
+
+  test("NaN scores rank first, matching the window form's sort order") {
+    // Spark sorts NaN as the largest double, so a descending window ranks
+    // NaN rows first; the aggregator must agree (ADVICE r03).
+    val df = Seq(
+      ("g", "n", Double.NaN), ("g", "a", 5.0), ("g", "b", 3.0),
+      ("g", "z", Double.NaN), ("g", "c", 1.0)).toDF("grp", "tag", "score")
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("tag").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).drop("rn")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2, r._3.isNaN, if (r._3.isNaN) 0.0 else r._3)).toSet
+    val viaHeap = TopK.topKPerGroup(df, "grp", "tag", "score", 3)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2, r._3.isNaN, if (r._3.isNaN) 0.0 else r._3)).toSet
+    assert(viaHeap == viaWindow)
+    assert(viaHeap.map(_._2) == Set("n", "z", "a"))
+  }
+
+  test("negative zero ties with positive zero under the tag tiebreak") {
+    val df = Seq(("g", "b", -0.0), ("g", "a", 0.0), ("g", "c", -1.0))
+      .toDF("grp", "tag", "score")
+    val got = TopK.topKPerGroup(df, "grp", "tag", "score", 2)
+      .as[(String, String, Double)].collect().toList.map(_._2).sorted
+    // −0.0 == 0.0, so the two zero rows win on tag asc: a then b
+    assert(got == List("a", "b"))
+  }
 }
