@@ -282,8 +282,13 @@ object Dedup {
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct() // a pair may collide in >1 band
+      // hamming filter BEFORE the distinct: a pair colliding in >1 band has
+      // the same hamming every time, so dedup after the filter is
+      // equivalent — and the distinct's exchange then carries only actual
+      // near-dup pairs instead of every band collision (at corpus scale
+      // band collisions dwarf true pairs; this is the shuffle that matters)
       .where(col("hamming") <= MaxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
