@@ -4,7 +4,7 @@ import graft.relational.Relational
 import graft.pipeline.TextPipelineQueries
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.textanalysis.TextAnalysis
+import graft.textanalysis.{CorpusOps, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.streaming.StreamingOps
 
@@ -84,6 +84,11 @@ object SparkEntry {
     "q_text_fingerprint"   -> TextAnalysis.fingerprints _,
     "q_text_pmi"           -> TextAnalysis.pmiPairs _,
     "q_corpus_clean"       -> TextAnalysis.corpusClean _,
+    "q_text_repetition"    -> CorpusOps.repetitionStats _,
+    "q_text_chunks"        -> CorpusOps.slidingChunks _,
+    "q_text_pii"           -> CorpusOps.piiScrub _,
+    "q_text_oov"           -> CorpusOps.oovRate _,
+    "q_dedup_incremental"  -> Dedup.incrementalNew _,
     "q_multimodal_meta"    -> Multimodal.mediaMeta _,
     "q_multimodal_frames"  -> Multimodal.mediaFrames _,
     "q_embed_quantize"     -> Similarity.quantize _,
@@ -149,6 +154,11 @@ object SparkEntry {
     "q_text_fingerprint"   -> TextAnalysis.fingerprintsSql,
     "q_text_pmi"           -> TextAnalysis.pmiPairsSql,
     "q_corpus_clean"       -> TextAnalysis.corpusCleanSql,
+    "q_text_repetition"    -> CorpusOps.repetitionStatsSql,
+    "q_text_chunks"        -> CorpusOps.slidingChunksSql,
+    "q_text_pii"           -> CorpusOps.piiScrubSql,
+    "q_text_oov"           -> CorpusOps.oovRateSql,
+    "q_dedup_incremental"  -> Dedup.incrementalNewSql,
     "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
     "q_multimodal_frames"  -> Multimodal.mediaFramesSql,
     "q_embed_quantize"     -> Similarity.quantizeSql,

@@ -399,6 +399,42 @@ object Dedup {
           >= $JaccardThreshold
         ORDER BY doc_a, doc_b"""
 
+  // --------------------------------------------------------- incremental
+
+  /** Cross-batch incremental dedup: given a prior corpus and a new batch,
+    * keep only new documents whose content digest is absent from the
+    * prior corpus — the steady-state ingestion path of a training-data
+    * pipeline (the full-corpus [[exact]] pass runs once; every later
+    * batch dedups against what is already ingested). Here the batches
+    * are carved deterministically from the one test table
+    * (doc_id mod 10: 0–7 prior, 8–9 new).
+    *
+    * Plan: both sides project to (doc_id, digest) before the LEFT ANTI
+    * hash join, so the shuffle carries 16-byte digests, never text. At
+    * corpus scale Spark's runtime Bloom filter prunes the new-batch side
+    * at the scan (BloomJoinSpec proves the mechanism fires); a Bloom
+    * pass can only drop true matches early — anti-join exactness is
+    * unaffected. Output: (doc_id, content_hash) of genuinely-new docs.
+    */
+  def incrementalNew(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents", "doc_id")
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("content_hash"))
+    val prior = d.where(pmod(col("doc_id"), lit(10)) < 8).select("content_hash")
+    d.where(pmod(col("doc_id"), lit(10)) >= 8)
+      .join(prior, Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash")
+      .orderBy("doc_id")
+  }
+
+  val incrementalNewSql: String =
+    """WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS content_hash
+                  FROM documents)
+       SELECT doc_id, content_hash FROM d
+       WHERE doc_id % 10 >= 8
+         AND NOT EXISTS (SELECT 1 FROM d p
+           WHERE p.doc_id % 10 < 8 AND p.content_hash = d.content_hash)
+       ORDER BY doc_id"""
+
   // ------------------------------------------------------------ clusters
 
   /** Near-dup CLUSTER RESOLUTION: connected components over the Jaccard

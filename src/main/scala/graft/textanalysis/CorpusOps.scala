@@ -1,0 +1,238 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.functions.Hashing.duckH48
+import TextAnalysis.{docs, toks, duckToks}
+
+/** Corpus-curation operators beyond the per-document scores in
+  * [[TextAnalysis]]: within-document repetition signals (the Gopher-style
+  * quality gates), sliding-window chunking for training-example
+  * construction, PII detection/redaction, and out-of-vocabulary rates
+  * against a corpus-derived vocabulary.
+  *
+  * Scale notes (100 TB):
+  *  - repetition, chunking, and PII are pure narrow passes — no shuffle,
+  *    full column pruning, linear in corpus size;
+  *  - the in-row top-bigram count is O(distinct·total) per document —
+  *    bounded by document length, never by corpus size;
+  *  - OOV is a two-pass plan: a tiny vocabulary aggregate (one shuffle on
+  *    words) crossed back over the corpus as a single broadcast row, so
+  *    the corpus-side pass stays narrow (the counters.txt pattern,
+  *    reference `src/wordCountWrapper.py:49-50`, generalized).
+  *
+  * Every fraction is one exact-integer division mirrored operand-for-
+  * operand in the DuckDB twin, so values hash-match bit-exactly.
+  */
+object CorpusOps {
+
+  // ------------------------------------------------------------ repetition
+
+  /** Flag thresholds, calibrated so the synthetic corpus exercises both
+    * branches (132/500 docs flag at sf0.01): duplicate-bigram fraction,
+    * duplicate-trigram fraction, top-bigram share.
+    */
+  val Dup2Threshold = 0.05
+  val Dup3Threshold = 0.02
+  val Top2Threshold = 0.08
+
+  /** Within-document repetition signals (the Gopher repetition filters):
+    *   dup2 = fraction of word-bigram slots whose bigram already occurred
+    *   dup3 = same for trigrams
+    *   top2 = share of the single most frequent bigram
+    * n-grams are hashed to 48-bit longs IN-ROW before the distinct —
+    * `array_distinct` over strings is Spark's O(n²) comparison path
+    * (measured, see Dedup.shsExpr) and the hash keeps the DuckDB twin
+    * bit-exact. Docs need ≥ 4 tokens (≥ 2 trigrams). Output:
+    * (doc_id, dup2, dup3, top2, flagged).
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    def grams(n: Int): Column = transform(
+      sequence(lit(1), size(t) - (n - 1)),
+      i => Hashing.h48(concat_ws(" ",
+        (0 until n).map(o => element_at(t, i + o)): _*)))
+    val dupFrac = (g: Column) =>
+      (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double")
+    val topFrac = (g: Column) =>
+      array_max(transform(array_distinct(g), b => size(filter(g, x => x === b))))
+        .cast("double") / size(g).cast("double")
+    docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(t) >= 4)
+      .select(col("doc_id"), grams(2).as("bg"), grams(3).as("tg"))
+      .select(col("doc_id"),
+        dupFrac(col("bg")).as("dup2"),
+        dupFrac(col("tg")).as("dup3"),
+        topFrac(col("bg")).as("top2"))
+      .select(col("doc_id"), col("dup2"), col("dup3"), col("top2"),
+        (col("dup2") >= Dup2Threshold || col("dup3") >= Dup3Threshold ||
+          col("top2") >= Top2Threshold).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String = {
+    val bg = duckH48("t[i] || ' ' || t[i+1]")
+    val tg = duckH48("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
+        g AS (SELECT doc_id,
+            list_transform(range(1, len(t)), i -> $bg) AS bg,
+            list_transform(range(1, len(t)-1), i -> $tg) AS tg
+          FROM f WHERE len(t) >= 4),
+        s AS (SELECT doc_id,
+            CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+              / CAST(len(bg) AS DOUBLE) AS dup2,
+            CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+              / CAST(len(tg) AS DOUBLE) AS dup3,
+            CAST(list_max(list_transform(list_distinct(bg),
+                b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+              / CAST(len(bg) AS DOUBLE) AS top2
+          FROM g)
+        SELECT doc_id, dup2, dup3, top2,
+          (dup2 >= $Dup2Threshold OR dup3 >= $Dup3Threshold
+            OR top2 >= $Top2Threshold) AS flagged
+        FROM s ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------- chunking
+
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Sliding-window chunking: token windows of [[ChunkSize]] every
+    * [[ChunkStride]] tokens (16-token overlap) — the training-example
+    * construction pass. Chunk k covers tokens [k·stride, k·stride+size);
+    * the last chunk of a doc may be short, and every token is covered.
+    * Output: (doc_id, chunk_idx, n_toks, chunk_hash), one row per chunk.
+    * The window structs are built in-row and exploded inline (a named
+    * generator input re-evaluates per exploded row — measured 40×,
+    * see Dedup.shingles).
+    */
+  def slidingChunks(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val chunkStructs = transform(
+      sequence(lit(0), floor((size(t) - 1).cast("double") / ChunkStride).cast("int")),
+      k => struct(
+        k.as("chunk_idx"),
+        slice(t, k * ChunkStride + 1, lit(ChunkSize)).as("c")))
+    docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(t) > 0)
+      .select(col("doc_id"), explode(chunkStructs).as("ch"))
+      .select(col("doc_id"),
+        col("ch.chunk_idx").cast("int").as("chunk_idx"),
+        size(col("ch.c")).as("n_toks"),
+        Hashing.h48(concat_ws(" ", col("ch.c"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val slidingChunksSql: String = {
+    val sl = s"list_slice(t, k*$ChunkStride+1, least(k*$ChunkStride+$ChunkSize, len(t)))"
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
+        f2 AS (SELECT doc_id, t FROM f WHERE len(t) > 0),
+        c AS (SELECT doc_id, t,
+            unnest(range(0, (len(t)-1)//$ChunkStride + 1)) AS k
+          FROM f2)
+        SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+          CAST(len($sl) AS INT) AS n_toks,
+          ${duckH48(s"array_to_string($sl, ' ')")} AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx"""
+  }
+
+  // ------------------------------------------------------------------ PII
+
+  /** PII patterns, kept to the Java-regex ∩ RE2 common subset so Spark and
+    * the DuckDB oracle match the same spans. Order of redaction: email
+    * first (may embed dots/digits), then IPv4, then international phone.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** PII detection + redaction over the lowercased text: per-doc match
+    * counts and the md5 of the redacted text (emails → `[EMAIL]`,
+    * IPv4 → `[IP]`, `+`-prefixed phones → `[PHONE]`). Pure narrow pass.
+    * The synthetic corpus is PII-free (all counts 0, hash = hash of the
+    * lowercased text) — CorpusOpsSpec drives crafted PII through the same
+    * expressions.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val lt = lower(coalesce(col("text"), lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(lt, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lt, lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(lt, lit(Ipv4Re), lit(0))).as("n_ips"),
+        size(regexp_extract_all(lt, lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(redacted).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    // single-quote SQL escaping only — the char classes carry no quotes
+    val (e, i, p) = (EmailRe, Ipv4Re, PhoneRe)
+    s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(coalesce(text,'')), '$e')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(lower(coalesce(text,'')), '$i')) AS INT) AS n_ips,
+        CAST(len(regexp_extract_all(lower(coalesce(text,'')), '$p')) AS INT) AS n_phones,
+        md5(regexp_replace(regexp_replace(regexp_replace(
+          lower(coalesce(text,'')), '$e', '[EMAIL]', 'g'),
+          '$i', '[IP]', 'g'),
+          '$p', '[PHONE]', 'g')) AS redacted_hash
+        FROM documents ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------ OOV
+
+  /** Vocabulary size for the OOV gate — below the synthetic corpus's 31
+    * distinct words so the out-of-vocabulary branch is exercised.
+    */
+  val OovVocabSize = 20
+
+  /** Out-of-vocabulary rate per document against the corpus's top-
+    * [[OovVocabSize]] words by document frequency (ties broken
+    * alphabetically — deterministic in both engines). Two-pass plan: the
+    * vocabulary is a tiny aggregate collapsed to ONE array row and
+    * cross-joined (broadcast) back over the corpus, so the per-doc pass
+    * is narrow — the corpus never shuffles. Output:
+    * (doc_id, n_tokens, n_oov, oov_frac).
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+    val vocab = d
+      .select(explode(array_distinct(col("t"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w"))
+      .limit(OovVocabSize)
+      .agg(collect_set(col("w")).as("va"))
+    val nOov = size(filter(col("t"), w => !array_contains(col("va"), w)))
+    d.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        nOov.as("n_oov"),
+        (nOov.cast("double") / size(col("t")).cast("double")).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String =
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
+        f2 AS (SELECT doc_id, t FROM f WHERE len(t) > 0),
+        tok AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM f2),
+        dfc AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        vocab AS (SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY df DESC, w) AS rn FROM dfc)
+          WHERE rn <= $OovVocabSize),
+        va AS (SELECT list(w) AS va FROM vocab)
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+          CAST(len(list_filter(t, w -> NOT list_contains(va, w))) AS INT) AS n_oov,
+          CAST(len(list_filter(t, w -> NOT list_contains(va, w))) AS DOUBLE)
+            / CAST(len(t) AS DOUBLE) AS oov_frac
+        FROM f2, va ORDER BY doc_id"""
+}

@@ -18,15 +18,15 @@ import graft.functions.Hashing.{P, duckH48p}
   */
 object TextAnalysis {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[textanalysis] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.loadSpread(spark, dir, "documents", "doc_id")
 
   // coalesce first: a NULL text would otherwise null-propagate through
   // split/filter/size and emit null-stat rows instead of zero-stat rows
-  private def toks(c: Column): Column =
+  private[textanalysis] def toks(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), "\\s+"), w => length(w) > 0)
 
-  private val duckToks =
+  private[textanalysis] val duckToks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
   // ------------------------------------------------------------- counting

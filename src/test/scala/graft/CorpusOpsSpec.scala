@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textanalysis.CorpusOps
+import graft.dedup.Dedup
+
+/** Fixture-driven behavior tests for the corpus-curation operators — the
+  * synthetic corpus is PII-free and lightly repetitive, so the interesting
+  * branches (redaction, flagging, cross-batch removal, chunk boundaries)
+  * are pinned here on crafted documents.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("corpusops").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("pii: emails, IPs and phones are counted and redacted") {
+    val dir = writeDocs(Seq(
+      1L -> "reach John.Doe@Example.COM or +4915112345678 via 192.168.0.1 today",
+      2L -> "two mails a@b.io c.d@e.org and server 10.0.0.255",
+      3L -> "clean text with no personal data at all"))
+    val got = CorpusOps.piiScrub(spark, dir)
+      .as[(Long, Int, Int, Int, String)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      List((1L, 1, 1, 1), (2L, 2, 1, 0), (3L, 0, 0, 0)))
+    // doc 3 is untouched: its redacted hash equals md5(lower(text))
+    val clean = spark.sql("SELECT md5('clean text with no personal data at all')")
+      .as[String].head()
+    assert(got.find(_._1 == 3L).get._5 == clean)
+    // doc 1's hash equals the hand-redacted form
+    val red1 = spark.sql(
+      "SELECT md5('reach [EMAIL] or [PHONE] via [IP] today')").as[String].head()
+    assert(got.find(_._1 == 1L).get._5 == red1)
+  }
+
+  test("repetition: a looped document flags, a diverse one does not") {
+    val looped = (1 to 20).map(_ => "buy cheap stuff now").mkString(" ")
+    val diverse = (1 to 80).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(1L -> looped, 2L -> diverse))
+    val got = CorpusOps.repetitionStats(spark, dir)
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._5, s"looped doc should flag: ${got(1L)}")
+    // 79 bigram slots, 76 distinct ("stuff now buy" style joins repeat)
+    assert(got(1L)._2 > 0.9, "near-total bigram duplication")
+    assert(!got(2L)._5 && got(2L)._2 == 0.0 && got(2L)._4 > 0.0)
+  }
+
+  test("chunks: stride windows overlap and cover every token") {
+    // 100 tokens → chunks at offsets 0 (tokens 1–64), 48 (49–100, cut to
+    // 52 by the doc end) and 96 (97–100)
+    val dir = writeDocs(Seq(1L -> (1 to 100).map(i => s"t$i").mkString(" ")))
+    val got = CorpusOps.slidingChunks(spark, dir)
+      .as[(Long, Int, Int, Long)].collect().toList.sortBy(_._2)
+    assert(got.map(c => (c._2, c._3)) == List((0, 64), (1, 52), (2, 4)))
+    // short doc: one short chunk
+    val dir2 = writeDocs(Seq(2L -> "a b c"))
+    val one = CorpusOps.slidingChunks(spark, dir2)
+      .as[(Long, Int, Int, Long)].collect().toList
+    assert(one.map(c => (c._2, c._3)) == List((0, 3)))
+  }
+
+  test("incremental: only content absent from the prior batch survives") {
+    // doc_id % 10 ∈ {8,9} is the new batch; 18 duplicates prior doc 1's
+    // text, 8 is genuinely new, 9 duplicates ANOTHER new doc's text (both
+    // kept: dedup is against the prior corpus only)
+    val dir = writeDocs(Seq(
+      1L -> "already ingested content",
+      2L -> "other prior content",
+      8L -> "fresh never seen text",
+      9L -> "fresh never seen text",
+      18L -> "already ingested content"))
+    val got = Dedup.incrementalNew(spark, dir)
+      .as[(Long, String)].collect().map(_._1).toList.sorted
+    assert(got == List(8L, 9L))
+  }
+
+  test("oov: tokens outside the top-V vocabulary are counted") {
+    // 25 distinct words; V=20 ⇒ the 5 rarest are OOV. Frequent words
+    // appear in many docs, rare ones in one each.
+    val freq = (1 to 20).map(i => s"common$i")
+    val rare = (1 to 5).map(i => s"rare$i")
+    val docs = (1 to 10).map(d => d.toLong -> freq.mkString(" ")) ++
+      Seq(11L -> (freq ++ rare).mkString(" "))
+    val dir = writeDocs(docs)
+    val got = CorpusOps.oovRate(spark, dir)
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 0)
+    assert(got(11L)._2 == 25 && got(11L)._3 == 5 && got(11L)._4 == 0.2)
+  }
+}
