@@ -94,6 +94,7 @@ object SparkEntry {
     "q_embed_quantize"     -> Similarity.quantize _,
     "q_events_sessions"    -> StreamingOps.sessionsBatch _,
     "q_events_enriched"    -> StreamingOps.enrichedHourlyBatch _,
+    "q_events_attrib"      -> StreamingOps.attributionBatch _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -164,5 +165,6 @@ object SparkEntry {
     "q_embed_quantize"     -> Similarity.quantizeSql,
     "q_events_sessions"    -> StreamingOps.sessionsBatchSql,
     "q_events_enriched"    -> StreamingOps.enrichedHourlyBatchSql,
+    "q_events_attrib"      -> StreamingOps.attributionBatchSql,
   )
 }

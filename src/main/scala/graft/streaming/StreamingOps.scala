@@ -93,6 +93,49 @@ object StreamingOps {
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY 1, 2 ORDER BY hour_sec, c_mktsegment"""
 
+  val AttribWindowUs: Long = 3600L * 1000000L // 1 h in µs
+
+  /** View→click attribution — the time-range join (each click attributed
+    * to every view by the same user in the preceding hour), in its BATCH
+    * form. The join is BUCKETIZED: a bare `u_a = u_b AND cts − vts ∈ (0,W]`
+    * range join degrades to per-user cross products under skew (one hot
+    * user = one giant sort-merge group); bucketing time into W-sized cells
+    * keys the join on (user_id, bucket) — each click probes exactly its
+    * own and the previous cell (a click's look-back window spans ≤ 2
+    * cells), so join groups are bounded by per-user-per-hour activity,
+    * not per-user totals. Views carry ONE bucket, so no pair can match
+    * twice — no dedup pass. Output: (user_id, view_id, click_id, dt_us).
+    */
+  def attributionBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr(s"(ts_ns div 1000) div $AttribWindowUs").as("bucket"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_us").as("vts"), col("bucket"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("cts"),
+        explode(array(col("bucket") - 1, col("bucket"))).as("bucket"))
+    v.join(c, Seq("user_id", "bucket"))
+      .where(col("cts") > col("vts") &&
+        col("cts") - col("vts") <= AttribWindowUs)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (col("cts") - col("vts")).as("dt_us"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  val attributionBatchSql: String =
+    s"""WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+          FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
+          FROM events WHERE event_type = 'click')
+        SELECT v.user_id AS user_id, view_id, click_id, cts - vts AS dt_us
+        FROM v JOIN c ON v.user_id = c.user_id
+          AND c.cts > v.vts AND c.cts - v.vts <= $AttribWindowUs
+        ORDER BY v.user_id, view_id, click_id"""
+
   // --------------------------------------------------- streaming graphs
 
   /** File-source stream: tail a directory of parquet drops (the batch →
@@ -147,6 +190,23 @@ object StreamingOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("c_mktsegment"),
         col("n"), col("sum_value"))
+
+  /** Stream-stream attribution join — the streaming twin of
+    * [[attributionBatch]]: two watermarked streams inner-joined on user
+    * plus the (0, 1 h] event-time range. The range condition is what lets
+    * the state store evict: a buffered view can only ever match clicks up
+    * to 1 h after it, so once the click watermark passes `vts + 1 h` the
+    * view's state row is dropped. Both watermarks are required for an
+    * inner interval join to be state-bounded. Expects `v(user_id,
+    * view_id, vts)` / `c(user_id, click_id, cts)` with timestamp columns.
+    */
+  def attributionStream(v: DataFrame, c: DataFrame): DataFrame =
+    v.withWatermark("vts", "2 hours")
+      .join(c.withWatermark("cts", "2 hours"),
+        expr("""v_user = c_user AND
+                cts > vts AND cts <= vts + INTERVAL 1 HOUR"""))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("dt_us"))
 
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * within the watermark horizon. The watermark bounds the dedup state

@@ -190,6 +190,52 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), s"expected exactly-once output, got $ids")
   }
 
+  test("stream-stream attribution join emits in-window pairs only") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val views = vMem.toDF().toDF("v_user", "view_id", "vts")
+    val clicks = cMem.toDF().toDF("c_user", "click_id", "cts")
+    val q = StreamingOps.attributionStream(views, clicks).writeStream
+      .format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      // user 1: view at 2h, clicks at 2h30 (in window) and 3h30 (outside
+      // the 1 h range); user 2: click with NO prior view
+      vMem.addData((1L, 10L, ts(120)))
+      cMem.addData((1L, 20L, ts(150)), (1L, 21L, ts(210)), (2L, 22L, ts(150)))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user_id", "view_id", "click_id", "dt_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L, 20L, 30L * 60000000L)))
+    } finally q.stop()
+  }
+
+  test("batch attribution matches the streaming join's range semantics") {
+    // the bucketized batch plan and a direct range join must agree —
+    // pins that bucket-edge pairs (view and click in adjacent cells) and
+    // exact-boundary deltas (dt == window) are neither lost nor doubled
+    val sf = "/root/testdata/sf0.001"
+    val direct = {
+      val e = graft.model.Tables.load(spark, sf, "events")
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          expr("ts_ns div 1000").as("vts"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          expr("ts_ns div 1000").as("cts"))
+      v.join(c, col("user_id") === col("cu") &&
+          col("cts") > col("vts") &&
+          col("cts") - col("vts") <= StreamingOps.AttribWindowUs)
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (col("cts") - col("vts")).as("dt_us"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val bucketized = StreamingOps.attributionBatch(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(bucketized == direct && bucketized.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
