@@ -88,6 +88,7 @@ object SparkEntry {
     "q_text_chunks"        -> CorpusOps.slidingChunks _,
     "q_text_pii"           -> CorpusOps.piiScrub _,
     "q_text_oov"           -> CorpusOps.oovRate _,
+    "q_quality_gate"       -> CorpusOps.qualityGate _,
     "q_dedup_incremental"  -> Dedup.incrementalNew _,
     "q_multimodal_meta"    -> Multimodal.mediaMeta _,
     "q_multimodal_frames"  -> Multimodal.mediaFrames _,
@@ -159,6 +160,7 @@ object SparkEntry {
     "q_text_chunks"        -> CorpusOps.slidingChunksSql,
     "q_text_pii"           -> CorpusOps.piiScrubSql,
     "q_text_oov"           -> CorpusOps.oovRateSql,
+    "q_quality_gate"       -> CorpusOps.qualityGateSql,
     "q_dedup_incremental"  -> Dedup.incrementalNewSql,
     "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
     "q_multimodal_frames"  -> Multimodal.mediaFramesSql,

@@ -221,6 +221,45 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- quality gate
+
+  val GatePercentile = 0.25
+
+  /** Quality percentile gate: keep documents at or above the corpus's
+    * exact P25 quality. The threshold is data-dependent — one exact
+    * interpolated percentile over the whole corpus, collapsed to a single
+    * broadcast row and crossed back (same shape as [[oovRate]]'s
+    * vocabulary). Output is integer kept/dropped counts per language:
+    * counts are drift-proof because the interpolated threshold lies
+    * strictly BETWEEN adjacent order statistics (or exactly ON one when
+    * the rank fraction is 0), so a 1-ulp interpolation difference between
+    * engines cannot flip any document across the gate.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), col("lang"), TextAnalysis.qualityExpr.as("quality"))
+    val thr = d.agg(percentile(col("quality"), lit(GatePercentile)).as("thr"))
+    d.crossJoin(broadcast(thr))
+      .groupBy("lang")
+      .agg(sum(when(col("quality") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("quality") < col("thr"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("lang")
+  }
+
+  val qualityGateSql: String =
+    s"""WITH q0 AS (${TextAnalysis.qualityScoreSql}),
+        q AS (SELECT q0.doc_id, d.lang, q0.quality
+          FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+        t AS (SELECT quantile_cont(quality, $GatePercentile) AS thr FROM q)
+        SELECT lang,
+          CAST(sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(sum(CASE WHEN quality < thr THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped
+        FROM q, t GROUP BY lang ORDER BY lang"""
+
   val oovRateSql: String =
     s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
         f2 AS (SELECT doc_id, t FROM f WHERE len(t) > 0),

@@ -91,7 +91,7 @@ object TextAnalysis {
   private def avgWlenExpr: Column =
     aggregate(col("t"), lit(0), (acc, w) => acc + length(w)).cast("double") /
       size(col("t")).cast("double")
-  private def qualityExpr: Column =
+  private[textanalysis] def qualityExpr: Column =
     lit(0.4) * stopRatioExpr + lit(0.4) * ttrExpr +
       lit(0.2) * least(avgWlenExpr, lit(8.0)) / lit(8.0)
 

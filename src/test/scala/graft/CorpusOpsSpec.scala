@@ -83,6 +83,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == List(8L, 9L))
   }
 
+  test("quality gate: P25 threshold drops about a quarter, partitions exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val gate = CorpusOps.qualityGate(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val total = graft.textanalysis.TextAnalysis.qualityScore(spark, sf).count()
+    val kept = gate.map(_._2).sum; val dropped = gate.map(_._3).sum
+    assert(kept + dropped == total, "every scored doc lands on one side")
+    // exact P25 on n distinct-ish scores drops ~25% (ties can shift it)
+    assert(dropped >= total / 5 && dropped <= total / 3,
+      s"P25 gate dropped $dropped of $total")
+  }
+
   test("oov: tokens outside the top-V vocabulary are counted") {
     // 25 distinct words; V=20 ⇒ the 5 rarest are OOV. Frequent words
     // appear in many docs, rare ones in one each.
