@@ -89,6 +89,7 @@ object SparkEntry {
     "q_text_pii"           -> CorpusOps.piiScrub _,
     "q_text_oov"           -> CorpusOps.oovRate _,
     "q_quality_gate"       -> CorpusOps.qualityGate _,
+    "q_split_leakage"      -> CorpusOps.splitLeakage _,
     "q_dedup_incremental"  -> Dedup.incrementalNew _,
     "q_multimodal_meta"    -> Multimodal.mediaMeta _,
     "q_multimodal_frames"  -> Multimodal.mediaFrames _,
@@ -161,6 +162,7 @@ object SparkEntry {
     "q_text_pii"           -> CorpusOps.piiScrubSql,
     "q_text_oov"           -> CorpusOps.oovRateSql,
     "q_quality_gate"       -> CorpusOps.qualityGateSql,
+    "q_split_leakage"      -> CorpusOps.splitLeakageSql,
     "q_dedup_incremental"  -> Dedup.incrementalNewSql,
     "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
     "q_multimodal_frames"  -> Multimodal.mediaFramesSql,

@@ -221,6 +221,41 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- split leakage
+
+  /** Train/test contamination check: near-duplicate pairs whose endpoints
+    * land in DIFFERENT splits of the deterministic hash split — each such
+    * pair is a test document whose near-copy is trained on (the leakage
+    * that silently inflates eval numbers). Composes the df-capped Jaccard
+    * pair graph with the split assignment; at 100 TB the split column is
+    * a per-row hash (no join against a split table) and the pair graph is
+    * the already-bounded near-dup output, so the check costs one narrow
+    * projection over it. Output: (doc_a, doc_b, split_a, split_b,
+    * jaccard), only crossing pairs.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def split(c: Column): Column =
+      when(Hashing.h48(concat(lit("split-"), c)) % 100 < 80, lit("train"))
+        .otherwise(lit("test"))
+    graft.dedup.Dedup.jaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        split(col("doc_a")).as("split_a"), split(col("doc_b")).as("split_b"),
+        col("jaccard"))
+      .where(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val splitLeakageSql: String = {
+    def split(c: String): String =
+      s"""CASE WHEN ${duckH48(s"concat('split-', $c)")} % 100 < 80
+          THEN 'train' ELSE 'test' END"""
+    s"""WITH p AS (${graft.dedup.Dedup.jaccardPairsSql})
+        SELECT doc_a, doc_b, ${split("doc_a")} AS split_a,
+          ${split("doc_b")} AS split_b, jaccard
+        FROM p WHERE ${split("doc_a")} <> ${split("doc_b")}
+        ORDER BY doc_a, doc_b"""
+  }
+
   // --------------------------------------------------------- quality gate
 
   val GatePercentile = 0.25

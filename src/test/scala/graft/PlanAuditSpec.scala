@@ -36,11 +36,13 @@ class PlanAuditSpec extends SparkSpec {
     // BNLJ is acceptable ONLY against a broadcast single-row side (a
     // scalar riding along every row): the min-vec_id query vector in
     // q_sim_topk, the corpus-size N in q_text_tfidf and q_text_pmi, the
-    // one-row top-V vocabulary array in q_text_oov.
+    // one-row top-V vocabulary array in q_text_oov, the one-row P25
+    // threshold in q_quality_gate.
     // Anything else — and any CartesianProduct — is an O(n²)-at-scale
     // regression.
-    val singleRowBroadcastCross =
-      Set("q_sim_topk", "q_text_tfidf", "q_text_pmi", "q_text_oov")
+    val singleRowBroadcastCross = Set(
+      "q_sim_topk", "q_text_tfidf", "q_text_pmi", "q_text_oov",
+      "q_quality_gate")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
