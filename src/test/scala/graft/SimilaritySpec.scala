@@ -96,4 +96,28 @@ class SimilaritySpec extends SparkSpec {
     val recall = brute.map(_._1).count(ivf.map(_._1).toSet).toDouble / brute.length
     assert(recall > 0.0, "IVF with nprobe=2 found none of the true top-k")
   }
+
+  test("persisted IVF index: probe filter becomes partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    Similarity.ivfIndexWrite(spark, sf, out)
+    // the layout is hive-partitioned by cid
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("cid=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("cid=\\d+")))
+    val probes = Seq(0, 3)
+    val probed = Similarity.ivfProbeRead(spark, out, probes)
+    // plan: cid lands in PartitionFilters, NOT in a post-scan Filter
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cid"), scan)
+    // the pruned scan reads exactly the probed partitions' rows
+    val full = spark.read.parquet(out)
+    val expect = full.where(col("cid").isin(0, 3)).count()
+    assert(probed.count() == expect && probed.count() > 0)
+    // and the file-level input really shrinks to the probed directories
+    val probedFiles = probed.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(probedFiles.nonEmpty &&
+      probedFiles.forall(f => f.contains("cid=0") || f.contains("cid=3")),
+      probedFiles.mkString("\n"))
+  }
 }
