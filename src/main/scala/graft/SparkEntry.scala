@@ -35,6 +35,7 @@ object SparkEntry {
     "q_rollup"             -> Relational.rollupQuantities _,
     "q_cube"               -> Relational.cubeOrders _,
     "q_events_hourly"      -> Relational.eventsHourly _,
+    "q_events_histogram"   -> Relational.eventsHistogram _,
     "q_events_funnel"      -> Relational.eventsFunnel _,
     "q_sample_stratified"  -> Relational.sampleStratified _,
     "q_scalar_funcs"       -> Relational.scalarFunctions _,
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_rollup"             -> Relational.rollupQuantitiesSql,
     "q_cube"               -> Relational.cubeOrdersSql,
     "q_events_hourly"      -> Relational.eventsHourlySql,
+    "q_events_histogram"   -> Relational.eventsHistogramSql,
     "q_events_funnel"      -> Relational.eventsFunnelSql,
     "q_sample_stratified"  -> Relational.sampleStratifiedSql,
     "q_scalar_funcs"       -> Relational.scalarFunctionsSql,

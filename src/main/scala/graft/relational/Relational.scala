@@ -326,6 +326,26 @@ object Relational {
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type"""
 
+  /** Fixed-width value histogram per event type: 5-unit buckets in exact
+    * CENT arithmetic — `round(value·100)` is within 1 ulp of an integer
+    * (the data is 2-decimal), so the rounded cents and the integer bucket
+    * division are engine-exact, where a naive `floor(value/5)` would sit
+    * on a float boundary. One partial-aggregated groupBy — the histogram
+    * of a 100 TB column costs one narrow scan + one tiny shuffle.
+    */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT) div 500").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+
+  val eventsHistogramSql: String =
+    """SELECT event_type, CAST(round(value*100) AS BIGINT) // 500 AS bucket,
+       count(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""
+
   /** Per-stratum sampling fractions, in thousandths so the keep test is
     * pure integer arithmetic: a training-data REBALANCING pass (keep every
     * purchase, drop 90% of error noise).

@@ -92,4 +92,32 @@ class PropertiesSpec extends SparkSpec {
       assert(n >= 1 && n <= catDocs(c), s"df($w,$c)=$n out of range")
     }
   }
+
+  test("pythonRepr round-trips arbitrary doubles, incl. subnormals and extremes") {
+    import graft.model.RefFormats.pythonRepr
+    val doubles = Gen.listOfN(2000, Gen.oneOf(
+      Gen.chooseNum(-1e300, 1e300),
+      Gen.chooseNum(-1e-4, 1e-4),
+      // raw-bits generator reaches subnormals, huge/tiny exponents, −0.0
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(java.lang.Double.longBitsToDouble)
+        .filter(d => !d.isNaN && !d.isInfinite)
+    )).sample.get
+    val edge = Seq(0.0, -0.0, 1.0, -1.0, 1e16, 9999999999999998.0, 1e-4,
+       9.999e-5, java.lang.Double.MIN_VALUE, java.lang.Double.MAX_VALUE,
+      4.9e-324, 2.2250738585072014e-308)
+    (doubles ++ edge).foreach { d =>
+      val s = pythonRepr(d)
+      assert(java.lang.Double.parseDouble(s) == d ||
+        (d == 0.0 && 1.0 / java.lang.Double.parseDouble(s) == 1.0 / d),
+        s"repr($d) = $s does not round-trip")
+      // shape: fixed inside [1e-4, 1e16), scientific outside (python rule)
+      val a = math.abs(d)
+      if (a != 0.0) {
+        val sci = s.contains("e")
+        assert(sci == (a >= 1e16 || a < 1e-4),
+          s"repr($d) = $s wrong notation")
+      }
+    }
+  }
 }
