@@ -410,11 +410,12 @@ object Dedup {
     * (doc_id mod 10: 0–7 prior, 8–9 new).
     *
     * Plan: both sides project to (doc_id, digest) before the LEFT ANTI
-    * hash join, so the shuffle carries 16-byte digests, never text. At
-    * corpus scale Spark's runtime Bloom filter prunes the new-batch side
-    * at the scan (BloomJoinSpec proves the mechanism fires); a Bloom
-    * pass can only drop true matches early — anti-join exactness is
-    * unaffected. Output: (doc_id, content_hash) of genuinely-new docs.
+    * hash join, so the shuffle carries 16-byte digests, never text — the
+    * minimum the semantics allow. (Runtime Bloom pruning does NOT apply
+    * here, by design of anti joins: a digest the Bloom filter rejects is
+    * exactly a row that must be KEPT, so the probe side cannot be
+    * pre-filtered; the digest-only projection is the scale lever.)
+    * Output: (doc_id, content_hash) of genuinely-new docs.
     */
   def incrementalNew(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.loadSpread(spark, dir, "documents", "doc_id")
