@@ -269,6 +269,13 @@ object CorpusOps {
     * strictly BETWEEN adjacent order statistics (or exactly ON one when
     * the rank fraction is 0), so a 1-ulp interpolation difference between
     * engines cannot flip any document across the gate.
+    *
+    * Scale note: `percentile` is the EXACT aggregate (per-partition
+    * value→count maps, memory grows with distinct values) — right for the
+    * oracle-checked contract, wrong past ~10⁸ distinct scores. At corpus
+    * scale swap it for `percentile_approx` (mergeable quantile summary,
+    * fixed memory — the `q_approx_stats` machinery); the broadcast-
+    * threshold plan shape and integer output contract are unchanged.
     */
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
