@@ -418,11 +418,16 @@ object Dedup {
     * Output: (doc_id, content_hash) of genuinely-new docs.
     */
   def incrementalNew(spark: SparkSession, dir: String): DataFrame = {
+    // join on the BINARY digest (16 bytes) — md5() itself returns the
+    // 32-char hex STRING, which would double every shuffle row; unhex is
+    // injective on hex digests so anti-join semantics are unchanged, and
+    // the hex form rides along only for the output contract
     val d = Tables.loadSpread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("content_hash"))
-    val prior = d.where(pmod(col("doc_id"), lit(10)) < 8).select("content_hash")
+      .withColumn("digest", unhex(col("content_hash")))
+    val prior = d.where(pmod(col("doc_id"), lit(10)) < 8).select("digest")
     d.where(pmod(col("doc_id"), lit(10)) >= 8)
-      .join(prior, Seq("content_hash"), "left_anti")
+      .join(prior, Seq("digest"), "left_anti")
       .select("doc_id", "content_hash")
       .orderBy("doc_id")
   }

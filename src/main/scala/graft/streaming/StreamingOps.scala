@@ -197,8 +197,10 @@ object StreamingOps {
     * the state store evict: a buffered view can only ever match clicks up
     * to 1 h after it, so once the click watermark passes `vts + 1 h` the
     * view's state row is dropped. Both watermarks are required for an
-    * inner interval join to be state-bounded. Expects `v(user_id,
-    * view_id, vts)` / `c(user_id, click_id, cts)` with timestamp columns.
+    * inner interval join to be state-bounded. Expects `v(v_user, view_id,
+    * vts)` / `c(c_user, click_id, cts)` with timestamp-typed vts/cts
+    * (disjoint names — stream-stream joins cannot disambiguate two
+    * watermarked columns that share a name).
     */
   def attributionStream(v: DataFrame, c: DataFrame): DataFrame =
     v.withWatermark("vts", "2 hours")

@@ -103,16 +103,24 @@ object CorpusOps {
   /** Sliding-window chunking: token windows of [[ChunkSize]] every
     * [[ChunkStride]] tokens (16-token overlap) — the training-example
     * construction pass. Chunk k covers tokens [k·stride, k·stride+size);
-    * the last chunk of a doc may be short, and every token is covered.
-    * Output: (doc_id, chunk_idx, n_toks, chunk_hash), one row per chunk.
-    * The window structs are built in-row and exploded inline (a named
-    * generator input re-evaluates per exploded row — measured 40×,
-    * see Dedup.shingles).
+    * windows advance only while the PREVIOUS window hasn't reached the
+    * document end (k_max = ⌈(n−size)/stride⌉, 0 for short docs), so every
+    * token is covered, the last chunk may be short, and no chunk is fully
+    * contained in its predecessor (a trailing contained chunk would
+    * double-weight its tokens as training examples — in a dedup
+    * pipeline). Output: (doc_id, chunk_idx, n_toks, chunk_hash), one row
+    * per chunk. The window structs are built in-row and exploded inline
+    * (a named generator input re-evaluates per exploded row — measured
+    * 40×, see Dedup.shingles).
     */
   def slidingChunks(spark: SparkSession, dir: String): DataFrame = {
     val t = col("t")
+    // ⌈(n−C)/S⌉ in exact ints; (n−C+S−1) div S truncates toward zero, so
+    // clamp at 0 for n ≤ C (both engines truncate — verified empirically)
+    val kMax = greatest(lit(0),
+      expr(s"(size(t) - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride"))
     val chunkStructs = transform(
-      sequence(lit(0), floor((size(t) - 1).cast("double") / ChunkStride).cast("int")),
+      sequence(lit(0), kMax),
       k => struct(
         k.as("chunk_idx"),
         slice(t, k * ChunkStride + 1, lit(ChunkSize)).as("c")))
@@ -132,7 +140,8 @@ object CorpusOps {
     s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
         f2 AS (SELECT doc_id, t FROM f WHERE len(t) > 0),
         c AS (SELECT doc_id, t,
-            unnest(range(0, (len(t)-1)//$ChunkStride + 1)) AS k
+            unnest(range(0, greatest(0,
+              (len(t) - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride) + 1)) AS k
           FROM f2)
         SELECT doc_id, CAST(k AS INT) AS chunk_idx,
           CAST(len($sl) AS INT) AS n_toks,
@@ -233,22 +242,19 @@ object CorpusOps {
     * projection over it. Output: (doc_a, doc_b, split_a, split_b,
     * jaccard), only crossing pairs.
     */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    def split(c: Column): Column =
-      when(Hashing.h48(concat(lit("split-"), c)) % 100 < 80, lit("train"))
-        .otherwise(lit("test"))
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.jaccardPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"),
-        split(col("doc_a")).as("split_a"), split(col("doc_b")).as("split_b"),
+        TextAnalysis.splitExpr(col("doc_a")).as("split_a"),
+        TextAnalysis.splitExpr(col("doc_b")).as("split_b"),
         col("jaccard"))
       .where(col("split_a") =!= col("split_b"))
       .orderBy("doc_a", "doc_b")
-  }
 
   val splitLeakageSql: String = {
-    def split(c: String): String =
-      s"""CASE WHEN ${duckH48(s"concat('split-', $c)")} % 100 < 80
-          THEN 'train' ELSE 'test' END"""
+    // the split definition is TextAnalysis.splitExpr/duckSplitExpr — the
+    // SAME one the pipeline assigns, so the leakage check cannot drift
+    def split(c: String): String = TextAnalysis.duckSplitExpr(c)
     s"""WITH p AS (${graft.dedup.Dedup.jaccardPairsSql})
         SELECT doc_a, doc_b, ${split("doc_a")} AS split_a,
           ${split("doc_b")} AS split_b, jaccard
@@ -282,7 +288,13 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
       .where(size(col("t")) > 0)
       .select(col("doc_id"), col("lang"), TextAnalysis.qualityExpr.as("quality"))
-    val thr = d.agg(percentile(col("quality"), lit(GatePercentile)).as("thr"))
+    // round to 10 decimals on both sides: the engines' interpolation
+    // FORMULAS differ (Spark lo·(1−f)+hi·f vs DuckDB lo+(hi−lo)·f), which
+    // can land an ulp apart when the adjacent order statistics are
+    // themselves only ulps apart — rounding snaps both to the same grid
+    // point (the repo's convention for transcendentals, SURVEY §8.2)
+    val thr = d.agg(round(percentile(col("quality"), lit(GatePercentile)), 10)
+      .as("thr"))
     d.crossJoin(broadcast(thr))
       .groupBy("lang")
       .agg(sum(when(col("quality") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
@@ -294,7 +306,8 @@ object CorpusOps {
     s"""WITH q0 AS (${TextAnalysis.qualityScoreSql}),
         q AS (SELECT q0.doc_id, d.lang, q0.quality
           FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
-        t AS (SELECT quantile_cont(quality, $GatePercentile) AS thr FROM q)
+        t AS (SELECT round(quantile_cont(quality, $GatePercentile), 10) AS thr
+              FROM q)
         SELECT lang,
           CAST(sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT)
             AS n_kept,

@@ -244,24 +244,32 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ splitting
 
+  /** THE canonical train/test assignment (salt, modulus, fraction) — the
+    * single definition shared by [[trainTestSplit]], [[corpusClean]] and
+    * the split-leakage check, so the split the leakage detector validates
+    * can never drift from the split the pipeline produces.
+    */
+  private[graft] def splitExpr(idCol: Column): Column =
+    when(Hashing.h48(concat(lit("split-"), idCol)) % 100 < 80, lit("train"))
+      .otherwise(lit("test"))
+
+  /** DuckDB twin of [[splitExpr]] over a SQL id expression. */
+  private[graft] def duckSplitExpr(idExpr: String): String =
+    s"""CASE WHEN ${Hashing.duckH48(s"concat('split-', $idExpr)")} % 100 < 80
+        THEN 'train' ELSE 'test' END"""
+
   /** Deterministic train/test split by content-independent hash of the
     * document id (stable across runs, machines, and engines — the property
     * random() lacks): 80/20, reported per (lang, split).
     */
-  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Hashing.h48(concat(lit("split-"), col("doc_id"))) % 100
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("lang"),
-        when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
+      .select(col("lang"), splitExpr(col("doc_id")).as("split"))
       .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "split")
-  }
 
   val trainTestSplitSql: String =
-    s"""SELECT lang,
-        CASE WHEN ${Hashing.duckH48("concat('split-', doc_id)")} % 100 < 80
-          THEN 'train' ELSE 'test' END AS split,
-        count(*) AS n_docs
+    s"""SELECT lang, ${duckSplitExpr("doc_id")} AS split, count(*) AS n_docs
         FROM documents GROUP BY 1, 2 ORDER BY lang, split"""
 
   // ------------------------------------------------------------------ pmi
@@ -347,10 +355,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("canonical_id"))
     val kept = exactKept.join(clus, Seq("doc_id"), "left")
       .where(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
-    val bucket = Hashing.h48(concat(lit("split-"), col("doc_id"))) % 100
     kept
-      .select(col("doc_id"),
-        when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
+      .select(col("doc_id"), splitExpr(col("doc_id")).as("split"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
       .orderBy("split")
@@ -368,8 +374,7 @@ object TextAnalysis {
         kept AS (SELECT ek.doc_id FROM ek
           LEFT JOIN clus ON ek.doc_id = clus.doc_id
           WHERE clus.doc_id IS NULL OR clus.canonical_id = ek.doc_id)
-        SELECT CASE WHEN ${Hashing.duckH48("concat('split-', doc_id)")} % 100 < 80
-            THEN 'train' ELSE 'test' END AS split,
+        SELECT ${duckSplitExpr("doc_id")} AS split,
           count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM kept GROUP BY 1 ORDER BY split"""
 

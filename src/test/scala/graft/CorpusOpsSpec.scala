@@ -55,12 +55,20 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("chunks: stride windows overlap and cover every token") {
-    // 100 tokens → chunks at offsets 0 (tokens 1–64), 48 (49–100, cut to
-    // 52 by the doc end) and 96 (97–100)
+    // 100 tokens → chunks at offsets 0 (tokens 1–64) and 48 (49–100, cut
+    // to 52 by the doc end). Offset 96 would be fully contained in the
+    // previous chunk (double-weighting its tokens), so windows stop once
+    // the previous one reaches the end.
     val dir = writeDocs(Seq(1L -> (1 to 100).map(i => s"t$i").mkString(" ")))
     val got = CorpusOps.slidingChunks(spark, dir)
       .as[(Long, Int, Int, Long)].collect().toList.sortBy(_._2)
-    assert(got.map(c => (c._2, c._3)) == List((0, 64), (1, 52), (2, 4)))
+    assert(got.map(c => (c._2, c._3)) == List((0, 64), (1, 52)))
+    // exact-coverage boundary: 112 tokens = 48 + 64 → the second window
+    // ends exactly at the doc end, and no third window is emitted
+    val dir3 = writeDocs(Seq(3L -> (1 to 112).map(i => s"t$i").mkString(" ")))
+    val exact = CorpusOps.slidingChunks(spark, dir3)
+      .as[(Long, Int, Int, Long)].collect().toList.sortBy(_._2)
+    assert(exact.map(c => (c._2, c._3)) == List((0, 64), (1, 64)))
     // short doc: one short chunk
     val dir2 = writeDocs(Seq(2L -> "a b c"))
     val one = CorpusOps.slidingChunks(spark, dir2)
