@@ -91,6 +91,7 @@ object SparkEntry {
     "q_text_oov"           -> CorpusOps.oovRate _,
     "q_quality_gate"       -> CorpusOps.qualityGate _,
     "q_split_leakage"      -> CorpusOps.splitLeakage _,
+    "q_text_logprob"       -> CorpusOps.logProb _,
     "q_dedup_incremental"  -> Dedup.incrementalNew _,
     "q_multimodal_meta"    -> Multimodal.mediaMeta _,
     "q_multimodal_frames"  -> Multimodal.mediaFrames _,
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_text_oov"           -> CorpusOps.oovRateSql,
     "q_quality_gate"       -> CorpusOps.qualityGateSql,
     "q_split_leakage"      -> CorpusOps.splitLeakageSql,
+    "q_text_logprob"       -> CorpusOps.logProbSql,
     "q_dedup_incremental"  -> Dedup.incrementalNewSql,
     "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
     "q_multimodal_frames"  -> Multimodal.mediaFramesSql,

@@ -230,6 +230,58 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- logprob
+
+  /** Unigram language-model score per document: mean add-one-smoothed
+    * log-probability of its tokens under the corpus's own unigram model —
+    * the perplexity-style filter that ranks fluent-for-this-corpus text
+    * above outliers. Two-pass plan: corpus counts (one shuffle on words;
+    * at scale that table joins back shuffle-side, here broadcast picks
+    * itself), the (N, V) scalars ride along as one broadcast row.
+    *
+    * Engine-exactness: each `ln` is rounded to 10 decimals (JVM Math.log
+    * is 1 ulp off libm — repo convention), then summed in
+    * `decimal(28,12)` so the partial-aggregation ORDER cannot change the
+    * double sum; one final division and rounding. Output:
+    * (doc_id, n_tokens, logprob).
+    */
+  def logProb(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val nv = tok.agg(count(lit(1)).as("n"))
+      .crossJoin(cnt.agg(count(lit(1)).as("v")))
+    val lp = round(
+      log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double")),
+      10).cast("decimal(28,12)")
+    tok.join(cnt, "w").crossJoin(broadcast(nv))
+      .select(col("doc_id"), lp.as("l"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"), sum(col("l")).as("sl"))
+      // NO final rounding: both engines divide the identical decimal-sum-
+      // cast-double by the identical count, so the quotient is already
+      // bit-equal — a round(·,10) here actually BREAKS parity (the
+      // engines' tie-breaking at the 1e-10 grid differs; seen at sf0.1)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sl").cast("double") / col("n_tokens").cast("double"))
+          .as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  val logProbSql: String =
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS w FROM f),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        nv AS (SELECT (SELECT count(*) FROM tok) AS n,
+                      (SELECT count(*) FROM cnt) AS v),
+        lp AS (SELECT tok.doc_id,
+            CAST(round(ln(CAST(cnt.c + 1 AS DOUBLE)
+              / CAST(nv.n + nv.v AS DOUBLE)), 10) AS DECIMAL(28,12)) AS l
+          FROM tok JOIN cnt ON tok.w = cnt.w, nv)
+        SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+          CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS logprob
+        FROM lp GROUP BY doc_id ORDER BY doc_id"""
+
   // -------------------------------------------------------- split leakage
 
   /** Train/test contamination check: near-duplicate pairs whose endpoints
