@@ -36,6 +36,7 @@ object SparkEntry {
     "q_cube"               -> Relational.cubeOrders _,
     "q_events_hourly"      -> Relational.eventsHourly _,
     "q_events_histogram"   -> Relational.eventsHistogram _,
+    "q_profile_docs"       -> Relational.profileDocs _,
     "q_events_funnel"      -> Relational.eventsFunnel _,
     "q_sample_stratified"  -> Relational.sampleStratified _,
     "q_scalar_funcs"       -> Relational.scalarFunctions _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_cube"               -> Relational.cubeOrdersSql,
     "q_events_hourly"      -> Relational.eventsHourlySql,
     "q_events_histogram"   -> Relational.eventsHistogramSql,
+    "q_profile_docs"       -> Relational.profileDocsSql,
     "q_events_funnel"      -> Relational.eventsFunnelSql,
     "q_sample_stratified"  -> Relational.sampleStratifiedSql,
     "q_scalar_funcs"       -> Relational.scalarFunctionsSql,

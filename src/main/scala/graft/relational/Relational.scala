@@ -326,6 +326,47 @@ object Relational {
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type"""
 
+  /** Column profiler over the documents table: per-column null count,
+    * exact distinct count, min and max (stringified — one output type
+    * across columns) — the data-quality pass run before a table enters a
+    * pipeline. ONE aggregation computes all 20 statistics (multiple exact
+    * count-distincts plan through one Expand: 5× the rows in a single
+    * scan, versus 5 separate scans for per-column passes), then `stack`
+    * pivots the single result row into one row per column — no second
+    * scan, no join. At 100 TB exact distinct is the honest form of this
+    * gate; the sketch twin (`q_approx_stats`) shows the HLL swap.
+    */
+  def profileDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      count_distinct(col(c)).as(s"${c}_distinct"),
+      min(col(c).cast("string")).as(s"${c}_min"),
+      max(col(c).cast("string")).as(s"${c}_max")))
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
+    d.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy("col_name")
+  }
+
+  val profileDocsSql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.map(c =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS ${c}_nulls,
+          CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_distinct,
+          min(CAST($c AS VARCHAR)) AS ${c}_min,
+          max(CAST($c AS VARCHAR)) AS ${c}_max""").mkString(", ")
+    val rows = cols.map(c =>
+      s"""SELECT '$c' AS col_name, ${c}_nulls AS n_nulls,
+          ${c}_distinct AS n_distinct, ${c}_min AS min_val,
+          ${c}_max AS max_val FROM a""").mkString(" UNION ALL ")
+    s"WITH a AS (SELECT $aggs FROM documents) $rows ORDER BY col_name"
+  }
+
   /** Fixed-width value histogram per event type: 5-unit buckets in exact
     * CENT arithmetic — `round(value·100)` is within 1 ulp of an integer
     * (the data is 2-decimal), so the rounded cents and the integer bucket
