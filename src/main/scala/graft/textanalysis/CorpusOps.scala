@@ -249,8 +249,9 @@ object CorpusOps {
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
     val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
-    val nv = tok.agg(count(lit(1)).as("n"))
-      .crossJoin(cnt.agg(count(lit(1)).as("v")))
+    // N = Σc and V = |cnt| both fold out of the counts table — deriving
+    // them from `tok` directly would scan the token stream two more times
+    val nv = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     val lp = round(
       log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double")),
       10).cast("decimal(28,12)")
@@ -272,8 +273,7 @@ object CorpusOps {
     s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
         tok AS (SELECT doc_id, unnest(t) AS w FROM f),
         cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-        nv AS (SELECT (SELECT count(*) FROM tok) AS n,
-                      (SELECT count(*) FROM cnt) AS v),
+        nv AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt),
         lp AS (SELECT tok.doc_id,
             CAST(round(ln(CAST(cnt.c + 1 AS DOUBLE)
               / CAST(nv.n + nv.v AS DOUBLE)), 10) AS DECIMAL(28,12)) AS l
