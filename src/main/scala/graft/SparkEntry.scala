@@ -93,6 +93,7 @@ object SparkEntry {
     "q_quality_gate"       -> CorpusOps.qualityGate _,
     "q_split_leakage"      -> CorpusOps.splitLeakage _,
     "q_text_logprob"       -> CorpusOps.logProb _,
+    "q_text_entropy"       -> CorpusOps.tokenEntropy _,
     "q_dedup_incremental"  -> Dedup.incrementalNew _,
     "q_multimodal_meta"    -> Multimodal.mediaMeta _,
     "q_multimodal_frames"  -> Multimodal.mediaFrames _,
@@ -169,6 +170,7 @@ object SparkEntry {
     "q_quality_gate"       -> CorpusOps.qualityGateSql,
     "q_split_leakage"      -> CorpusOps.splitLeakageSql,
     "q_text_logprob"       -> CorpusOps.logProbSql,
+    "q_text_entropy"       -> CorpusOps.tokenEntropySql,
     "q_dedup_incremental"  -> Dedup.incrementalNewSql,
     "q_multimodal_meta"    -> Multimodal.mediaMetaSql,
     "q_multimodal_frames"  -> Multimodal.mediaFramesSql,

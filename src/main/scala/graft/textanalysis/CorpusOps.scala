@@ -230,6 +230,51 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- entropy
+
+  /** Token Shannon entropy per document: −Σ p·ln p over the document's
+    * own token distribution — low entropy = repetitive/templated text,
+    * complementing [[repetitionStats]] (n-gram level) and TTR. Per-token
+    * counts come from an in-row filter over the token array (O(distinct·
+    * len) per row, bounded by document length); each p·ln p term is
+    * rounded at the transcendental AND cast to `decimal(28,12)` — the
+    * decimal cast canonicalizes the grid value (the engines' round()
+    * implementations land an ulp apart: BigDecimal HALF_UP vs double-
+    * arithmetic x·1e10 — seen as 325/500 mismatches without the cast),
+    * and the per-doc decimal SUM is exact, so neither partial-agg order
+    * nor distinct-array order can move the result. `0.0 − sum` (not
+    * unary negation) keeps a zero-entropy doc at +0.0 in both engines.
+    * Output: (doc_id, n_tokens, entropy).
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val n = size(t)
+    val p = size(filter(t, x => x === col("w"))).cast("double") /
+      col("n").cast("double")
+    val term = round(p * log(p), 10).cast("decimal(28,12)")
+    docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(n > 0)
+      .select(col("doc_id"), col("t"), n.as("n"),
+        explode(array_distinct(t)).as("w"))
+      .groupBy("doc_id")
+      .agg(first(col("n")).cast("int").as("n_tokens"),
+        (lit(0.0) - sum(term).cast("double")).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val tokenEntropySql: String = {
+    val p = "CAST(len(list_filter(t, x -> x = w)) AS DOUBLE) / CAST(n AS DOUBLE)"
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
+        g AS (SELECT doc_id, t, len(t) AS n, unnest(list_distinct(t)) AS w
+          FROM f WHERE len(t) > 0)
+        SELECT doc_id, CAST(n AS INT) AS n_tokens,
+          CAST(0.0 AS DOUBLE)
+            - CAST(sum(CAST(round(($p) * ln($p), 10) AS DECIMAL(28,12)))
+                AS DOUBLE) AS entropy
+        FROM g GROUP BY doc_id, n ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------------- logprob
 
   /** Unigram language-model score per document: mean add-one-smoothed
