@@ -337,13 +337,17 @@ object Relational {
     * gate; the sketch twin (`q_approx_stats`) shows the HLL swap.
     */
   def profileDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.loadSpread(spark, dir, "documents", "doc_id")
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // aggregate in the column's NATIVE type, stringify the RESULT —
+    // min(cast-to-string) would rank numerics lexicographically
+    // ("99" > "499"), and the unified string output type is only needed
+    // after the aggregation
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
       count_distinct(col(c)).as(s"${c}_distinct"),
-      min(col(c).cast("string")).as(s"${c}_min"),
-      max(col(c).cast("string")).as(s"${c}_max")))
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
     val stackArgs = cols.map(c =>
       s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
     d.agg(aggs.head, aggs.tail: _*)
@@ -358,8 +362,8 @@ object Relational {
       s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
             AS ${c}_nulls,
           CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_distinct,
-          min(CAST($c AS VARCHAR)) AS ${c}_min,
-          max(CAST($c AS VARCHAR)) AS ${c}_max""").mkString(", ")
+          CAST(min($c) AS VARCHAR) AS ${c}_min,
+          CAST(max($c) AS VARCHAR) AS ${c}_max""").mkString(", ")
     val rows = cols.map(c =>
       s"""SELECT '$c' AS col_name, ${c}_nulls AS n_nulls,
           ${c}_distinct AS n_distinct, ${c}_min AS min_val,

@@ -103,6 +103,46 @@ class CorpusOpsSpec extends SparkSpec {
       s"P25 gate dropped $dropped of $total")
   }
 
+  test("profiler: native-type min/max, exact distincts, null counts") {
+    val dir = writeDocs(Seq(1L -> "beta", 2L -> "alpha", 10L -> "alpha"))
+    val got = graft.relational.Relational.profileDocs(spark, dir)
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc_id max must be numeric 10, not lexicographic "2"
+    assert(got("doc_id") == (("doc_id", 0L, 3L, "1", "10")))
+    assert(got("text") == (("text", 0L, 2L, "alpha", "beta")))
+    assert(got("lang") == (("lang", 0L, 1L, "en", "en")))
+    // n_chars: 4 ("beta") and 5 ("alpha") — numeric min/max again
+    assert(got("n_chars") == (("n_chars", 0L, 2L, "4", "5")))
+  }
+
+  test("entropy: hand-computed -sum(p ln p) on a tiny doc") {
+    val dir = writeDocs(Seq(1L -> "a a b"))
+    val got = CorpusOps.tokenEntropy(spark, dir)
+      .as[(Long, Int, Double)].collect().head
+    def term(p: Double): BigDecimal =
+      BigDecimal(p * math.log(p)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val expected = -(term(2.0 / 3) + term(1.0 / 3)).toDouble
+    assert(got._2 == 3 && math.abs(got._3 - expected) < 1e-12, got.toString)
+    // uniform one-token doc: entropy exactly +0.0 (not -0.0)
+    val dir2 = writeDocs(Seq(2L -> "x x x"))
+    val zero = CorpusOps.tokenEntropy(spark, dir2)
+      .as[(Long, Int, Double)].collect().head._3
+    assert(zero == 0.0 && 1.0 / zero > 0, "entropy of a constant doc is +0.0")
+  }
+
+  test("logprob: hand-computed add-one-smoothed unigram means") {
+    // corpus tokens: a×2, b×2 → N=4, V=2; every token has c=2, so each
+    // log-prob is ln(3/6) and every doc's mean equals it
+    val dir = writeDocs(Seq(1L -> "a a b", 2L -> "b"))
+    val lp = BigDecimal(math.log(3.0 / 6.0))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.logProb(spark, dir)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toList
+    assert(got.map(r => (r._1, r._2)) == List((1L, 3), (2L, 1)))
+    got.foreach(r => assert(math.abs(r._3 - lp) < 1e-12, r.toString))
+  }
+
   test("oov: tokens outside the top-V vocabulary are counted") {
     // 25 distinct words; V=20 ⇒ the 5 rarest are OOV. Frequent words
     // appear in many docs, rare ones in one each.
