@@ -76,6 +76,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(one.map(c => (c._2, c._3)) == List((0, 3)))
   }
 
+  test("chunks: coverage/containment invariants hold for every length 1..300") {
+    val dir = writeDocs((1 to 300).map(n =>
+      n.toLong -> (1 to n).map(i => s"t$i").mkString(" ")))
+    val byDoc = CorpusOps.slidingChunks(spark, dir)
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(_._1).map { case (d, cs) => d -> cs.sortBy(_._2) }
+    assert(byDoc.size == 300)
+    val (c, s) = (CorpusOps.ChunkSize, CorpusOps.ChunkStride)
+    byDoc.foreach { case (docId, cs) =>
+      val n = docId.toInt
+      // consecutive indices from 0
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq, s"doc $n gaps")
+      // every chunk but the last is full; the last ends exactly at n
+      cs.init.foreach(ch => assert(ch._3 == c, s"doc $n short mid-chunk"))
+      val last = cs.last
+      assert(last._2 * s + last._3 == n, s"doc $n not covered to the end")
+      // no chunk is fully contained in its predecessor
+      if (cs.length > 1)
+        assert((cs.length - 2) * s + c < n, s"doc $n contained tail chunk")
+    }
+  }
+
   test("incremental: only content absent from the prior batch survives") {
     // doc_id % 10 ∈ {8,9} is the new batch; 18 duplicates prior doc 1's
     // text, 8 is genuinely new, 9 duplicates ANOTHER new doc's text (both
