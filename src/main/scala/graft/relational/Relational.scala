@@ -114,6 +114,54 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q5 proper — local supplier volume: the 6-table join whose
+    * distinguishing feature is the CYCLE condition `c_nationkey =
+    * s_nationkey` (customer and supplier must share a nation), closing
+    * the join graph rather than chaining it. Plan shape: the one
+    * fact-fact shuffle (lineitem ⋈ orders, 8-byte orderkey) with the
+    * date filter pushed into the orders scan, then broadcast hops for
+    * customer/supplier/nation/region — the cycle condition rides the
+    * supplier broadcast join as a second equality, costing no extra
+    * exchange. Revenue cent-floored in the decimal domain.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .where(o("o_orderdate") >= expr("TIMESTAMP '1995-01-01'") &&
+        o("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(r("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg((floor(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))) * 100)
+        .cast("double") / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS DOUBLE) / 100.0
+         AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
   /** TPC-H Q3-shaped shipping-priority query driven ENTIRELY through the
     * `spark.sql` entry point over registered views — the engine's SQL API
     * surface, exercised end-to-end. One SQL text serves both engines (the
