@@ -26,6 +26,7 @@ object SparkEntry {
     "q_join_segment"       -> Relational.joinRevenueBySegment _,
     "q_join_nation"        -> Relational.joinRevenueByNation _,
     "q_join_q5"            -> Relational.localSupplierVolume _,
+    "q_small_qty"          -> Relational.smallQuantityRevenue _,
     "q_join_semi"          -> Relational.joinSemi _,
     "q_join_anti"          -> Relational.joinAnti _,
     "q_join_outer"         -> Relational.joinOuterLineCounts _,
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_join_segment"       -> Relational.joinRevenueBySegmentSql,
     "q_join_nation"        -> Relational.joinRevenueByNationSql,
     "q_join_q5"            -> Relational.localSupplierVolumeSql,
+    "q_small_qty"          -> Relational.smallQuantityRevenueSql,
     "q_join_semi"          -> Relational.joinSemiSql,
     "q_join_anti"          -> Relational.joinAntiSql,
     "q_join_outer"         -> Relational.joinOuterLineCountsSql,

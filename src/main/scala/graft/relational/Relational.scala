@@ -162,6 +162,40 @@ object Relational {
          AND o_orderdate < TIMESTAMP '1997-01-01'
        GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
+  /** TPC-H Q17-shaped small-quantity revenue — the DECORRELATED form of
+    * the correlated scalar subquery (`l_quantity < 0.5 * (SELECT avg …
+    * WHERE same part)`): aggregate per part, join back to the fact table,
+    * filter, re-aggregate. Both sides of the self-join shuffle on the
+    * same 8-byte partkey, so the scan+exchange subtree is shared; the
+    * per-part average is a single exact-int-derived double division and
+    * the strict `<` comparison is engine-deterministic. Output: one row
+    * (cent-floored revenue of small-quantity lines, line count).
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val pa = l.groupBy("l_partkey")
+      .agg((sum(dec2(col("l_quantity"))).cast("double") /
+        count(lit(1)).cast("double")).as("avg_qty"))
+    l.join(pa, Seq("l_partkey"))
+      .where(col("l_quantity").cast("double") < lit(0.5) * col("avg_qty"))
+      .agg(
+        (floor(sum(dec2(col("l_extendedprice"))) * 100).cast("double") / 100.0)
+          .as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val smallQuantityRevenueSql: String =
+    """WITH pa AS (
+         SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_qty
+         FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
+           AS DOUBLE) / 100.0 AS small_qty_revenue,
+         CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey
+       WHERE CAST(l_quantity AS DOUBLE) < 0.5 * avg_qty"""
+
   /** TPC-H Q3-shaped shipping-priority query driven ENTIRELY through the
     * `spark.sql` entry point over registered views — the engine's SQL API
     * surface, exercised end-to-end. One SQL text serves both engines (the
