@@ -165,11 +165,15 @@ object Relational {
   /** TPC-H Q17-shaped small-quantity revenue — the DECORRELATED form of
     * the correlated scalar subquery (`l_quantity < 0.5 * (SELECT avg …
     * WHERE same part)`): aggregate per part, join back to the fact table,
-    * filter, re-aggregate. Both sides of the self-join shuffle on the
-    * same 8-byte partkey, so the scan+exchange subtree is shared; the
-    * per-part average is a single exact-int-derived double division and
-    * the strict `<` comparison is engine-deterministic. Output: one row
-    * (cent-floored revenue of small-quantity lines, line count).
+    * filter, re-aggregate. Plan (verified): two column-pruned scans of
+    * the fact table — (partkey, quantity) for the aggregate, (partkey,
+    * quantity, price) for the probe — with the per-part averages
+    * map-side partial-aggregated into one partkey exchange; the join
+    * back is a broadcast while the part dimension fits (it does here)
+    * and a partkey shuffle join at scale. The per-part average is a
+    * single exact-int-derived double division and the strict `<`
+    * comparison is engine-deterministic. Output: one row (cent-floored
+    * revenue of small-quantity lines, line count).
     */
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
