@@ -114,7 +114,9 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** TPC-H Q5 proper — local supplier volume: the 6-table join whose
+  /** TPC-H Q5-shaped local supplier volume (the date window spans two
+    * years where spec Q5 uses one — same plan shape, different
+    * selectivity): the 6-table join whose
     * distinguishing feature is the CYCLE condition `c_nationkey =
     * s_nationkey` (customer and supplier must share a nation), closing
     * the join graph rather than chaining it. Plan shape: the one
