@@ -220,6 +220,43 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming incremental corpus ingestion via `foreachBatch` — the
+    * batch [[graft.dedup.Dedup.incrementalNew]] semantics applied to a
+    * live stream: each micro-batch (1) dedups WITHIN itself on the
+    * binary content digest (min doc_id wins, like the batch exact
+    * dedup), (2) LEFT ANTI joins the already-ingested digest set, and
+    * (3) appends survivors to the sink. Unlike
+    * `dropDuplicatesWithinWatermark`, the dedup horizon is the WHOLE
+    * ingested corpus (digests are compact enough to keep), not a
+    * watermark window — this is the steady-state training-data
+    * ingestion path. foreachBatch gives batch-DataFrame powers (the
+    * anti join against an arbitrary table) at micro-batch cadence; the
+    * sink table is the only state, so a restart resumes from whatever
+    * was committed.
+    *
+    * @param docs  streaming DataFrame with (doc_id LONG, text STRING)
+    * @param sink  directory of the ingested-corpus parquet table
+    */
+  def incrementalIngest(docs: DataFrame, sink: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val hashed = batch
+        .select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("content_hash"))
+        .withColumn("digest", unhex(col("content_hash")))
+        .groupBy("digest")
+        .agg(min("doc_id").as("doc_id"), first("content_hash").as("content_hash"))
+      val fresh =
+        if (new java.io.File(sink).exists()) {
+          val prior = spark.read.parquet(sink).select("digest")
+          hashed.join(prior, Seq("digest"), "left_anti")
+        } else hashed
+      fresh.select("digest", "doc_id", "content_hash")
+        .write.mode("append").parquet(sink)
+      ()
+    }.start()
+
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -236,6 +236,26 @@ class StreamingSpec extends SparkSpec {
     assert(bucketized == direct && bucketized.nonEmpty)
   }
 
+  test("foreachBatch incremental ingest dedups against the whole ingested corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("ingest").toString + "/corpus"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.incrementalIngest(docs, sink)
+    try {
+      // batch 1: two docs, one internal duplicate pair (min id wins)
+      mem.addData((1L, "alpha text"), (2L, "beta text"), (5L, "alpha text"))
+      q.processAllAvailable()
+      // batch 2: one dup of an already-ingested doc + one genuinely new —
+      // the dedup horizon is the whole corpus, NOT a watermark window
+      mem.addData((7L, "beta text"), (8L, "gamma text"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(sink)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 8L), s"ingested $got")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
