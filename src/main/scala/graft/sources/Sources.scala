@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface beyond the reference's JSON-lines + text part files
@@ -53,6 +54,60 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Morton (Z-order) interleave of two integer keys, as a pure codegen'd
+    * Column expression: bit i of `a` lands at result bit 2i, bit i of `b`
+    * at 2i+1, via the standard 5-step magic-mask spread. Inputs are
+    * truncated to their low 31 bits so the result stays a positive
+    * signed long (ordering-safe); at 100 TB layout keys are bucketed far
+    * coarser than 31 bits anyway.
+    */
+  def zorder2(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      val steps = Seq(
+        16 -> 0x0000FFFF0000FFFFL,
+        8  -> 0x00FF00FF00FF00FFL,
+        4  -> 0x0F0F0F0F0F0F0F0FL,
+        2  -> 0x3333333333333333L,
+        1  -> 0x5555555555555555L)
+      steps.foldLeft(c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
+        case (x, (s, mask)) =>
+          x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
+      }
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered layout: range-partition + sort by the Morton key of two
+    * filter columns, then write. Every output file then covers a compact
+    * rectangle in (colA, colB) space, so parquet min/max stats prune
+    * files for predicates on EITHER column — the multi-dimensional
+    * data-skipping a single-column sort cannot give (sorting by A leaves
+    * B uniform across every file).
+    *
+    * Both axes are first NORMALIZED to a 16-bit grid from their observed
+    * min/max (one tiny agg action): raw interleaving degenerates to
+    * wider-axis-major ordering whenever the domains have unequal bit
+    * widths (a 13-bit orderkey vs an 8-bit custkey leaves the narrow
+    * axis unbounded per file — caught by `SourcesSpec`'s range
+    * measurement). Exact long arithmetic; constant columns map to 0.
+    */
+  def writeZOrdered(
+      df: DataFrame, colA: String, colB: String, path: String,
+      nFiles: Int): Unit = {
+    val Seq(loA, hiA, loB, hiB) = df
+      .agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+        min(col(colB)).cast("long"), max(col(colB)).cast("long"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long])
+    def grid(c: Column, lo: Long, hi: Long): Column =
+      ((c.cast("long") - lit(lo)) * lit(65535L)) / lit(math.max(hi - lo, 1L))
+    df.withColumn("_z",
+        zorder2(grid(col(colA), loA, hiA), grid(col(colB), loB, hiB)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Compact a directory into `nFiles` parquet files — the small-files
     * remedy (a 100 TB table accreted from streaming micro-batches ends up

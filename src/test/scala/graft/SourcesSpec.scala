@@ -74,4 +74,49 @@ class SourcesSpec extends SparkSpec {
     assert(!filtered.queryExecution.executedPlan.toString.contains("Filter ("),
       "partition filter should be pruned at the source, not post-scan")
   }
+
+  test("zorder2 matches a bit-interleave reference on small values") {
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (123456L, 654321L),
+      (0x7FFFFFFFL, 0x7FFFFFFFL), (0xFFFFFFFFL, 2L)) // high bits truncated
+    val got = cases.toDF("a", "b")
+      .select(Sources.zorder2(col("a"), col("b"))).as[Long].collect().toSeq
+    val want = cases.map { case (a, b) => ref(a & 0x7FFFFFFFL, b & 0x7FFFFFFFL) }
+    assert(got == want, s"$got vs $want")
+    assert(got.forall(_ >= 0L), "zorder keys must stay positive for ordering")
+  }
+
+  test("z-ordered layout bounds per-file ranges on BOTH columns") {
+    val dir = Files.createTempDirectory("graft_z").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    Sources.writeZOrdered(df, "o_orderkey", "o_custkey", s"$dir/z", nFiles = 8)
+    // single-column-sorted baseline: perfect on A, useless on B
+    df.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/a")
+    def avgRange(path: String, c: String): Double = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(avg("r")).as[Double].head()
+      r
+    }
+    val (gkMax, gcMax) = (df.agg(max("o_orderkey")).as[Long].head(),
+      df.agg(max("o_custkey")).as[Long].head())
+    // z-layout: each file covers a fraction of BOTH axes
+    assert(avgRange(s"$dir/z", "o_orderkey") < gkMax * 0.7,
+      "z layout should bound the orderkey axis")
+    assert(avgRange(s"$dir/z", "o_custkey") < gcMax * 0.7,
+      "z layout should bound the custkey axis")
+    // the single-column layout leaves the OTHER axis unbounded (~full range)
+    assert(avgRange(s"$dir/a", "o_custkey") > gcMax * 0.9,
+      "sanity: A-sorted layout cannot bound the B axis")
+  }
 }
