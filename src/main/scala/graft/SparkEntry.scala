@@ -85,6 +85,7 @@ object SparkEntry {
     "q_text_tokenstats"    -> TextAnalysis.tokenStats _,
     "q_text_quality"       -> TextAnalysis.qualityScore _,
     "q_text_langid"        -> TextAnalysis.langId _,
+    "q_langid_confusion"   -> TextAnalysis.langIdConfusion _,
     "q_text_fingerprint"   -> TextAnalysis.fingerprints _,
     "q_text_pmi"           -> TextAnalysis.pmiPairs _,
     "q_corpus_clean"       -> TextAnalysis.corpusClean _,
@@ -164,6 +165,7 @@ object SparkEntry {
     "q_text_tokenstats"    -> TextAnalysis.tokenStatsSql,
     "q_text_quality"       -> TextAnalysis.qualityScoreSql,
     "q_text_langid"        -> TextAnalysis.langIdSql,
+    "q_langid_confusion"   -> TextAnalysis.langIdConfusionSql,
     "q_text_fingerprint"   -> TextAnalysis.fingerprintsSql,
     "q_text_pmi"           -> TextAnalysis.pmiPairsSql,
     "q_corpus_clean"       -> TextAnalysis.corpusCleanSql,

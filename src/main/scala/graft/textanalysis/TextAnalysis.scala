@@ -183,6 +183,25 @@ object TextAnalysis {
         FROM s ORDER BY doc_id"""
   }
 
+  /** Language-ID confusion matrix — the evaluation surface over
+    * [[langId]]: (actual, predicted, n) cells, the aggregation any
+    * classifier in the pipeline gets judged by. One tiny groupBy over
+    * the per-doc predictions; the oracle reuses the langId twin
+    * verbatim as a CTE, so the eval can never drift from the model.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), toks(col("text")).as("t"))
+      .select(col("lang"), predLangExpr.as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  val langIdConfusionSql: String =
+    s"""WITH p AS ($langIdSql)
+        SELECT lang, pred_lang, count(*) AS n
+        FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+
   // -------------------------------------------------------------- tf-idf
 
   /** TF-IDF with top-3 terms per document: tf = term count / doc length,
