@@ -22,11 +22,15 @@ object Hashing {
     */
   val P: Long = 2147483647L
 
-  /** First 48 bits of md5 as a non-negative Long.
+  /** First 48 bits of md5 as a non-negative Long, via the fused
+    * codegen'd [[H48]] expression (bit-identical to the composed
+    * `conv(substring(md5(c),1,12),16,10)` spelling, minus the per-row
+    * hex round-trip — HashingSpec pins the equivalence).
     * DuckDB twin: `('0x' || substr(md5(x), 1, 12))::BIGINT`.
     */
   def h48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    org.apache.spark.sql.GraftSqlBridge.column(
+      H48(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
   /** Driver-side twin of [[h48]] — same md5-prefix integer, computed on
     * the JVM (used to pre-bake literal constants like LSH hyperplanes so
