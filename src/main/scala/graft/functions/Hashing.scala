@@ -38,11 +38,7 @@ object Hashing {
     */
   def h48String(s: String): Long = h48Bytes(s.getBytes("UTF-8"))
 
-  def h48Bytes(bytes: Array[Byte]): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).take(6).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
-  }
+  def h48Bytes(bytes: Array[Byte]): Long = H48.compute(bytes)
 
   /** h48 reduced mod P — the universal-hash input domain. */
   def h48p(c: Column): Column = h48(c) % P

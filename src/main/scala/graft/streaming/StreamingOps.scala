@@ -232,7 +232,9 @@ object StreamingOps {
     * ingestion path. foreachBatch gives batch-DataFrame powers (the
     * anti join against an arbitrary table) at micro-batch cadence; the
     * sink table is the only state, so a restart resumes from whatever
-    * was committed.
+    * was committed. Persisted state is (digest BINARY, doc_id LONG)
+    * only — the hex rendering is derivable (`hex(digest)`) and storing
+    * it would triple the footprint of a table that is re-read forever.
     *
     * @param docs  streaming DataFrame with (doc_id LONG, text STRING)
     * @param sink  directory of the ingested-corpus parquet table
@@ -243,19 +245,35 @@ object StreamingOps {
       val spark = batch.sparkSession
       val hashed = batch
         .select(col("doc_id"),
-          md5(coalesce(col("text"), lit(""))).as("content_hash"))
-        .withColumn("digest", unhex(col("content_hash")))
+          unhex(md5(coalesce(col("text"), lit("")))).as("digest"))
         .groupBy("digest")
-        .agg(min("doc_id").as("doc_id"), first("content_hash").as("content_hash"))
+        .agg(min("doc_id").as("doc_id"))
       val fresh =
-        if (new java.io.File(sink).exists()) {
+        if (sinkHasData(spark, sink)) {
           val prior = spark.read.parquet(sink).select("digest")
           hashed.join(prior, Seq("digest"), "left_anti")
         } else hashed
-      fresh.select("digest", "doc_id", "content_hash")
+      fresh.select("digest", "doc_id")
         .write.mode("append").parquet(sink)
       ()
     }.start()
+
+  /** True when `sink` already holds data files. Goes through the Hadoop
+    * FileSystem API so the check is correct on ANY supported filesystem
+    * (hdfs://, s3a://, local) — a `java.io.File` probe is local-only and
+    * would silently skip the anti join forever on a distributed store.
+    * Requires at least one non-hidden data file, so a pre-created empty
+    * sink directory doesn't crash batch 0's `read.parquet` with
+    * "unable to infer schema".
+    */
+  private def sinkHasData(spark: SparkSession, sink: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(sink)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
 
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)

@@ -186,13 +186,14 @@ object TextAnalysis {
   /** Language-ID confusion matrix — the evaluation surface over
     * [[langId]]: (actual, predicted, n) cells, the aggregation any
     * classifier in the pipeline gets judged by. One tiny groupBy over
-    * the per-doc predictions; the oracle reuses the langId twin
-    * verbatim as a CTE, so the eval can never drift from the model.
+    * the per-doc predictions; BOTH engines reuse their langId twin
+    * verbatim (Spark calls [[langId]], the oracle CTEs [[langIdSql]]),
+    * so the eval can never drift from the model it evaluates.
+    * langId's inner doc_id sort is dead under the groupBy and
+    * Catalyst's EliminateSorts removes it from the plan.
     */
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("lang"), toks(col("text")).as("t"))
-      .select(col("lang"), predLangExpr.as("pred_lang"))
+    langId(spark, dir)
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
