@@ -90,7 +90,7 @@ object Dedup {
       .where(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shsExpr).as("shingle_h"))
 
-  private val duckShingles =
+  private[graft] val duckShingles =
     s"""toks AS ($duckTokens),
         sh AS (
           SELECT doc_id,
@@ -541,6 +541,34 @@ object Dedup {
           SELECT e2.u, lab.root FROM e2, lab WHERE e2.v = lab.doc)
         SELECT doc AS doc_id, min(root) AS canonical_id
         FROM lab GROUP BY doc ORDER BY doc_id"""
+
+  /** The corpus-level dedup MATERIALIZATION a pipeline actually ships:
+    * every document labeled with its near-dup canonical (itself when
+    * unclustered) and whether it SURVIVES dedup (doc == canonical). The
+    * downstream "write the deduped corpus" step is then one
+    * `where(kept)` — this query is the full decision table, so the oracle
+    * gate pins every keep/drop decision, not just the pair list. One
+    * left join of the (tiny) cluster labels onto the doc-id spine; at
+    * 100 TB the labels side is |clustered docs| ≪ corpus and broadcasts.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.model.Tables.loadSpread(spark, dir, "documents", "doc_id")
+      .select("doc_id")
+    val labels = nearDupClusters(spark, dir)
+    d.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("kept", col("doc_id") === col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSurvivorsSql: String =
+    s"""WITH cl AS ($nearDupClustersSql)
+        SELECT d.doc_id,
+          COALESCE(cl.canonical_id, d.doc_id) AS canonical_id,
+          d.doc_id = COALESCE(cl.canonical_id, d.doc_id) AS kept
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
 
   // ------------------------------------------------------------ embedding
 

@@ -202,6 +202,47 @@ object Relational {
        FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey
        WHERE CAST(l_quantity AS DOUBLE) < 0.5 * avg_qty"""
 
+  /** TPC-H Q18-shaped large-volume customers: orders whose total line
+    * quantity exceeds 300, joined back to orders and customer, top 100 by
+    * totalprice. The quantity HAVING runs in the exact decimal domain
+    * (double sums are accumulation-order-dependent — a row near the
+    * threshold could flip sides between engines). Plan shape: the
+    * lineitem aggregate partial-aggregates map-side and shuffles on the
+    * 8-byte orderkey; the surviving keys (~0.5% of orders) join orders on
+    * the SAME key — AQE plans the post-HAVING side broadcast at any SF
+    * where it fits — then the small result joins customer. At 100 TB the
+    * only full-data movement is the one lineitem exchange.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("d_qty"))
+      .where(col("d_qty") > 300)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        col("o_totalprice"),
+        col("d_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val bigOrdersSql: String =
+    """WITH big AS (
+         SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS d_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+       SELECT c.c_name, c.c_custkey, o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS o_date, o.o_totalprice,
+         CAST(big.d_qty AS DOUBLE) AS total_qty
+       FROM big
+       JOIN orders o ON o.o_orderkey = big.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"""
+
   /** TPC-H Q3-shaped shipping-priority query driven ENTIRELY through the
     * `spark.sql` entry point over registered views — the engine's SQL API
     * surface, exercised end-to-end. One SQL text serves both engines (the
@@ -1040,17 +1081,45 @@ object Relational {
     * remain the correctness anchors, same twin pattern as
     * `q_dedup_embed_lsh` vs the brute-force audit).
     *
-    * No DuckDB oracle twin: sketch estimates are engine-specific (the
-    * driver records the weaker rows-only check); ApproxSpec bounds the
-    * estimates against the exact queries instead.
+    * Oracle contract: raw sketch estimates are engine-specific, so the
+    * declared output carries (a) engine-exact columns (`n_events`,
+    * `exact_users`) the oracle recomputes directly, and (b) error-bound
+    * BOOLEANS — Spark's estimate vs Spark's own exact aggregate in the
+    * same plan — that the oracle asserts as `TRUE`. The bounds are 5×
+    * the configured sketch error, so a regression in either sketch flips
+    * a boolean and fails the hash gate, while healthy estimates never
+    * will (HLL++ rsd 0.01 → 5σ; quantile-summary rank error n·1e-4 on
+    * ≥3-decile-wide buckets). ApproxSpec additionally bounds the raw
+    * estimates at tighter tolerances.
     */
-  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+  /** Raw sketch estimates alongside their exact anchors — the surface
+    * ApproxSpec bounds at tighter-than-declared tolerances.
+    */
+  def approxStatsRaw(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
     e.groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+        count_distinct(col("user_id")).as("exact_users"),
+        expr("percentile(value, 0.5d)").as("exact_median"),
         count(lit(1)).as("n_events"))
-      .orderBy("event_type")
   }
+
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    approxStatsRaw(spark, dir)
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("users_within_5pct"),
+        (abs(col("approx_median") - col("exact_median"))
+          <= abs(col("exact_median")) * 0.05 + lit(1e-9)).as("median_within_5pct"))
+      .orderBy("event_type")
+
+  val approxStatsSql: String =
+    """SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS users_within_5pct,
+       TRUE AS median_within_5pct
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }

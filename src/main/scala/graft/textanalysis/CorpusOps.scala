@@ -426,4 +426,57 @@ object CorpusOps {
           CAST(len(list_filter(t, w -> NOT list_contains(va, w))) AS DOUBLE)
             / CAST(len(t) AS DOUBLE) AS oov_frac
         FROM f2, va ORDER BY doc_id"""
+
+  // -------------------------------------------------------- contamination
+
+  /** Benchmark DECONTAMINATION: for every eval-split ("test") document,
+    * the fraction of its distinct word-3-gram shingles that also occur
+    * anywhere in the train split — the n-gram-overlap check run before
+    * training to keep eval benchmarks out of the training corpus
+    * (complements [[splitLeakage]], which flags whole near-dup documents;
+    * this measures PARTIAL overlap at n-gram granularity).
+    *
+    * Plan shape for 100 TB: shingles are 48-bit longs
+    * ([[graft.dedup.Dedup.shingles]] — in-row hash + distinct), so the
+    * train-set distinct and the semi join both move 8-byte keys. The hit
+    * count is a LEFT SEMI join (per eval shingle: does it exist in train?
+    * — never multiplies rows, so a shingle shared by millions of train
+    * docs costs one probe, not a pair explosion), followed by one
+    * partial-aggregated groupBy(doc_id). Output:
+    * (doc_id, n_shingles, n_contaminated, contamination_rate).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(docs(spark, dir))
+      .withColumn("split", TextAnalysis.splitExpr(col("doc_id")))
+    val train = sh.where(col("split") === "train").select("shingle_h").distinct()
+    val ev = sh.where(col("split") === "test").select("doc_id", "shingle_h")
+    val totals = ev.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = ev.join(train, Seq("shingle_h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String = {
+    val split = TextAnalysis.duckSplitExpr("doc_id")
+    s"""WITH ${graft.dedup.Dedup.duckShingles},
+        labeled AS (SELECT doc_id, shingle_h, $split AS split FROM sh),
+        train AS (SELECT DISTINCT shingle_h FROM labeled
+                  WHERE split = 'train'),
+        ev AS (SELECT doc_id, shingle_h FROM labeled WHERE split = 'test'),
+        tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id),
+        hit AS (SELECT doc_id, count(*) AS n_contaminated FROM ev
+                WHERE shingle_h IN (SELECT shingle_h FROM train)
+                GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_shingles,
+          COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+          CAST(COALESCE(hit.n_contaminated, 0) AS DOUBLE)
+            / CAST(tot.n_shingles AS DOUBLE) AS contamination_rate
+        FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        ORDER BY tot.doc_id"""
+  }
 }

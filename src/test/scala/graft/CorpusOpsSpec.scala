@@ -178,4 +178,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L)._3 == 0)
     assert(got(11L)._2 == 25 && got(11L)._3 == 5 && got(11L)._4 == 0.2)
   }
+
+  test("contamination: eval 3-gram overlap against the train split") {
+    // label candidate ids with the SAME split expression the operator
+    // applies, then craft: an eval doc copying a train doc (rate 1), a
+    // clean eval doc (rate 0), and a partial-overlap eval doc (1 of 4)
+    val splits = spark.range(1, 80)
+      .select(col("id"),
+        graft.textanalysis.TextAnalysis.splitExpr(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val trainId = (1L until 80L).find(splits(_) == "train").get
+    val testIds = (1L until 80L).filter(splits(_) == "test")
+    val Seq(copyId, cleanId, partId) = testIds.take(3).toSeq
+    val trainText = "alpha beta gamma delta epsilon zeta"
+    val dir = writeDocs(Seq(
+      trainId -> trainText,
+      copyId  -> trainText,
+      cleanId -> "omega psi chi phi upsilon tau",
+      partId  -> "alpha beta gamma nope1 nope2 nope3"))
+    val got = CorpusOps.contamination(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(trainId), "train docs must not be scored")
+    assert(got(copyId)._4 == 1.0)
+    assert(got(cleanId) == ((cleanId, 4L, 0L, 0.0)))
+    // partial doc's 4 shingles share exactly "alpha beta gamma" with train
+    assert(got(partId) == ((partId, 4L, 1L, 0.25)))
+  }
 }

@@ -167,4 +167,28 @@ class DedupSpec extends SparkSpec {
     val recall = lsh.size.toDouble / truth.size
     assert(recall >= 0.5, s"LSH recall $recall below design point")
   }
+
+  test("dedup survivors: total decision table, kept iff own canonical") {
+    val docs = graft.model.Tables.load(spark, sf, "documents")
+      .select("doc_id").as[Long].collect().toSet
+    val surv = Dedup.dedupSurvivors(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    // one decision per document, no extras
+    assert(surv.map(_._1).toSet == docs && surv.length == docs.size)
+    // kept is exactly doc == canonical; canonical is the cluster min so
+    // every removed doc points at a SMALLER surviving doc
+    val kept = surv.filter(_._3).map(_._1).toSet
+    for ((doc, canon, k) <- surv) {
+      assert(k == (doc == canon))
+      if (!k) {
+        assert(canon < doc)
+        assert(kept.contains(canon), s"$doc's canonical $canon was dropped")
+      }
+    }
+    // clustered docs carry the cluster labels verbatim
+    val labels = Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    for ((doc, canon, _) <- surv)
+      assert(labels.getOrElse(doc, doc) == canon)
+  }
 }

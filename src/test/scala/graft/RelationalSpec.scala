@@ -25,4 +25,22 @@ class RelationalSpec extends SparkSpec {
     assert(got == ((4L, 3L, 2L, 1L)),
       s"(n_users, n_viewed, n_clicked, n_converted) was $got")
   }
+
+  test("big orders: decimal-domain HAVING, ordered by totalprice desc") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val sf = "/root/testdata/sf0.001"
+    val rows = Relational.bigOrders(spark, sf)
+      .as[(String, Long, Long, java.sql.Date, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_._6 > 300.0))
+    val prices = rows.map(_._5)
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    // cross-check the top order's quantity against a direct decimal sum
+    val okey = rows.head._3
+    val expect = graft.model.Tables.load(spark, sf, "lineitem")
+      .where(col("l_orderkey") === okey)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+      .as[java.math.BigDecimal].head()
+    assert(expect.doubleValue == rows.head._6)
+  }
 }
