@@ -520,6 +520,81 @@ object Relational {
        count(*) AS n
        FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""
 
+  /** Weekly cohort RETENTION matrix: users grouped by their first-seen
+    * week, counted once per (cohort, offset) week they return in. All
+    * calendar math is integer division over the exact nanosecond
+    * timestamps (`ts_ns div ns-per-day`, then `div 7`) — no date/timezone
+    * semantics to disagree on across engines. Shuffle shape at 100 TB:
+    * one distinct over (user, day) — partial-aggregated, tiny value
+    * domain per user — then one groupBy(user) for the cohort and one
+    * shuffle-join back on the 8-byte user_id; the final matrix is
+    * O(weeks²) rows.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val act = e.select(col("user_id"),
+      expr("ts_ns div 86400000000000").as("d")).distinct()
+    val coh = act.groupBy("user_id").agg(min("d").as("d0"))
+    act.join(coh, "user_id")
+      .select(col("user_id"), expr("d0 div 7").as("cohort_week"),
+        expr("(d - d0) div 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+         epoch_ns(ts) // 86400000000000 AS d FROM events),
+       coh AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id),
+       w AS (SELECT DISTINCT act.user_id, d0 // 7 AS cohort_week,
+               (d - d0) // 7 AS week_offset
+             FROM act JOIN coh ON act.user_id = coh.user_id)
+       SELECT cohort_week, week_offset, count(*) AS n_users
+       FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+
+  /** Percentile-TRIMMED robust stats per event type — the outlier-robust
+    * cleaning pass (drop the tails beyond [p05, p95], re-aggregate).
+    * Trimming (drop) rather than winsorizing (clip): kept values are the
+    * raw 2-decimal inputs, so the mean accumulates in the exact decimal
+    * domain — a clipped value would be the interpolated double bound,
+    * whose decimal rounding Spark (HALF_UP) and DuckDB (half-even)
+    * disagree on. The bounds join is a broadcast (one row per event
+    * type); one partial-aggregated exchange does the rest.
+    */
+  def outlierTrim(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val bounds = e.groupBy("event_type").agg(
+      percentile(col("value"), lit(0.05)).as("p05"),
+      percentile(col("value"), lit(0.95)).as("p95"))
+    val inRange = col("value").between(col("p05"), col("p95"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(inRange, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(inRange, dec2(col("value")))).as("s"))
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        (col("s").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
+  val outlierTrimSql: String =
+    """WITH b AS (SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+         FROM events GROUP BY event_type)
+       SELECT e.event_type, count(*) AS n_total,
+         CAST(sum(CASE WHEN e.value BETWEEN b.p05 AND b.p95
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN e.value BETWEEN b.p05 AND b.p95
+             THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(sum(CASE WHEN e.value BETWEEN b.p05 AND b.p95
+               THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean
+       FROM events e JOIN b ON e.event_type = b.event_type
+       GROUP BY e.event_type ORDER BY e.event_type"""
+
   /** Per-stratum sampling fractions, in thousandths so the keep test is
     * pure integer arithmetic: a training-data REBALANCING pass (keep every
     * purchase, drop 90% of error noise).
@@ -1094,16 +1169,26 @@ object Relational {
     */
   /** Raw sketch estimates alongside their exact anchors — the surface
     * ApproxSpec bounds at tighter-than-declared tolerances.
+    *
+    * The sketches and the exact anchors aggregate in SEPARATE plans
+    * joined on the tiny group key: `count_distinct` alongside other
+    * aggregates triggers Catalyst's Expand rewrite (every input row
+    * duplicated per aggregate family), which drags the sketch
+    * accumulators over the expanded rows too — measured 8× slower
+    * fused than the two-pass join at sf0.1.
     */
   def approxStatsRaw(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
-    e.groupBy("event_type")
+    val approx = e.groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx_median"),
-        count_distinct(col("user_id")).as("exact_users"),
-        expr("percentile(value, 0.5d)").as("exact_median"),
         count(lit(1)).as("n_events"))
+    val exact = e.groupBy("event_type")
+      .agg(
+        count_distinct(col("user_id")).as("exact_users"),
+        expr("percentile(value, 0.5d)").as("exact_median"))
+    approx.join(exact, "event_type")
   }
 
   def approxStats(spark: SparkSession, dir: String): DataFrame =
