@@ -520,6 +520,40 @@ object Relational {
        count(*) AS n
        FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""
 
+  /** ARGMIN join: the cheapest supplier per part, from lineitem prices —
+    * the "pick the extreme row per group" pattern (TPC-H Q2's correlated
+    * min-cost subquery, reshaped for the tables at hand). One aggregate
+    * with `min(struct(price, suppkey))`: the struct's lexicographic order
+    * gives the min price with the LOWEST suppkey as deterministic
+    * tie-break, in the same single partial-aggregated exchange as the
+    * row count — no self-join back onto lineitem, no window sort over
+    * every group member (the row_number form sorts each group; the
+    * struct-min carries one candidate per map partition). Raw doubles
+    * compare exactly (no accumulation), so the oracle's row_number twin
+    * picks the identical row.
+    */
+  def argminSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.groupBy("l_partkey")
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"),
+        count(lit(1)).as("n_lines"))
+      .select(col("l_partkey"),
+        col("m.l_suppkey").as("best_supp"),
+        col("m.l_extendedprice").as("best_price"),
+        col("n_lines"))
+      .orderBy("l_partkey")
+  }
+
+  val argminSupplierSql: String =
+    """SELECT l_partkey, best_supp, best_price, n_lines FROM (
+         SELECT l_partkey, l_suppkey AS best_supp,
+           l_extendedprice AS best_price,
+           count(*) OVER (PARTITION BY l_partkey) AS n_lines,
+           row_number() OVER (PARTITION BY l_partkey
+             ORDER BY l_extendedprice, l_suppkey) AS rn
+         FROM lineitem)
+       WHERE rn = 1 ORDER BY l_partkey"""
+
   /** Weekly cohort RETENTION matrix: users grouped by their first-seen
     * week, counted once per (cohort, offset) week they return in. All
     * calendar math is integer division over the exact nanosecond

@@ -346,6 +346,50 @@ object TextAnalysis {
         FROM p, n WHERE c12 >= $PmiMinCo
         ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK"""
 
+  // ------------------------------------------------------------ coverage
+
+  val CoverageTopK = 100
+
+  /** Cumulative VOCABULARY COVERAGE curve: what fraction of all token
+    * occurrences the top-k most frequent words cover, for k = 1..100 —
+    * the diminishing-returns curve behind vocabulary-size and stopword
+    * decisions. Plan: one term-frequency aggregate (partial map-side, one
+    * exchange on the word), `TakeOrdered` for the top 100, then the
+    * running sum windows over just those 100 rows (single tiny
+    * partition by construction — the full-vocab window never happens).
+    * The corpus total rides along as a one-row broadcast scalar (the
+    * tfidf/pmi pattern). Output: (rank, word, cnt, coverage).
+    */
+  def tokenCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum("cnt").as("total"))
+    val top = tf.orderBy(col("cnt").desc, col("w")).limit(CoverageTopK)
+    val ord = Window.orderBy(col("cnt").desc, col("w"))
+    top.crossJoin(broadcast(total))
+      .select(
+        row_number().over(ord).as("rank"),
+        col("w").as("word"), col("cnt"),
+        (sum("cnt").over(ord.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("total").cast("double")).as("coverage"))
+      .orderBy("rank")
+  }
+
+  val tokenCoverageSql: String =
+    s"""WITH tok AS (SELECT unnest($duckToks) AS w FROM documents),
+        tf AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT sum(cnt) AS total FROM tf),
+        top AS (SELECT w, cnt FROM tf ORDER BY cnt DESC, w
+                LIMIT $CoverageTopK)
+        SELECT row_number() OVER (ORDER BY cnt DESC, w) AS rank,
+          w AS word, cnt,
+          CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / CAST(total AS DOUBLE) AS coverage
+        FROM top, tot ORDER BY rank"""
+
   // ------------------------------------------------------------- curation
 
   val QualityThreshold = 0.35

@@ -38,12 +38,15 @@ class PlanAuditSpec extends SparkSpec {
     // q_sim_topk, the corpus-size N in q_text_tfidf and q_text_pmi, the
     // one-row top-V vocabulary array in q_text_oov, the one-row P25
     // threshold in q_quality_gate, the one-row (N, V) scalars in
-    // q_text_logprob.
+    // q_text_logprob, and q_ann_topk's one-row query vector re-attached
+    // after the candidate distinct.
     // Anything else — and any CartesianProduct — is an O(n²)-at-scale
     // regression.
     val singleRowBroadcastCross = Set(
       "q_sim_topk", "q_text_tfidf", "q_text_pmi", "q_text_oov",
-      "q_quality_gate", "q_text_logprob")
+      "q_quality_gate", "q_text_logprob", "q_ann_topk",
+      // one-row corpus-total scalar riding the 100-row coverage curve
+      "q_token_coverage")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
