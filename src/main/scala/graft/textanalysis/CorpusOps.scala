@@ -438,24 +438,30 @@ object CorpusOps {
     *
     * Plan shape for 100 TB: shingles are 48-bit longs
     * ([[graft.dedup.Dedup.shingles]] — in-row hash + distinct), so the
-    * train-set distinct and the semi join both move 8-byte keys. The hit
-    * count is a LEFT SEMI join (per eval shingle: does it exist in train?
-    * — never multiplies rows, so a shingle shared by millions of train
-    * docs costs one probe, not a pair explosion), followed by one
-    * partial-aggregated groupBy(doc_id). Output:
-    * (doc_id, n_shingles, n_contaminated, contamination_rate).
+    * train-set distinct and the flag join both move 8-byte keys. The
+    * shingle pipeline (tokenize + per-n-gram md5 — the dominant cost)
+    * runs once per document across the WHOLE plan: the train/eval split
+    * predicate is a pure function of doc_id, so it filters BELOW the
+    * tokenize work — the train branch hashes only train docs, the eval
+    * branch only eval docs — and both per-doc counts come from ONE
+    * groupBy over the eval rows LEFT-JOINED against the (distinct,
+    * hit-marked) train-shingle set: per eval shingle the join matches at
+    * most one marker row (never multiplies, a shingle in millions of
+    * train docs costs one probe), and `count(hit)` vs `count(*)` splits
+    * contaminated from total in the same partial-aggregated exchange.
+    * Output: (doc_id, n_shingles, n_contaminated, contamination_rate).
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val sh = graft.dedup.Dedup.shingles(docs(spark, dir))
-      .withColumn("split", TextAnalysis.splitExpr(col("doc_id")))
-    val train = sh.where(col("split") === "train").select("shingle_h").distinct()
-    val ev = sh.where(col("split") === "test").select("doc_id", "shingle_h")
-    val totals = ev.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = ev.join(train, Seq("shingle_h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("is_train",
+        TextAnalysis.splitExpr(col("doc_id")) === "train")
+    val train = sh.where(col("is_train")).select("shingle_h").distinct()
+      .withColumn("hit", lit(1))
+    val ev = sh.where(!col("is_train")).select("doc_id", "shingle_h")
+    ev.join(train, Seq("shingle_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
       .withColumn("contamination_rate",
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
       .orderBy("doc_id")
