@@ -348,7 +348,13 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsFrom(Tables.loadSpread(spark, dir, "documents", "doc_id"))
 
-  def jaccardPairsFrom(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+  /** Shared inverted-index intersection pipeline: (doc_a, doc_b, i, sza,
+    * szb) for every candidate pair sharing ≥1 retained shingle — the
+    * overlap counts both [[jaccardPairsFrom]] and [[containmentPairs]]
+    * derive their measures from (one postings aggregate, reused by the
+    * pairs and sizes branches).
+    */
+  private[graft] def pairIntersections(docs: DataFrame, maxDf: Int): DataFrame = {
     val posts = shingles(docs)
       .groupBy("shingle_h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -367,15 +373,64 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
-    val j = col("i").cast("double") /
-      (col("sza") + col("szb") - col("i")).cast("double")
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+  }
+
+  def jaccardPairsFrom(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val j = col("i").cast("double") /
+      (col("sza") + col("szb") - col("i")).cast("double")
+    pairIntersections(docs, maxDf)
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** CONTAINMENT near-dups — the asymmetric overlap Jaccard misses: the
+    * fraction of the SMALLER document's retained shingles that the other
+    * document also has, i / min(|A|,|B|). A short document fully quoted
+    * inside a long one scores containment 1.0 but Jaccard ≈ |A|/|B| → 0,
+    * so a Jaccard-only dedup keeps wholesale-inclusion duplicates; this
+    * is the doc-in-doc detector run alongside it. Same inverted-index
+    * pipeline and df-ceiling as Jaccard (one postings aggregate at
+    * scale), different final measure. Output:
+    * (doc_a, doc_b, containment) at ≥ [[ContainmentThreshold]].
+    */
+  val ContainmentThreshold = 0.9
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = col("i").cast("double") /
+      least(col("sza"), col("szb")).cast("double")
+    pairIntersections(
+        Tables.loadSpread(spark, dir, "documents", "doc_id"), MaxShingleDf)
+      .select(col("doc_a"), col("doc_b"), c.as("containment"))
+      .where(col("containment") >= ContainmentThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $duckShingles,
+        sdf AS (SELECT shingle_h, count(*) AS df FROM sh GROUP BY shingle_h),
+        kept AS (
+          SELECT sh.doc_id, sh.shingle_h FROM sh
+          JOIN sdf ON sh.shingle_h = sdf.shingle_h
+          WHERE sdf.df <= $MaxShingleDf),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM kept a JOIN kept b
+            ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+            AS containment
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+          >= $ContainmentThreshold
+        ORDER BY doc_a, doc_b"""
 
   val jaccardPairsSql: String =
     s"""WITH $duckShingles,

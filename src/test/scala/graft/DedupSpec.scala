@@ -168,6 +168,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall below design point")
   }
 
+  test("containment catches doc-in-doc inclusion that jaccard misses") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // short = an exact contiguous slice of long → containment 1.0, but
+    // jaccard = |short|/|long| shingles ≈ 0.2, far below the 0.8 gate
+    val longText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val shortText = (10 to 17).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    Seq(1L -> longText, 2L -> shortText, 3L -> "totally different words here")
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = Dedup.containmentPairs(spark, dir)
+      .as[(Long, Long, Double)].collect().toList
+    assert(cont == List((1L, 2L, 1.0)))
+    val jac = Dedup.jaccardPairs(spark, dir)
+      .as[(Long, Long, Double)].collect().toList
+    assert(jac.isEmpty, s"jaccard unexpectedly flagged: $jac")
+  }
+
   test("dedup survivors: total decision table, kept iff own canonical") {
     val docs = graft.model.Tables.load(spark, sf, "documents")
       .select("doc_id").as[Long].collect().toSet
