@@ -527,20 +527,30 @@ object Relational {
     * gives the min price with the LOWEST suppkey as deterministic
     * tie-break, in the same single partial-aggregated exchange as the
     * row count — no self-join back onto lineitem, no window sort over
-    * every group member (the row_number form sorts each group; the
-    * struct-min carries one candidate per map partition). Raw doubles
-    * compare exactly (no accumulation), so the oracle's row_number twin
-    * picks the identical row.
+    * every group member (the row_number form sorts each group).
+    *
+    * The argmin rides as `min` over ONE packed decimal — cents·10¹⁰ +
+    * suppkey, exact in decimal(38,0) — because every struct-shaped
+    * argmin (`min(struct(...))`, `min_by`) has an immutable aggregation
+    * buffer, which forces SortAggregate: every MAP partition gets sorted
+    * by the group key before aggregating, the very cost this shape
+    * exists to avoid. A scalar decimal buffer keeps both sides of the
+    * exchange in hash aggregation. Prices are 2-decimal so the cents
+    * are integral, and the pack orders identically to (price, suppkey);
+    * the oracle's row_number twin picks the identical row.
     */
   def argminSupplier(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
+    val cents = (dec2(col("l_extendedprice")) * lit(100)).cast("decimal(27,0)")
+    val pack = (cents * lit(10000000000L) + col("l_suppkey"))
+      .cast("decimal(38,0)")
     l.groupBy("l_partkey")
-      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"),
+      .agg(min(pack).as("p"),
+        min(col("l_extendedprice")).as("best_price"),
         count(lit(1)).as("n_lines"))
       .select(col("l_partkey"),
-        col("m.l_suppkey").as("best_supp"),
-        col("m.l_extendedprice").as("best_price"),
-        col("n_lines"))
+        pmod(col("p"), lit(10000000000L)).cast("long").as("best_supp"),
+        col("best_price"), col("n_lines"))
       .orderBy("l_partkey")
   }
 
