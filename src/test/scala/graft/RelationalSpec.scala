@@ -26,6 +26,41 @@ class RelationalSpec extends SparkSpec {
       s"(n_users, n_viewed, n_clicked, n_converted) was $got")
   }
 
+  private def writeEvents(rows: Seq[(Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("relevents").toString
+    rows.toDF("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val NsPerDay = 86400000000000L
+
+  test("retention matrix: cohort by first-seen week, one count per offset week") {
+    val dir = writeEvents(Seq(
+      // user 1: days 0 and 8 → cohort week 0, offsets 0 and 1
+      (0L * NsPerDay, 1L, "view", 1.0), (8L * NsPerDay, 1L, "view", 1.0),
+      // user 2: two same-week days collapse to one (cohort 0, offset 0)
+      (1L * NsPerDay, 2L, "view", 1.0), (2L * NsPerDay, 2L, "view", 1.0),
+      // user 3: first seen day 9 → cohort week 1, returns week offset 1
+      (9L * NsPerDay, 3L, "view", 1.0), (16L * NsPerDay, 3L, "view", 1.0),
+      // user 4: single day → cohort 0, offset 0 only
+      (0L * NsPerDay, 4L, "view", 1.0)))
+    val got = Relational.eventsRetention(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((0L, 0L, 3L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("outlier trim drops tails beyond the per-type percentile bounds") {
+    // sorted values: -100, 10×18, 100 → p05 = 4.5, p95 = 14.5 (interpolated),
+    // so exactly the eighteen 10s survive
+    val vals = Seq(-100.0) ++ Seq.fill(18)(10.0) ++ Seq(100.0)
+    val dir = writeEvents(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong * NsPerDay, i.toLong, "a", v) })
+    val got = Relational.outlierTrim(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got == List(("a", 20L, 18L, 10.0)))
+  }
+
   test("big orders: decimal-domain HAVING, ordered by totalprice desc") {
     import org.apache.spark.sql.functions.{col, sum}
     val sf = "/root/testdata/sf0.001"
