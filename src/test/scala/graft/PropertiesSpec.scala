@@ -120,4 +120,37 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("containment/jaccard invariants on generated corpora") {
+    // random word-soup corpora: for every emitted pair, doc_a < doc_b,
+    // both measures in (0, 1], jaccard ≤ containment (i/(sa+sb−i) ≤
+    // i/min(sa,sb) always), and thresholds respected
+    val word = Gen.oneOf((1 to 12).map(i => s"t$i"))
+    val docGen = Gen.chooseNum(3, 20).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = Gen.listOfN(60, docGen).sample.get
+    val dir = java.nio.file.Files.createTempDirectory("propcorpus").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val jac = graft.dedup.Dedup.jaccardPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    val cont = graft.dedup.Dedup.containmentPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    for ((k @ (a, b), c) <- cont) {
+      assert(a < b && c > 0.0 && c <= 1.0, s"$k containment $c")
+      jac.get(k).foreach(j => assert(j <= c + 1e-12, s"$k j=$j > c=$c"))
+    }
+    for ((k @ (a, b), j) <- jac) {
+      assert(a < b && j >= graft.dedup.Dedup.JaccardThreshold && j <= 1.0)
+      // any jaccard-flagged pair has containment ≥ jaccard ≥ 0.8; it
+      // appears in the containment output iff it clears that gate
+      if (j >= graft.dedup.Dedup.ContainmentThreshold)
+        assert(cont.contains(k), s"$k j=$j missing from containment")
+    }
+  }
 }
