@@ -346,6 +346,45 @@ object TextAnalysis {
         FROM p, n WHERE c12 >= $PmiMinCo
         ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK"""
 
+  // --------------------------------------------------------- source stats
+
+  /** Per-SOURCE curation dashboard: document count, distinct-content
+    * count (1 − n_unique/n_docs = the source's exact-dup pollution rate)
+    * and mean quality score — the monitoring query that answers "which
+    * crawl is polluting the corpus" before any per-doc gate runs. The
+    * mean follows the logProb parity convention: each per-doc quality is
+    * rounded to 10 decimals then summed in decimal(28,12) (partial-agg
+    * order cannot move the sum), one double division at the end. The
+    * distinct rides in the same aggregate: the Expand rewrite it
+    * triggers duplicates rows only ABOVE the per-doc quality projection,
+    * and every duplicated accumulator here is trivial (decimal add /
+    * hash insert) — unlike the sketch case in `approxStatsRaw`, where
+    * un-fusing paid (SURVEY §9.17).
+    */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("source"), col("text"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("source"), md5(col("text")).as("h"),
+        round(qualityExpr, 10).cast("decimal(28,12)").as("q"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_unique"),
+        (sum(col("q")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_quality"))
+      .orderBy("source")
+  }
+
+  val sourceStatsSql: String =
+    s"""WITH qs AS ($qualityScoreSql)
+        SELECT d.source,
+          count(*) AS n_docs,
+          count(DISTINCT md5(d.text)) AS n_unique,
+          CAST(sum(CAST(round(qs.quality, 10) AS DECIMAL(28,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mean_quality
+        FROM qs JOIN documents d ON qs.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source"""
+
   // ------------------------------------------------------------ coverage
 
   val CoverageTopK = 100
