@@ -598,6 +598,45 @@ object Relational {
        SELECT cohort_week, week_offset, count(*) AS n_users
        FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
 
+  /** GAP-FILLED hourly series per event type: every hour from each
+    * type's first to last activity appears, absent hours as explicit
+    * zeros — the resample step charting/anomaly jobs need (a missing
+    * bucket and a zero bucket are different facts). The dense grid is
+    * generated per type from its own (min, max) hour via
+    * `sequence`+`explode` — no cross join of dimensions, no calendar
+    * table — then one left join re-attaches the sparse counts. Grid size
+    * is O(types × hours), independent of event volume; the only
+    * full-data work is the hourly pre-aggregate (partial map-side, one
+    * exchange), integer hour math on exact nanos throughout.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val hourly = e
+      .select(expr("ts_ns div 3600000000000").as("h"), col("event_type"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), (col("h") * 3600).as("hour_sec"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_sec")
+  }
+
+  val eventsGapfillSql: String =
+    """WITH hourly AS (SELECT event_type,
+         epoch_ns(ts) // 3600000000000 AS h, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       pt AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+              FROM hourly GROUP BY event_type),
+       grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM pt)
+       SELECT grid.event_type, grid.h * 3600 AS hour_sec,
+         COALESCE(hourly.n, 0) AS n
+       FROM grid LEFT JOIN hourly
+         ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+       ORDER BY grid.event_type, hour_sec"""
+
   /** Percentile-TRIMMED robust stats per event type — the outlier-robust
     * cleaning pass (drop the tails beyond [p05, p95], re-aggregate).
     * Trimming (drop) rather than winsorizing (clip): kept values are the
