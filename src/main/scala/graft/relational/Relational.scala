@@ -637,6 +637,54 @@ object Relational {
          ON grid.event_type = hourly.event_type AND grid.h = hourly.h
        ORDER BY grid.event_type, hour_sec"""
 
+  /** Volume ANOMALY detection on the gap-filled hourly series: hours
+    * whose count sits more than 3 sample standard deviations from the
+    * type's mean — composed directly over [[eventsGapfill]] (zero hours
+    * INCLUDED in the baseline: a dead hour in a busy type is exactly the
+    * anomaly a sparse series would hide). Moments are exact decimal
+    * power sums over integer counts (the momentStats convention — n² in
+    * decimal(38,0) survives 1e9-events-per-hour scales where a long
+    * overflows); the per-type stats broadcast back over the grid, so
+    * after the gapfill aggregate the whole detector is one narrow pass.
+    * Output: anomalous hours only (event_type, hour_sec, n, z).
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val g = eventsGapfill(spark, dir)
+    val nDec = col("n").cast("decimal(19,0)")
+    val stats = g.groupBy(col("event_type").as("st"))
+      .agg(sum(nDec).as("s1"), sum(nDec * nDec).as("s2"),
+        count(lit(1)).as("cnt"))
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val cnt = col("cnt").cast("double")
+    val mean = s1 / cnt
+    val variance = (s2 - s1 * s1 / cnt) / (cnt - 1.0)
+    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    g.join(broadcast(stats), col("event_type") === col("st"))
+      .select(col("event_type"), col("hour_sec"), col("n"), z.as("z"))
+      .where(abs(col("z")) > 3.0)
+      .orderBy("event_type", "hour_sec")
+  }
+
+  val eventsAnomalySql: String =
+    s"""WITH g AS ($eventsGapfillSql),
+        st AS (SELECT event_type AS t,
+                 sum(CAST(n AS DECIMAL(19,0))) AS s1,
+                 sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                   AS s2,
+                 count(*) AS cnt
+               FROM g GROUP BY event_type)
+        SELECT g.event_type, g.hour_sec, g.n,
+          (CAST(g.n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+            / sqrt((CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+              / (CAST(cnt AS DOUBLE) - 1.0)) AS z
+        FROM g JOIN st ON g.event_type = st.t
+        WHERE abs((CAST(g.n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+            / sqrt((CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+              / (CAST(cnt AS DOUBLE) - 1.0))) > 3.0
+        ORDER BY g.event_type, g.hour_sec"""
+
   /** Percentile-TRIMMED robust stats per event type — the outlier-robust
     * cleaning pass (drop the tails beyond [p05, p95], re-aggregate).
     * Trimming (drop) rather than winsorizing (clip): kept values are the
