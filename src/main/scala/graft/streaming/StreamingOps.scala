@@ -275,6 +275,63 @@ object StreamingOps {
     }
   }
 
+  final case class TypedEvent(event_type: String, ts: java.sql.Timestamp)
+  final case class HourBucket(event_type: String, hour_sec: Long, n: Long)
+  final case class GapFillState(lastClosed: Long, pending: Map[Long, Long])
+
+  /** Streaming twin of `Relational.eventsGapfill`: per-type hourly counts
+    * with EXPLICIT ZERO rows for silent hours — the output a monitoring
+    * stream needs (a missing bucket and a zero bucket are different
+    * facts), and the one semantics a plain windowed agg cannot produce
+    * (it only emits windows that received data). `flatMapGroupsWithState`
+    * with an EVENT-TIME TIMEOUT: per type, open hours accumulate in a
+    * tiny map; when the watermark passes an hour's close — delivered
+    * either with the group's next data or by the registered timer when
+    * the type goes silent — every hour from the last closed one up to
+    * the newest closable one is emitted, absent hours as zeros. The
+    * timer is what makes gaps flush without waiting for the quiet type's
+    * next event; state is O(open hours) per type and hours close exactly
+    * once (append-mode, finalized-on-watermark like any watermarked agg).
+    */
+  def gapAwareHourly(events: DataFrame): Dataset[HourBucket] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[TypedEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GapFillState, HourBucket](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (et: String, it: Iterator[TypedEvent], state: GroupState[GapFillState]) =>
+          val prev = state.getOption.getOrElse(GapFillState(Long.MinValue, Map.empty))
+          val pending = it.foldLeft(prev.pending) { (m, e) =>
+            val h = math.floorDiv(e.ts.getTime, 3600000L) * 3600L
+            m.updated(h, m.getOrElse(h, 0L) + 1L)
+          }
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val closable = pending.keys.filter(_ + 3600L <= wmSec)
+          val rows =
+            if (closable.isEmpty) Seq.empty[HourBucket]
+            else {
+              val hi = closable.max
+              val lo = if (prev.lastClosed == Long.MinValue) closable.min
+                       else prev.lastClosed + 3600L
+              (lo to hi by 3600L)
+                .map(h => HourBucket(et, h, pending.getOrElse(h, 0L)))
+            }
+          val rest = pending.filter { case (h, _) => h + 3600L > wmSec }
+          val newLast =
+            if (closable.isEmpty) prev.lastClosed else closable.max
+          state.update(GapFillState(newLast, rest))
+          // re-arm: fire when the earliest still-open hour closes, so a
+          // type that goes silent still flushes (timestamp is strictly
+          // beyond the current watermark by construction of `rest`)
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp((rest.keys.min + 3600L) * 1000L)
+          rows.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

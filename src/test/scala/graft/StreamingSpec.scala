@@ -256,6 +256,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gap-aware hourly stream emits explicit zeros via event-time timers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.gapAwareHourly(events).writeStream
+      .format("memory").queryName("gapfill").outputMode("append").start()
+    try {
+      // type a: activity in hour 0 (×2) and hour 2 — hour 1 is silent.
+      // type b's far-future event drags the watermark past hour 2's close
+      mem.addData((ts(1), "a"), (ts(5), "a"), (ts(125), "a"), (ts(260), "b"))
+      q.processAllAvailable()
+      // batch 2 (any data) lets a's re-armed timer fire against the
+      // advanced watermark — a received no new rows, the timer flushes it
+      mem.addData((ts(600), "b"))
+      q.processAllAvailable()
+      val a = spark.table("gapfill")
+        .as[StreamingOps.HourBucket].collect()
+        .filter(_.event_type == "a").sortBy(_.hour_sec)
+        .map(b => (b.hour_sec, b.n)).toList
+      assert(a == List((0L, 2L), (3600L, 0L), (7200L, 1L)),
+        s"expected hours 0,1(zero),2 for type a, got $a")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[UserEvent]
