@@ -310,13 +310,16 @@ object StreamingOps {
           }
           val wmSec = state.getCurrentWatermarkMs() / 1000L
           val closable = pending.keys.filter(_ + 3600L <= wmSec)
+          // The gap range stays a LAZY iterator: one clock-skewed event
+          // years ahead would otherwise eagerly build millions of
+          // buckets in this single call (or overflow NumericRange).
           val rows =
-            if (closable.isEmpty) Seq.empty[HourBucket]
+            if (closable.isEmpty) Iterator.empty[HourBucket]
             else {
               val hi = closable.max
               val lo = if (prev.lastClosed == Long.MinValue) closable.min
                        else prev.lastClosed + 3600L
-              (lo to hi by 3600L)
+              Iterator.iterate(lo)(_ + 3600L).takeWhile(_ <= hi)
                 .map(h => HourBucket(et, h, pending.getOrElse(h, 0L)))
             }
           val rest = pending.filter { case (h, _) => h + 3600L > wmSec }
@@ -328,7 +331,7 @@ object StreamingOps {
           // beyond the current watermark by construction of `rest`)
           if (rest.nonEmpty)
             state.setTimeoutTimestamp((rest.keys.min + 3600L) * 1000L)
-          rows.iterator
+          rows
       }
   }
 

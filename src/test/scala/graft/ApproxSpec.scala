@@ -31,10 +31,30 @@ class ApproxSpec extends SparkSpec {
   test("declared approx_stats asserts its own error bounds as booleans") {
     val out = Relational.approxStats(spark, sf)
     assert(out.columns.toSeq === Seq("event_type", "n_events", "exact_users",
-      "users_within_5pct", "median_within_5pct"))
-    val flags = out.select("users_within_5pct", "median_within_5pct")
+      "users_within_5pct", "median_rank_ok"))
+    val flags = out.select("users_within_5pct", "median_rank_ok")
       .as[(Boolean, Boolean)].collect()
     assert(flags.nonEmpty)
     assert(flags.forall { case (u, m) => u && m })
+  }
+
+  /** The rank invariant must hold even where the old VALUE-distance
+    * check legitimately fails: an even-count series whose two middle
+    * values are far apart (exact percentile interpolates to ~50.5; the
+    * sketch must return a real element near 1 or 100).
+    */
+  test("median rank flag survives a gappy bimodal distribution") {
+    val dir = java.nio.file.Files.createTempDirectory("gappy").toString
+    // ts is a raw nanosecond long, matching the driver parquet layout
+    // (TIMESTAMP(NANOS) read under nanosAsLong — see Tables.withEventTime).
+    val rows = (1 to 500).map(i => (i * 1000000000L, "gap", i.toLong, 1.0 + i * 1e-4)) ++
+      (1 to 500).map(i => (i * 2000000000L, "gap", 500L + i, 100.0 + i * 1e-4))
+    rows.toDF("ts", "event_type", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.approxStats(spark, dir)
+      .select("users_within_5pct", "median_rank_ok")
+      .as[(Boolean, Boolean)].collect()
+    assert(got.length === 1 && got.head._2,
+      s"rank invariant must hold on the bimodal fixture: ${got.toSeq}")
   }
 }

@@ -12,16 +12,6 @@ import graft.dedup.Dedup
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def writeDocs(rows: Seq[(Long, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("corpusops").toString
-    rows.toDF("doc_id", "text")
-      .withColumn("lang", lit("en"))
-      .withColumn("source", lit("fix"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    dir
-  }
-
   test("pii: emails, IPs and phones are counted and redacted") {
     val dir = writeDocs(Seq(
       1L -> "reach John.Doe@Example.COM or +4915112345678 via 192.168.0.1 today",

@@ -169,17 +169,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("containment catches doc-in-doc inclusion that jaccard misses") {
-    import org.apache.spark.sql.functions.{col, length, lit}
     // short = an exact contiguous slice of long → containment 1.0, but
     // jaccard = |short|/|long| shingles ≈ 0.2, far below the 0.8 gate
     val longText = (1 to 40).map(i => s"w$i").mkString(" ")
     val shortText = (10 to 17).map(i => s"w$i").mkString(" ")
-    val dir = java.nio.file.Files.createTempDirectory("containment").toString
-    Seq(1L -> longText, 2L -> shortText, 3L -> "totally different words here")
-      .toDF("doc_id", "text")
-      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = writeDocs(Seq(
+      1L -> longText, 2L -> shortText, 3L -> "totally different words here"))
     val cont = Dedup.containmentPairs(spark, dir)
       .as[(Long, Long, Double)].collect().toList
     assert(cont == List((1L, 2L, 1.0)))

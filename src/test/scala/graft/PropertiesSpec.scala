@@ -129,12 +129,8 @@ class PropertiesSpec extends SparkSpec {
     val docGen = Gen.chooseNum(3, 20).flatMap(n =>
       Gen.listOfN(n, word).map(_.mkString(" ")))
     val texts = Gen.listOfN(60, docGen).sample.get
-    val dir = java.nio.file.Files.createTempDirectory("propcorpus").toString
-    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("doc_id", "text")
-      .withColumn("lang", lit("en")).withColumn("source", lit("gen"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = writeDocs(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, source = "gen")
     val jac = graft.dedup.Dedup.jaccardPairs(spark, dir)
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, v) => (a, b) -> v }.toMap

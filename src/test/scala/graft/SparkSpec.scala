@@ -8,6 +8,24 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   override def afterAll(): Unit = () // session shared across suites
+
+  /** Shared documents-table fixture: writes `documents.parquet` in the
+    * driver table shape (doc_id, text, lang, source, n_chars) to a fresh
+    * temp dir and returns that dir, so specs exercise operators through
+    * the same `Tables.load` path as the real data. Single-sourced here —
+    * a schema change (new required column) lands in every spec at once.
+    */
+  def writeDocs(rows: Seq[(Long, String)], source: String = "fix"): String = {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docsfix").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit(source))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 }
 
 object SparkSpec {
