@@ -55,6 +55,28 @@ object Sources {
   def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Materialize a corpus as shuffled training shards: hive-partitioned
+    * by shard, each shard's rows sorted by the deterministic hash key —
+    * the layout a training loader streams round-robin for a reproducible
+    * pseudo-random example order. Assignment and key come from
+    * [[graft.textanalysis.CorpusOps.shardKey]], so the written files
+    * match the declared `corpusShards` manifest byte-for-byte. One
+    * hash-partitioned exchange + in-partition sort (no global sort); at
+    * 100 TB the shard count IS the write parallelism — set it to
+    * thousands and each task sorts ~corpus/nShards locally. The hash
+    * key's uniformity also makes the shards SIZE-balanced, so no
+    * straggler task.
+    */
+  def writeShuffledShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit = {
+    val key = graft.textanalysis.CorpusOps.shardKey(col(idCol))
+    df.withColumn("sort_key", key)
+      .withColumn("shard", (key % nShards).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "sort_key", idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Morton (Z-order) interleave of two integer keys, as a pure codegen'd
     * Column expression: bit i of `a` lands at result bit 2i, bit i of `b`
     * at 2i+1, via the standard 5-step magic-mask spread. Inputs are

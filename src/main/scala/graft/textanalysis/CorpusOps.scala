@@ -9,8 +9,10 @@ import TextAnalysis.{docs, toks, duckToks}
 /** Corpus-curation operators beyond the per-document scores in
   * [[TextAnalysis]]: within-document repetition signals (the Gopher-style
   * quality gates), sliding-window chunking for training-example
-  * construction, PII detection/redaction, and out-of-vocabulary rates
-  * against a corpus-derived vocabulary.
+  * construction, PII detection/redaction, out-of-vocabulary rates
+  * against a corpus-derived vocabulary, and the deterministic
+  * shuffle+shard manifest that turns a curated corpus into training
+  * shards.
   *
   * Scale notes (100 TB):
   *  - repetition, chunking, and PII are pure narrow passes — no shuffle,
@@ -484,5 +486,51 @@ object CorpusOps {
             / CAST(tot.n_shingles AS DOUBLE) AS contamination_rate
         FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
         ORDER BY tot.doc_id"""
+  }
+
+  // ------------------------------------------------------------- sharding
+
+  /** Declared shard count. Small here so the sf fixtures exercise every
+    * shard; at 100 TB you set it to thousands — the whole design is one
+    * hash-partitioned exchange whose parallelism IS the shard count.
+    */
+  val NShards = 8
+
+  /** THE shard assignment (salt + modulus) — shared by the declared
+    * query and [[graft.sources.Sources.writeShuffledShards]] so the
+    * manifest a user audits can never drift from the files the writer
+    * lays down. A distinct salt from [[TextAnalysis.splitExpr]]'s keeps
+    * shard and train/test assignments independent.
+    */
+  private[graft] def shardKey(idCol: Column): Column =
+    Hashing.h48(concat(lit("shard-"), idCol))
+
+  /** Deterministic global shuffle + shard manifest — the step between
+    * curation and training: assign every document a shard and a
+    * WITHIN-SHARD sort key, both pure hash functions of the doc id
+    * (stable across runs, retries, machines and engines — `rand()`-based
+    * shuffles are none of these, and a re-run that shards differently
+    * silently changes which examples co-occur in a batch). Sorting each
+    * shard by the key yields a pseudo-random document order with no
+    * global sort: the expensive total ordering a naive ORDER BY
+    * rand() would shuffle the whole corpus for. Deliberately NO
+    * per-shard row_number here — a dense index forces one task per
+    * shard (the window's partition), which caps parallelism at
+    * [[NShards]] regardless of cluster size; loaders need an order, not
+    * ordinals. Output: (doc_id, shard, sort_key), one narrow pass.
+    */
+  def corpusShards(spark: SparkSession, dir: String): DataFrame = {
+    val key = shardKey(col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), (key % NShards).cast("int").as("shard"),
+        key.as("sort_key"))
+      .orderBy("shard", "sort_key", "doc_id")
+  }
+
+  val corpusShardsSql: String = {
+    val key = duckH48("concat('shard-', doc_id)")
+    s"""SELECT doc_id, CAST($key % $NShards AS INT) AS shard,
+          $key AS sort_key
+        FROM documents ORDER BY shard, sort_key, doc_id"""
   }
 }

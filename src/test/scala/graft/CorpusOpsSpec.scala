@@ -194,4 +194,34 @@ class CorpusOpsSpec extends SparkSpec {
     // partial doc's 4 shingles share exactly "alpha beta gamma" with train
     assert(got(partId) == ((partId, 4L, 1L, 0.25)))
   }
+
+  test("shuffled shards: written files match the manifest, sorted, complete") {
+    val ids = 1L to 80L
+    val dir = writeDocs(ids.map(i => i -> s"document number $i body text"))
+    val out = java.nio.file.Files.createTempDirectory("shards").toString + "/s"
+    val nShards = 4
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Sources.writeShuffledShards(docsDf, "doc_id", nShards, out)
+    val back = spark.read.parquet(out)
+    // complete: every doc exactly once
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq == ids)
+    // assignment matches the driver-side twin of the manifest key
+    val got = back.select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    for (id <- ids) {
+      val expect = (graft.functions.Hashing.h48String(s"shard-$id") % nShards).toInt
+      assert(got(id) == expect, s"doc $id in shard ${got(id)}, want $expect")
+    }
+    // every shard materialized, and each file is sorted by sort_key
+    // (read per-file: one small file = one input partition, order kept)
+    for (s <- 0 until nShards) {
+      val files = new java.io.File(s"$out/shard=$s").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"shard $s is empty")
+      for (f <- files) {
+        val keys = spark.read.parquet(f.getPath)
+          .select("sort_key").as[Long].collect().toSeq
+        assert(keys == keys.sorted, s"shard $s file ${f.getName} not sorted")
+      }
+    }
+  }
 }
