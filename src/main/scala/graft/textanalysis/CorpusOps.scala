@@ -488,6 +488,35 @@ object CorpusOps {
         ORDER BY tot.doc_id"""
   }
 
+  /** Leakage-PROOF train/test split — the constructive complement of
+    * [[splitLeakage]] (which only DETECTS near-dup pairs crossing the
+    * split): assign each document the split of its near-dup CLUSTER
+    * CANONICAL, so a document and all its near-copies land on the same
+    * side by construction and a test example can never have a trained-on
+    * near-duplicate. Same salt/modulus as [[TextAnalysis.splitExpr]] —
+    * unclustered docs (their own canonical) get exactly the plain split,
+    * so adopting the group split only moves docs that had a leaking
+    * twin. Cost at scale: the cluster labels are tiny next to the corpus
+    * (pairs above 0.8 Jaccard), so the label join broadcasts and the
+    * split itself stays a pure projection — no shuffle beyond what the
+    * cluster resolution already did. Output: (doc_id, canonical_id,
+    * split).
+    */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dedupSurvivors(spark, dir)
+      .select(col("doc_id"), col("canonical_id"),
+        TextAnalysis.splitExpr(col("canonical_id")).as("split"))
+      .orderBy("doc_id")
+
+  val groupSplitSql: String =
+    s"""WITH cl AS (${graft.dedup.Dedup.nearDupClustersSql}),
+        canon AS (SELECT d.doc_id,
+            COALESCE(cl.canonical_id, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+        SELECT doc_id, canonical_id,
+          ${TextAnalysis.duckSplitExpr("canonical_id")} AS split
+        FROM canon ORDER BY doc_id"""
+
   // ------------------------------------------------------------- sharding
 
   /** Declared shard count. Small here so the sf fixtures exercise every

@@ -195,6 +195,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(partId) == ((partId, 4L, 1L, 0.25)))
   }
 
+  test("group split: near-dup twins land on one side; singletons keep plain split") {
+    // find a train/test id pair under the PLAIN split, give them
+    // identical text: the plain split leaks this pair by construction
+    def plain(id: Long): String =
+      if (graft.functions.Hashing.h48String(s"split-$id") % 100 < 80) "train"
+      else "test"
+    val ids = 1L until 60L
+    val trainId = ids.find(plain(_) == "train").get
+    val testId = ids.find(plain(_) == "test").get
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val soloId = ids.find(i => i != trainId && i != testId).get
+    val dir = writeDocs(Seq(
+      trainId -> dupText, testId -> dupText,
+      soloId -> "completely unrelated solitary words here"))
+    val got = CorpusOps.groupSplit(spark, dir)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val canonical = math.min(trainId, testId)
+    assert(got(trainId) == ((canonical, plain(canonical))))
+    assert(got(testId) == ((canonical, plain(canonical))),
+      "near-dup twins must share the canonical's split")
+    assert(got(soloId) == ((soloId, plain(soloId))),
+      "a doc with no near-dup keeps the plain split")
+    // the constructive guarantee splitLeakage can only detect after the
+    // fact: no near-dup pair crosses the group split
+    val splits = got.view.mapValues(_._2).toMap
+    val pairs = graft.dedup.Dedup.jaccardPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    for ((a, b, _) <- pairs)
+      assert(splits(a) == splits(b), s"pair ($a,$b) crosses the split")
+  }
+
   test("shuffled shards: written files match the manifest, sorted, complete") {
     val ids = 1L to 80L
     val dir = writeDocs(ids.map(i => i -> s"document number $i body text"))
