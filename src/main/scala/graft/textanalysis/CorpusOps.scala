@@ -562,4 +562,58 @@ object CorpusOps {
           $key AS sort_key
         FROM documents ORDER BY shard, sort_key, doc_id"""
   }
+
+  /** Tokens per packed training sequence. Small so the sf fixtures
+    * produce many packs per shard; real runs use the model context
+    * length (2k-128k).
+    */
+  val PackLen = 256L
+
+  /** Sequence PACKING over the shard manifest: treat each shard's docs,
+    * in [[corpusShards]] order, as ONE concatenated token stream cut
+    * into consecutive [[PackLen]]-token training sequences, and report
+    * where every document lands — (shard, start_tok, pack_id = the
+    * sequence its first token falls in). This is the bridge from
+    * "shuffled corpus" to "training batches": the loader that fills
+    * sequence k of shard s takes the docs whose [start_tok,
+    * start_tok+n_tok) interval intersects [k·L, (k+1)·L) — start
+    * offsets are exact, so straddling docs are split at exactly the
+    * right token. The running sum is one window per shard: the shard is
+    * the engine's unit of parallelism by design (thousands at real
+    * scale), so the window's partition-by-shard exchange scales with
+    * the cluster, and within a shard the scan is linear — the same
+    * shape the sorted shard writer already committed to. Integer token
+    * counts ⇒ engine-exact.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = shardKey(col("doc_id"))
+    val w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), (key % NShards).cast("int").as("shard"),
+        key.as("sort_key"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id", expr(s"start_tok div $PackLen"))
+      .select("doc_id", "shard", "n_tok", "start_tok", "pack_id")
+      .orderBy("shard", "start_tok", "doc_id")
+  }
+
+  val packSequencesSql: String = {
+    val key = duckH48("concat('shard-', doc_id)")
+    s"""WITH t AS (SELECT doc_id,
+            CAST($key % $NShards AS INT) AS shard,
+            $key AS sort_key,
+            CAST(len($duckToks) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, shard, n_tok,
+            -- CAST: DuckDB widens the window sum to HUGEINT
+            CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY sort_key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - n_tok AS start_tok
+          FROM t)
+        SELECT doc_id, shard, n_tok, start_tok,
+          start_tok // $PackLen AS pack_id
+        FROM c ORDER BY shard, start_tok, doc_id"""
+  }
 }

@@ -228,6 +228,30 @@ class CorpusOpsSpec extends SparkSpec {
       assert(splits(a) == splits(b), s"pair ($a,$b) crosses the split")
   }
 
+  test("sequence packing: contiguous offsets per shard, pack = start div L") {
+    // 30 docs of 100 tokens each: per shard, starts must be 0, 100, 200,
+    // ... in manifest order, and pack_id = start div 256
+    val ids = 1L to 30L
+    val text100 = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val dir = writeDocs(ids.map(_ -> text100))
+    val got = CorpusOps.packSequences(spark, dir)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(got.map(_._1).sorted.toSeq == ids, "every doc packed exactly once")
+    assert(got.forall(_._3 == 100L))
+    for ((_, rows) <- got.groupBy(_._2)) {
+      val inOrder = rows.sortBy(_._4)
+      // offsets are gapless multiples of the doc length
+      assert(inOrder.map(_._4).toSeq ==
+        inOrder.indices.map(_ * 100L), s"offsets not contiguous: ${inOrder.toSeq}")
+      for ((_, _, _, start, pack) <- inOrder)
+        assert(pack == start / CorpusOps.PackLen)
+    }
+    // manifest agreement: same shard assignment as corpusShards
+    val manifest = CorpusOps.corpusShards(spark, dir)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+    for ((id, shard, _, _, _) <- got) assert(shard == manifest(id))
+  }
+
   test("shuffled shards: written files match the manifest, sorted, complete") {
     val ids = 1L to 80L
     val dir = writeDocs(ids.map(i => i -> s"document number $i body text"))
