@@ -607,10 +607,15 @@ object Dedup {
     * 100 TB the labels side is |clustered docs| ≪ corpus and broadcasts.
     */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.model.Tables.loadSpread(spark, dir, "documents", "doc_id")
+    // plain load (the spine is a pure id projection — nothing to spread)
+    // + EXPLICIT broadcast: the labels come out of the checkpointed
+    // cluster iteration as an ExistingRDD with no stats, so without the
+    // hint the planner falls back to a sort-merge join that shuffles the
+    // whole doc spine — the opposite of the tiny-labels design intent.
+    val d = graft.model.Tables.load(spark, dir, "documents")
       .select("doc_id")
     val labels = nearDupClusters(spark, dir)
-    d.join(labels, Seq("doc_id"), "left")
+    d.join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
       .withColumn("kept", col("doc_id") === col("canonical_id"))

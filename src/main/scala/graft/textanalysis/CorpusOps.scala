@@ -550,7 +550,10 @@ object CorpusOps {
     */
   def corpusShards(spark: SparkSession, dir: String): DataFrame = {
     val key = shardKey(col("doc_id"))
-    docs(spark, dir)
+    // plain load, not loadSpread: the manifest is a pure projection of
+    // the id column — the compute-spreading repartition would shuffle
+    // the table for a few hash ops per row
+    graft.model.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), (key % NShards).cast("int").as("shard"),
         key.as("sort_key"))
       .orderBy("shard", "sort_key", "doc_id")
