@@ -506,8 +506,22 @@ object Dedup {
     * were never compared). Output: (doc_id, canonical_id), one row per
     * clustered doc; unclustered docs are implicitly their own canonical.
     */
+  /** The cluster fixpoint is EAGER (the iteration runs actions) and its
+    * result is already checkpoint-materialized, so same-session
+    * consumers (clusters / survivors / leakage-proof split — a curation
+    * pipeline touches all three) share one computation instead of each
+    * re-running the identical jaccard-pair + label-propagation plan:
+    * the labels are a deterministic pure function of the input dir, and
+    * the cached frame is just a handle to the final checkpointed RDD
+    * (tiny — near-dup members only). Keyed per (session, dir); distinct
+    * fixture dirs never collide.
+    */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(jaccardPairs(spark, dir).select("doc_a", "doc_b"))
+    clusterCache.computeIfAbsent((spark, dir), _ =>
+      clustersFromPairs(jaccardPairs(spark, dir).select("doc_a", "doc_b")))
 
   /** Iterative min-label propagation with ADAPTIVE pointer jumping until
     * fixpoint. Each round every vertex takes the min root over itself and
