@@ -608,6 +608,15 @@ object Relational {
     * is O(types × hours), independent of event volume; the only
     * full-data work is the hourly pre-aggregate (partial map-side, one
     * exchange), integer hour math on exact nanos throughout.
+    *
+    * Corrupt-timestamp bound: one far-future event stretches its type's
+    * (min, max) span, and `sequence` hard-fails (clean error, not an
+    * OOM) past ~2³¹ elements — ~245k YEARS of hours, so any span that
+    * trips it is corrupt input by definition. Gate timestamps upstream
+    * (the quality-filter stage) rather than silently clamping here: a
+    * truncated grid would misreport real gaps. The streaming twin
+    * ([[graft.streaming.StreamingOps.gapAwareHourly]]) emits its gap
+    * range lazily for the same reason.
     */
   def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
