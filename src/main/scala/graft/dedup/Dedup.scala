@@ -511,17 +511,51 @@ object Dedup {
     * consumers (clusters / survivors / leakage-proof split — a curation
     * pipeline touches all three) share one computation instead of each
     * re-running the identical jaccard-pair + label-propagation plan:
-    * the labels are a deterministic pure function of the input dir, and
-    * the cached frame is just a handle to the final checkpointed RDD
-    * (tiny — near-dup members only). Keyed per (session, dir); distinct
-    * fixture dirs never collide.
+    * the labels are a deterministic pure function of the input FILES,
+    * and the cached frame is just a handle to the final checkpointed
+    * RDD (tiny — near-dup members only).
+    *
+    * Keyed per (session, dir, file fingerprint): the fingerprint (name,
+    * length, mtime of every part file — one driver-side listing) makes
+    * a rewrite or append under the same path a cache MISS, so stale
+    * labels are never served; superseded fingerprints and entries of
+    * stopped sessions are evicted on the next access. The fixpoint runs
+    * OUTSIDE any map lock (a concurrent duplicate compute is harmless —
+    * both produce identical labels; `putIfAbsent` keeps the first).
+    * Note the fault-tolerance window: without a configured checkpoint
+    * dir the labels live in `localCheckpoint` executor blocks, which an
+    * executor loss invalidates — a long session in that mode recomputes
+    * on the resulting failure, same as any localCheckpoint consumer.
     */
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent((spark, dir), _ =>
-      clustersFromPairs(jaccardPairs(spark, dir).select("doc_a", "doc_b")))
+  /** Fingerprint of the dir's documents table (driver-side listing). */
+  private def docsFingerprint(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(st =>
+      (st.getPath.getName, st.getLen, st.getModificationTime)
+        .hashCode().toLong).sum
+  }
+
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    clusterCache.keySet.removeIf { case (s, _, _) => s.sparkContext.isStopped }
+    val fp = docsFingerprint(spark, dir)
+    val key = (spark, dir, fp)
+    val hit = clusterCache.get(key)
+    if (hit != null) hit
+    else {
+      val labels =
+        clustersFromPairs(jaccardPairs(spark, dir).select("doc_a", "doc_b"))
+      clusterCache.keySet.removeIf { case (s, d, f) =>
+        (s eq spark) && d == dir && f != fp // superseded input version
+      }
+      val prev = clusterCache.putIfAbsent(key, labels)
+      if (prev != null) prev else labels
+    }
+  }
 
   /** Iterative min-label propagation with ADAPTIVE pointer jumping until
     * fixpoint. Each round every vertex takes the min root over itself and
@@ -620,16 +654,29 @@ object Dedup {
     * left join of the (tiny) cluster labels onto the doc-id spine; at
     * 100 TB the labels side is |clustered docs| ≪ corpus and broadcasts.
     */
+  /** Above this many label rows the broadcast hint is withheld and the
+    * spine join falls back to sort-merge: two longs per row ≈ 160 MB at
+    * the cap, safely under Spark's 8 GB broadcast limit with hash-map
+    * overhead — a heavily-duplicated corpus whose label table outgrows
+    * this must shuffle, not OOM the driver.
+    */
+  val BroadcastLabelMaxRows = 10_000_000L
+
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     // plain load (the spine is a pure id projection — nothing to spread)
-    // + EXPLICIT broadcast: the labels come out of the checkpointed
-    // cluster iteration as an ExistingRDD with no stats, so without the
+    // + GUARDED broadcast: the labels come out of the checkpointed
+    // cluster iteration as an ExistingRDD with no stats, so without a
     // hint the planner falls back to a sort-merge join that shuffles the
-    // whole doc spine — the opposite of the tiny-labels design intent.
+    // whole doc spine even when the labels are tiny. The count is one
+    // cheap job over the already-materialized checkpoint, and keeps the
+    // hint honest when the label table is genuinely large.
     val d = graft.model.Tables.load(spark, dir, "documents")
       .select("doc_id")
     val labels = nearDupClusters(spark, dir)
-    d.join(broadcast(labels), Seq("doc_id"), "left")
+    val hinted =
+      if (labels.count() <= BroadcastLabelMaxRows) broadcast(labels)
+      else labels
+    d.join(hinted, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
       .withColumn("kept", col("doc_id") === col("canonical_id"))

@@ -56,23 +56,29 @@ object Sources {
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
   /** Materialize a corpus as shuffled training shards: hive-partitioned
-    * by shard, each shard's rows sorted by the deterministic hash key —
-    * the layout a training loader streams round-robin for a reproducible
+    * by shard, rows sorted by the deterministic hash key — the layout a
+    * training loader streams round-robin for a reproducible
     * pseudo-random example order. Assignment and key come from
     * [[graft.textanalysis.CorpusOps.shardKey]], so the written files
-    * match the declared `corpusShards` manifest byte-for-byte. One
-    * hash-partitioned exchange + in-partition sort (no global sort); at
-    * 100 TB the shard count IS the write parallelism — set it to
-    * thousands and each task sorts ~corpus/nShards locally. The hash
-    * key's uniformity also makes the shards SIZE-balanced, so no
-    * straggler task.
+    * match the declared `corpusShards` manifest byte-for-byte.
+    *
+    * RANGE-partitioned on (shard, sort_key, id), not hash-partitioned
+    * on the shard id: murmur3(shard) mod n is not a bijection, so hash
+    * partitioning collides distinct shards onto one task (~37 % of
+    * tasks empty, worst task carrying 3-4 shards — a built-in
+    * straggler), while ranges give every task a contiguous,
+    * SAMPLED-size-balanced slice; an oversized shard simply spans two
+    * tasks. A shard dir then holds one file per covering task, and
+    * part-file names embed the partition id, so reading a shard's files
+    * in NAME order yields the globally sorted stream — the same
+    * contract one file would give.
     */
   def writeShuffledShards(df: DataFrame, idCol: String, nShards: Int,
       path: String): Unit = {
     val key = graft.textanalysis.CorpusOps.shardKey(col(idCol))
     df.withColumn("sort_key", key)
       .withColumn("shard", (key % nShards).cast("int"))
-      .repartition(nShards, col("shard"))
+      .repartitionByRange(nShards, col("shard"), col("sort_key"), col(idCol))
       .sortWithinPartitions("shard", "sort_key", idCol)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }

@@ -268,17 +268,17 @@ class CorpusOpsSpec extends SparkSpec {
       val expect = (graft.functions.Hashing.h48String(s"shard-$id") % nShards).toInt
       assert(got(id) == expect, s"doc $id in shard ${got(id)}, want $expect")
     }
-    // every shard materialized, and each file is sorted by sort_key
-    // (read per-file: one small file = one input partition, order kept)
+    // every shard materialized; concatenating its files in NAME order
+    // (part-file names embed the range-partition id) must yield the
+    // fully sorted key stream — the loader's streaming contract
     for (s <- 0 until nShards) {
       val files = new java.io.File(s"$out/shard=$s").listFiles()
-        .filter(f => f.getName.endsWith(".parquet"))
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(f => f.getName)
       assert(files.nonEmpty, s"shard $s is empty")
-      for (f <- files) {
-        val keys = spark.read.parquet(f.getPath)
-          .select("sort_key").as[Long].collect().toSeq
-        assert(keys == keys.sorted, s"shard $s file ${f.getName} not sorted")
-      }
+      val keys = files.toSeq.flatMap(f =>
+        spark.read.parquet(f.getPath)
+          .select("sort_key").as[Long].collect().toSeq)
+      assert(keys == keys.sorted, s"shard $s stream not sorted across files")
     }
   }
 }

@@ -168,6 +168,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall below design point")
   }
 
+  test("cluster fixpoint memo: input rewrite is a cache miss, never stale labels") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      1L -> text, 2L -> text, 3L -> "x y z totally other words here"))
+    val first = Dedup.nearDupClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(first == Set((1L, 1L), (2L, 1L)), s"unexpected clusters: $first")
+    // rewrite THE SAME PATH with a different near-dup pair: the file
+    // fingerprint changes, so the memo must recompute, not serve 1-2
+    writeDocs(Seq(
+      3L -> text, 4L -> text, 5L -> "p q r unrelated solitary words"),
+      into = dir)
+    val second = Dedup.nearDupClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(second == Set((3L, 3L), (4L, 3L)), s"stale cache served: $second")
+  }
+
   test("containment catches doc-in-doc inclusion that jaccard misses") {
     // short = an exact contiguous slice of long → containment 1.0, but
     // jaccard = |short|/|long| shingles ≈ 0.2, far below the 0.8 gate

@@ -15,10 +15,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     * the same `Tables.load` path as the real data. Single-sourced here —
     * a schema change (new required column) lands in every spec at once.
     */
-  def writeDocs(rows: Seq[(Long, String)], source: String = "fix"): String = {
+  def writeDocs(rows: Seq[(Long, String)], source: String = "fix",
+      into: String = null): String = {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("docsfix").toString
+    val dir =
+      if (into != null) into
+      else java.nio.file.Files.createTempDirectory("docsfix").toString
     rows.toDF("doc_id", "text")
       .withColumn("lang", lit("en"))
       .withColumn("source", lit(source))
