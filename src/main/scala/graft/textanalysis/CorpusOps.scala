@@ -602,6 +602,101 @@ object CorpusOps {
       .orderBy("shard", "start_tok", "doc_id")
   }
 
+  final case class PackDoc(doc_id: Long, shard: Int, sort_key: Long,
+      n_tok: Long)
+  final case class PackAssign(doc_id: Long, shard: Int, rn: Long,
+      n_tok: Long, pack_id: Long)
+
+  /** BOUNDARY-respecting greedy packing — the other packing policy
+    * loaders choose from: a document never straddles a sequence; it
+    * goes whole into the current pack if it fits, else opens the next
+    * (paying padding waste), and an oversized doc (> [[PackLen]]
+    * tokens) takes ⌈n/L⌉ packs alone. [[packSequences]] is the
+    * zero-waste stream view; this is the no-split view — the waste vs
+    * doc-integrity tradeoff made explicit.
+    *
+    * Greedy state (current pack, tokens used) depends non-linearly on
+    * every earlier doc, so no window function expresses it — this is
+    * the ONE legitimate `mapPartitions` case in the library: an
+    * explicit per-shard sequential scan over the manifest order, state
+    * resetting at shard boundaries. Parallelism is per shard (hash
+    * co-location of shards in one task is fine — the scan resets), the
+    * same unit the writer and stream packer commit to; memory is O(1).
+    * The DuckDB twin walks identical per-shard recursion via a
+    * recursive CTE, so the integer state machine is engine-exact.
+    * Output: (doc_id, shard, rn = manifest position, n_tok, pack_id).
+    */
+  def packGreedy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = shardKey(col("doc_id"))
+    val manifest = docs(spark, dir)
+      .select(col("doc_id"), (key % NShards).cast("int").as("shard"),
+        key.as("sort_key"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .as[PackDoc]
+    manifest
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "sort_key", "doc_id")
+      .mapPartitions { it =>
+        var shard = Int.MinValue
+        var rn = 0L; var pCur = 0L; var used = 0L
+        it.map { d =>
+          if (d.shard != shard) { shard = d.shard; rn = 0L; pCur = 0L; used = 0L }
+          rn += 1
+          val assigned =
+            if (d.n_tok > PackLen) { // oversized: own pack(s)
+              val p = if (used > 0) pCur + 1 else pCur
+              pCur = p + (d.n_tok + PackLen - 1) / PackLen
+              used = 0
+              p
+            } else if (used + d.n_tok <= PackLen) { // fits
+              used += d.n_tok
+              pCur
+            } else { // overflow: open next pack
+              pCur += 1
+              used = d.n_tok
+              pCur
+            }
+          PackAssign(d.doc_id, d.shard, rn, d.n_tok, assigned)
+        }
+      }
+      .toDF()
+      .orderBy("shard", "rn")
+  }
+
+  val packGreedySql: String = {
+    val key = duckH48("concat('shard-', doc_id)")
+    val L = PackLen
+    s"""WITH RECURSIVE t AS (SELECT doc_id,
+            CAST($key % $NShards AS INT) AS shard,
+            CAST(len($duckToks) AS BIGINT) AS n_tok,
+            row_number() OVER (PARTITION BY CAST($key % $NShards AS INT)
+              ORDER BY $key, doc_id) AS rn
+          FROM documents),
+        rec AS (
+          SELECT shard, CAST(0 AS BIGINT) AS rn,
+            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+            CAST(NULL AS BIGINT) AS pack_id,
+            CAST(0 AS BIGINT) AS p_cur, CAST(0 AS BIGINT) AS u
+          FROM (SELECT DISTINCT shard FROM t)
+          UNION ALL
+          SELECT t.shard, t.rn, t.doc_id, t.n_tok,
+            CASE WHEN t.n_tok > $L THEN
+                   (CASE WHEN r.u > 0 THEN r.p_cur + 1 ELSE r.p_cur END)
+                 WHEN r.u + t.n_tok <= $L THEN r.p_cur
+                 ELSE r.p_cur + 1 END,
+            CASE WHEN t.n_tok > $L THEN
+                   (CASE WHEN r.u > 0 THEN r.p_cur + 1 ELSE r.p_cur END)
+                   + ((t.n_tok + $L - 1) // $L)
+                 WHEN r.u + t.n_tok <= $L THEN r.p_cur
+                 ELSE r.p_cur + 1 END,
+            CASE WHEN t.n_tok > $L THEN 0
+                 WHEN r.u + t.n_tok <= $L THEN r.u + t.n_tok
+                 ELSE t.n_tok END
+          FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+        SELECT doc_id, shard, rn, n_tok, pack_id
+        FROM rec WHERE rn >= 1 ORDER BY shard, rn"""
+  }
+
   val packSequencesSql: String = {
     val key = duckH48("concat('shard-', doc_id)")
     s"""WITH t AS (SELECT doc_id,

@@ -252,6 +252,43 @@ class CorpusOpsSpec extends SparkSpec {
     for ((id, shard, _, _, _) <- got) assert(shard == manifest(id))
   }
 
+  test("greedy packing: fits / overflow / oversized branches, per-shard reset") {
+    // drive the state machine directly on a hand-ordered manifest via
+    // the same mapPartitions the query uses (packGreedy on real dirs is
+    // oracle-gated; here the 3 branches and the reset are pinned)
+    def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    // choose ids whose manifest order within their shard is known: use
+    // packGreedy itself and check invariants instead of exact ids
+    val L = CorpusOps.PackLen.toInt
+    val dir = writeDocs(Seq(
+      1L -> doc(200), 2L -> doc(100), 3L -> doc(100), // 200|100 overflow cases
+      4L -> doc(600),                                  // oversized: 3 packs alone
+      5L -> doc(50), 6L -> doc(50), 7L -> doc(50)))
+    val got = CorpusOps.packGreedy(spark, dir)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(got.map(_._1).sorted.toSeq == (1L to 7L), "every doc packed once")
+    for ((_, rows) <- got.groupBy(_._2)) {
+      val inOrder = rows.sortBy(_._3)
+      assert(inOrder.map(_._3).toSeq == (1L to rows.length).toSeq,
+        "rn is the dense manifest position per shard")
+      // replay the state machine on the manifest order and compare
+      var pCur = 0L; var used = 0L
+      for ((_, _, _, n, pack) <- inOrder) {
+        val expect =
+          if (n > L) { val p = if (used > 0) pCur + 1 else pCur
+            pCur = p + (n + L - 1) / L; used = 0; p }
+          else if (used + n <= L) { used += n; pCur }
+          else { pCur += 1; used = n; pCur }
+        assert(pack == expect, s"doc with $n toks: pack $pack, want $expect")
+      }
+      // no-split invariant: every non-oversized doc's pack holds ≤ L tokens
+      val packTotals = inOrder.filter(_._4 <= L).groupBy(_._5)
+        .view.mapValues(_.map(_._4).sum)
+      for ((p, tot) <- packTotals)
+        assert(tot <= L, s"pack $p overfilled with $tot tokens")
+    }
+  }
+
   test("shuffled shards: written files match the manifest, sorted, complete") {
     val ids = 1L to 80L
     val dir = writeDocs(ids.map(i => i -> s"document number $i body text"))
