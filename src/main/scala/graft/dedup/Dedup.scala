@@ -530,14 +530,41 @@ object Dedup {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
-  /** Fingerprint of the dir's documents table (driver-side listing). */
+  /** Hard ceiling on memo entries PER SESSION: a long-lived session
+    * sweeping many distinct dirs must not accumulate one pinned
+    * checkpoint per dir forever. Past the cap the session's other
+    * entries are dropped wholesale (the ContextCleaner reclaims their
+    * blocks once callers release the frames) — a rare full recompute
+    * beats an unbounded block leak.
+    */
+  private val ClusterCachePerSession = 8
+
+  /** Fingerprint of the dir's documents table (driver-side listing).
+    * Order-sensitive 64-bit fold over the NAME-SORTED file list (31·acc
+    * + attr per attribute), prefixed with file count and total bytes: a
+    * commutative sum of 32-bit hashes would let permuted or mutually
+    * cancelling (name, len, mtime) edits collide and serve stale labels.
+    * mtime granularity is still the filesystem's — an in-place same-length
+    * rewrite inside one tick is indistinguishable, which is the usual
+    * contract of mtime-based caches (make/rsync share it).
+    */
   private def docsFingerprint(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L
-    else fs.listStatus(p).map(st =>
-      (st.getPath.getName, st.getLen, st.getModificationTime)
-        .hashCode().toLong).sum
+    else {
+      val files = fs.listStatus(p).sortBy(_.getPath.getName)
+      var acc = 1125899906842597L // large prime seed
+      def mix(h: Long): Unit = acc = 31L * acc + h
+      mix(files.length.toLong)
+      mix(files.map(_.getLen).sum)
+      files.foreach { st =>
+        mix(st.getPath.getName.hashCode.toLong)
+        mix(st.getLen)
+        mix(st.getModificationTime)
+      }
+      acc
+    }
   }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -552,6 +579,10 @@ object Dedup {
       clusterCache.keySet.removeIf { case (s, d, f) =>
         (s eq spark) && d == dir && f != fp // superseded input version
       }
+      val sessionEntries =
+        clusterCache.keySet.stream.filter(_._1 eq spark).count()
+      if (sessionEntries >= ClusterCachePerSession)
+        clusterCache.keySet.removeIf { case (s, _, _) => s eq spark }
       val prev = clusterCache.putIfAbsent(key, labels)
       if (prev != null) prev else labels
     }

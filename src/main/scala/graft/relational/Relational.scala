@@ -535,21 +535,41 @@ object Relational {
     * buffer, which forces SortAggregate: every MAP partition gets sorted
     * by the group key before aggregating, the very cost this shape
     * exists to avoid. A scalar decimal buffer keeps both sides of the
-    * exchange in hash aggregation. Prices are 2-decimal so the cents
-    * are integral, and the pack orders identically to (price, suppkey);
-    * the oracle's row_number twin picks the identical row.
+    * exchange in hash aggregation.
+    *
+    * INPUT CONTRACT (checked where cheap, documented where not):
+    *   - `l_suppkey` must fit below [[ArgminSuppkeyRadix]] (10¹⁰) — the
+    *     pack reserves exactly 10 decimal digits for it; a larger key
+    *     would bleed into the cents digits and corrupt the ordering.
+    *     TPC-H suppkeys top out at SF·10⁴, eight orders of magnitude of
+    *     headroom.
+    *   - Prices must be EXACTLY 2-decimal (the TPC-H generator contract):
+    *     `dec2` rounds to cents, so two raw prices differing only below
+    *     a cent collapse to the same packed key and the suppkey
+    *     tie-break decides — while the oracle's row_number twin orders
+    *     by the RAW double and could pick the other row. With 2-decimal
+    *     inputs the cent grid is exact and the two orderings coincide.
+    *     (To pair this operator with sub-cent data, round the oracle's
+    *     ORDER BY to cents to match.)
     */
+  val ArgminSuppkeyRadix = 10000000000L // 10^10: digits reserved for suppkey
+
   def argminSupplier(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
     val cents = (dec2(col("l_extendedprice")) * lit(100)).cast("decimal(27,0)")
-    val pack = (cents * lit(10000000000L) + col("l_suppkey"))
+    val suppChecked = when(
+      col("l_suppkey") >= 0 && col("l_suppkey") < ArgminSuppkeyRadix,
+      col("l_suppkey")).otherwise(
+      raise_error(concat(lit("argminSupplier: l_suppkey out of pack range: "),
+        col("l_suppkey"))))
+    val pack = (cents * lit(ArgminSuppkeyRadix) + suppChecked)
       .cast("decimal(38,0)")
     l.groupBy("l_partkey")
       .agg(min(pack).as("p"),
         min(col("l_extendedprice")).as("best_price"),
         count(lit(1)).as("n_lines"))
       .select(col("l_partkey"),
-        pmod(col("p"), lit(10000000000L)).cast("long").as("best_supp"),
+        pmod(col("p"), lit(ArgminSuppkeyRadix)).cast("long").as("best_supp"),
         col("best_price"), col("n_lines"))
       .orderBy("l_partkey")
   }
@@ -655,14 +675,21 @@ object Relational {
     * a small NEGATIVE variance; `sqrt` of that is NaN in Spark but a
     * hard error in DuckDB, and NaN compares greater than any threshold,
     * so an unguarded z-score would flag every hour of a perfectly flat
-    * series. Stddev is therefore NULL unless variance > 0 — downstream
-    * comparisons stay NULL and degenerate series emit no anomalies.
+    * series. A single-row group (n = 1) is the other degenerate shape:
+    * the sample-variance denominator is zero there, which under Spark's
+    * default ANSI mode is a HARD ERROR (DIVIDE_BY_ZERO), not a quiet
+    * NaN — so variance itself is gated on n > 1 (NULL below), and stddev
+    * is NULL unless variance is a real positive number (`!isnan` guards
+    * the inf−inf = NaN corner at extreme magnitudes, which like NaN-
+    * from-0/0 would compare GREATER than any threshold in both Spark
+    * and DuckDB). Downstream comparisons stay NULL and degenerate
+    * series emit no anomalies.
     */
   private def momentCols(s1: Column, s2: Column, n: Column)
       : (Column, Column, Column) = {
     val mean = s1 / n
-    val variance = (s2 - s1 * s1 / n) / (n - 1.0)
-    val stddev = when(variance > 0d, sqrt(variance))
+    val variance = when(n > 1.0, (s2 - s1 * s1 / n) / (n - 1.0))
+    val stddev = when(variance > 0d && !isnan(variance), sqrt(variance))
     (mean, variance, stddev)
   }
 
@@ -703,7 +730,9 @@ object Relational {
                FROM g GROUP BY event_type),
         scored AS (SELECT g.event_type, g.hour_sec, g.n,
           (CAST(g.n AS DOUBLE) - s1 / cnt)
-            / (CASE WHEN (s2 - s1 * s1 / cnt) / (cnt - 1.0) > 0
+            / (CASE WHEN cnt > 1.0
+                     AND (s2 - s1 * s1 / cnt) / (cnt - 1.0) > 0
+                     AND NOT isnan((s2 - s1 * s1 / cnt) / (cnt - 1.0))
                  THEN sqrt((s2 - s1 * s1 / cnt) / (cnt - 1.0)) END) AS z
           FROM g JOIN st ON g.event_type = st.t)
         SELECT event_type, hour_sec, n, z FROM scored
@@ -1175,12 +1204,13 @@ object Relational {
              FROM lineitem GROUP BY l_returnflag),
        scored AS (SELECT l_returnflag,
                s1 / CAST(n AS DOUBLE) AS mean_qty,
-               (s2 - s1 * s1 / CAST(n AS DOUBLE))
-                 / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+               CASE WHEN n > 1 THEN (s2 - s1 * s1 / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) END AS var_qty,
                n
              FROM sums)
        SELECT l_returnflag, mean_qty, var_qty,
-         CASE WHEN var_qty > 0 THEN sqrt(var_qty) END AS stddev_qty,
+         CASE WHEN var_qty > 0 AND NOT isnan(var_qty)
+           THEN sqrt(var_qty) END AS stddev_qty,
          n
        FROM scored
        ORDER BY l_returnflag"""

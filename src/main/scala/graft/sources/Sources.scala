@@ -59,8 +59,13 @@ object Sources {
     * by shard, rows sorted by the deterministic hash key — the layout a
     * training loader streams round-robin for a reproducible
     * pseudo-random example order. Assignment and key come from
-    * [[graft.textanalysis.CorpusOps.shardKey]], so the written files
-    * match the declared `corpusShards` manifest byte-for-byte.
+    * [[graft.textanalysis.CorpusOps.shardKey]], and `nShards` DEFAULTS
+    * to [[graft.textanalysis.CorpusOps.NShards]] — at that default the
+    * written files match the declared `corpusShards` manifest
+    * byte-for-byte; any other count is a deliberately different layout
+    * (the spec exercises 4). The input must not already carry `shard` or
+    * `sort_key` columns (they are this writer's outputs); the method
+    * fails fast rather than silently overwriting caller data.
     *
     * RANGE-partitioned on (shard, sort_key, id), not hash-partitioned
     * on the shard id: murmur3(shard) mod n is not a bijection, so hash
@@ -73,8 +78,12 @@ object Sources {
     * in NAME order yields the globally sorted stream — the same
     * contract one file would give.
     */
-  def writeShuffledShards(df: DataFrame, idCol: String, nShards: Int,
-      path: String): Unit = {
+  def writeShuffledShards(df: DataFrame, idCol: String, path: String,
+      nShards: Int = graft.textanalysis.CorpusOps.NShards): Unit = {
+    val clash = df.columns.toSet.intersect(Set("shard", "sort_key"))
+    require(clash.isEmpty,
+      s"writeShuffledShards writes columns ${clash.mkString(", ")}; " +
+        "rename or drop them on the input first")
     val key = graft.textanalysis.CorpusOps.shardKey(col(idCol))
     df.withColumn("sort_key", key)
       .withColumn("shard", (key % nShards).cast("int"))

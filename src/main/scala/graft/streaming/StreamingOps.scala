@@ -323,14 +323,24 @@ object StreamingOps {
                 .map(h => HourBucket(et, h, pending.getOrElse(h, 0L)))
             }
           val rest = pending.filter { case (h, _) => h + 3600L > wmSec }
-          val newLast =
-            if (closable.isEmpty) prev.lastClosed else closable.max
-          state.update(GapFillState(newLast, rest))
-          // re-arm: fire when the earliest still-open hour closes, so a
-          // type that goes silent still flushes (timestamp is strictly
-          // beyond the current watermark by construction of `rest`)
-          if (rest.nonEmpty)
+          if (rest.nonEmpty) {
+            val newLast =
+              if (closable.isEmpty) prev.lastClosed else closable.max
+            state.update(GapFillState(newLast, rest))
+            // re-arm: fire when the earliest still-open hour closes, so a
+            // type that goes silent still flushes (timestamp is strictly
+            // beyond the current watermark by construction of `rest`)
             state.setTimeoutTimestamp((rest.keys.min + 3600L) * 1000L)
+          } else {
+            // Fully drained: REMOVE the state rather than parking an empty
+            // map forever (no timer would ever fire again, so the entry
+            // would pin the state store for every type that ever went
+            // silent). On revival lastClosed starts fresh — safe, because
+            // anything older is pre-watermark and already dropped; the
+            // trade is that hours silent across the drained period emit
+            // no zeros, the same blind spot any expired-state design has.
+            state.remove()
+          }
           rows
       }
   }

@@ -289,13 +289,21 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("shuffled shards: refuses inputs that already carry writer columns") {
+    val df = Seq((1L, 0)).toDF("doc_id", "shard")
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.Sources.writeShuffledShards(df, "doc_id", "/tmp/never")
+    }
+    assert(ex.getMessage.contains("shard"))
+  }
+
   test("shuffled shards: written files match the manifest, sorted, complete") {
     val ids = 1L to 80L
     val dir = writeDocs(ids.map(i => i -> s"document number $i body text"))
     val out = java.nio.file.Files.createTempDirectory("shards").toString + "/s"
     val nShards = 4
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
-    graft.sources.Sources.writeShuffledShards(docsDf, "doc_id", nShards, out)
+    graft.sources.Sources.writeShuffledShards(docsDf, "doc_id", out, nShards)
     val back = spark.read.parquet(out)
     // complete: every doc exactly once
     assert(back.select("doc_id").as[Long].collect().sorted.toSeq == ids)

@@ -61,6 +61,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == List(("a", 20L, 18L, 10.0)))
   }
 
+  test("anomaly detector: single-bucket series emits no rows, not NaN z") {
+    // every event of each type lands in ONE hour → gapfill grid has one
+    // bucket per type → sample variance is 0/0 = NaN. NaN compares
+    // greater than 3.0 in Spark, so an unguarded stddev would flag the
+    // bucket with z = NaN; the momentCols guard must yield zero rows.
+    val h = 3600000000000L // ns per hour
+    val dir = writeEvents(Seq(
+      (10L, 1L, "solo", 1.0), (20L, 2L, "solo", 1.0), (30L, 3L, "solo", 1.0),
+      (5L * h + 10L, 4L, "mono", 1.0)))
+    val got = Relational.eventsAnomaly(spark, dir).collect()
+    assert(got.isEmpty, s"degenerate series must emit no anomalies, got ${got.toList}")
+  }
+
   test("big orders: decimal-domain HAVING, ordered by totalprice desc") {
     import org.apache.spark.sql.functions.{col, sum}
     val sf = "/root/testdata/sf0.001"
