@@ -50,6 +50,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, "ANN found none of the true top-k")
   }
 
+  test("knn join: per-query windows are exact over the shared-bucket candidates") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.toMap
+    val got = Similarity.knnJoin(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    val qIds = vecs.take(Similarity.KnnQueries).map(_._1).toSet
+    // every declared query id answered, no stray queries, no self-hits
+    assert(got.map(_._1).toSet == qIds)
+    assert(got.forall { case (q, v, _, _) => q != v })
+    // per query: rn dense from 1, ≤ K rows, cosine desc, scores exact
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.length <= Similarity.K)
+      val cs = sorted.map(_._3).toSeq
+      assert(cs == cs.sortBy(-_), s"query $q not cosine-desc")
+      sorted.foreach { case (_, v, c, _) =>
+        assert(math.abs(c - cos(byId(q), byId(v))) < 1e-12) }
+    }
+    // recall vs brute force: each query's hits share ≥1 true-top-k member
+    // often enough that the batch path is a real ANN, not noise
+    val hitRates = qIds.toSeq.map { q =>
+      val truth = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(Similarity.K).map(_._1).toSet
+      val mine = got.filter(_._1 == q).map(_._2).toSet
+      truth.count(mine).toDouble / truth.size
+    }
+    assert(hitRates.sum / hitRates.size > 0.0, "batch KNN found no true neighbors")
+  }
+
   test("ivf assignment is total, exclusive, and argmax-consistent") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
