@@ -118,6 +118,68 @@ object Dedup {
        count(*) AS n_copies
        FROM documents GROUP BY md5(text) ORDER BY doc_id"""
 
+  /** Paragraph block size (tokens) for [[paragraphDedup]]. The synthetic
+    * corpus is an unstructured word stream, so "paragraph" is a
+    * deterministic non-overlapping token block; on real text the split
+    * would be `split(text, "\n\n?")` and everything downstream of the
+    * explode is unchanged.
+    */
+  val ParaSize = 32
+
+  /** C4-style PARAGRAPH-LEVEL exact dedup: repeated boilerplate blocks
+    * are dropped CORPUS-WIDE while unique prose survives — finer than
+    * whole-document [[exact]] (a page that differs only in its footer is
+    * two unique documents but shares the footer paragraph). Each doc
+    * splits into non-overlapping [[ParaSize]]-token blocks (last may be
+    * short); each block is md5-digested; a block is `kept` iff it is the
+    * FIRST occurrence of its digest in (doc_id, para_idx) order — so
+    * within-doc repeats dedup too, and reassembling the kept blocks in
+    * order is the C4 cleaning pass.
+    *
+    * Shuffle shape at 100 TB: paragraphs are hashed in-row; the only
+    * exchange is the keep-first window partitioned on the 16-byte digest
+    * carrying (doc_id, para_idx, digest) — text never shuffles, same
+    * minimum as [[exact]]. Skew: a boilerplate block repeated across the
+    * whole corpus lands one partition; its rows are 28 bytes and the
+    * window only counts to 1, so a billion-copy footer is a single-task
+    * scan, not a blowup (salt + re-merge if even that offends).
+    * Output: (doc_id, para_idx, para_hash, kept), one row per block.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("t")
+    val kMax = expr(s"(size(t) - 1) div $ParaSize")
+    val paraStructs = transform(
+      sequence(lit(0), kMax),
+      k => struct(k.as("para_idx"),
+        md5(concat_ws(" ", slice(t, k * ParaSize + 1, lit(ParaSize)))).as("h")))
+    val paras = tokens(Tables.loadSpread(spark, dir, "documents", "doc_id"))
+      .where(size(t) > 0)
+      .select(col("doc_id"), explode(paraStructs).as("p"))
+      .select(col("doc_id"), col("p.para_idx").cast("int").as("para_idx"),
+        col("p.h").as("para_hash"))
+    val w = Window.partitionBy("para_hash").orderBy("doc_id", "para_idx")
+    paras
+      .withColumn("kept", row_number().over(w) === 1)
+      .orderBy("doc_id", "para_idx")
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH f AS ($duckTokens),
+        f2 AS (SELECT doc_id, t FROM f WHERE len(t) > 0),
+        ks AS (SELECT doc_id, t,
+                 unnest(range(0, (len(t) - 1) // $ParaSize + 1)) AS k
+               FROM f2),
+        p AS (SELECT doc_id, CAST(k AS INT) AS para_idx,
+                md5(array_to_string(
+                  list_slice(t, k * $ParaSize + 1,
+                    least((k + 1) * $ParaSize, len(t))), ' ')) AS para_hash
+              FROM ks)
+        SELECT doc_id, para_idx, para_hash,
+          row_number() OVER (PARTITION BY para_hash
+            ORDER BY doc_id, para_idx) = 1 AS kept
+        FROM p ORDER BY doc_id, para_idx"""
+
   // -------------------------------------------------------------- minhash
 
   val NumPerms = 16

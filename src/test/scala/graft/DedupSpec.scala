@@ -37,6 +37,27 @@ class DedupSpec extends SparkSpec {
     assert(byHash == Set((3L, 2L), (9L, 1L)))
   }
 
+  test("paragraph dedup: shared boilerplate vanishes, unique prose survives") {
+    val block = (tag: String) => (0 until Dedup.ParaSize).map(i => s"$tag$i").mkString(" ")
+    val boiler = block("b")
+    val dir = writeDocs(Seq(
+      1L -> s"$boiler ${block("u1")}",  // boiler first occurrence
+      2L -> s"$boiler ${block("u2")}",  // boiler repeat across docs
+      3L -> block("u3"),                // unique-only doc
+      4L -> s"${block("u4")} ${block("u4")}")) // within-doc repeat
+    val got = Dedup.paragraphDedup(spark, dir)
+      .as[(Long, Int, String, Boolean)].collect()
+      .map { case (id, idx, _, kept) => ((id, idx), kept) }.toMap
+    assert(got == Map(
+      (1L, 0) -> true, (1L, 1) -> true,   // first boiler + unique prose kept
+      (2L, 0) -> false, (2L, 1) -> true,  // repeated boiler dropped
+      (3L, 0) -> true,
+      (4L, 0) -> true, (4L, 1) -> false)) // within-doc repeat dropped
+    // reassembly invariant: every doc keeps at least its unique content
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => got.exists {
+      case ((d, _), kept) => d == id && kept }))
+  }
+
   test("minhash LSH candidates are a superset of true jaccard>=0.8 pairs") {
     val trueDups = Dedup.jaccardPairs(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
