@@ -1,0 +1,215 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing.duckH48
+
+/** Real subword tokenization: applies a committed BPE merge-table artifact
+  * (`src/main/resources/bpe_merges.txt`, trained offline by
+  * `tools/train_bpe.py` — the stopword-artifact pattern, reference
+  * `src/data/stopwords.txt`, generalized to a model file) to produce
+  * loader-true token counts and ids, replacing the BPE-ish regex
+  * *estimate* in [[TextAnalysis.tokenStats]].
+  *
+  * Application convention (training-faithful, mirrored bit-exactly by the
+  * DuckDB oracle): merges apply strictly in rank order; each rule is one
+  * left-to-right non-overlapping pass over the symbol sequence. For a
+  * table produced by actual BPE training this equals the canonical
+  * best-ranked-pair loop: rule k's operand symbols are constructible only
+  * by rules < k, and merging other symbols never creates a new adjacency
+  * of two already-existing symbols, so by the time rule k runs, every
+  * occurrence it could ever see is present.
+  *
+  * Scale design (100 TB): BPE encoding is an iterative per-word algorithm
+  * no relational expression covers, so it runs as a typed map — but over
+  * the DISTINCT pre-token vocabulary only (Zipf-bounded: millions of
+  * words, not trillions of tokens), built with one map-side-combined
+  * distinct. The word→(pieces, ids) table then broadcast-joins back onto
+  * the exploded corpus, keeping the corpus-side pass narrow: one scan,
+  * one broadcast probe, one partial-aggregated groupBy(doc_id). The
+  * encode cost is O(|vocab| · rules), independent of corpus size — the
+  * word-level cache every production tokenizer (HF fast tokenizers) uses,
+  * here as a dataflow instead of a process-local memo.
+  */
+object Bpe {
+
+  /** Merge rules in rank order from the committed artifact. */
+  val Merges: IndexedSeq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/bpe_merges.txt")
+    require(in != null, "bpe_merges.txt missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(l, r) = line.split(" ", 2)
+        (l, r)
+      }.toIndexedSeq
+    finally in.close()
+  }
+
+  /** symbol → id: base alphabet 'a'..'z' = 0..25, merge outputs 26.. in
+    * rank order. The trainer guarantees output-string uniqueness (it
+    * skips colliding candidates); enforced again here because the id map
+    * — and the oracle's `m.l || m.r = sym` join — both rely on it.
+    */
+  val PieceId: Map[String, Int] = {
+    val base = ('a' to 'z').map(c => (c.toString, c - 'a')).toMap
+    val merged = Merges.zipWithIndex.map { case ((l, r), i) => (l + r, 26 + i) }
+    require(merged.map(_._1).distinct.size == merged.size &&
+      merged.forall { case (s, _) => !base.contains(s) },
+      "bpe_merges.txt output strings must be unique")
+    base ++ merged
+  }
+
+  /** One left-to-right non-overlapping merge pass. Equivalent to the
+    * oracle's `list_reduce` left-fold: the fold merges `x` into the
+    * accumulator only when the trailing symbol is exactly `l`, and a
+    * fresh merge leaves trailing symbol `l+r` ≠ `l` (r nonempty), so the
+    * fold, like this scan, consumes disjoint adjacent pairs greedily.
+    */
+  private[graft] def mergePass(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one lowercase letter-run word into BPE pieces. */
+  def encode(word: String): Seq[String] = {
+    var syms = word.map(_.toString).toArray
+    val it = Merges.iterator
+    while (it.hasNext && syms.length > 1) {
+      val (l, r) = it.next()
+      syms = mergePass(syms, l, r)
+    }
+    syms.toSeq
+  }
+
+  /** Per-doc counts WITHOUT the presentation sort — the composable form
+    * [[packBpe]] builds on. Letter-run pre-tokens are BPE-encoded;
+    * digit/punctuation pre-tokens count as one piece with id
+    * contribution 0 (none exist in the synthetic corpus; the contract is
+    * spec-pinned on a fixture).
+    */
+  private[textanalysis] def bpeCounts(
+      spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pre = TextAnalysis.docs(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(TextAnalysis.BpeTokenRegex), lit(0))).as("w"))
+    val enc = pre.select("w").where(col("w").rlike("^[a-z]+$")).distinct()
+      .as[String]
+      .map { w =>
+        val ps = encode(w)
+        (w, ps.length, ps.map(p => PieceId(p).toLong).sum)
+      }
+      .toDF("w", "n_pieces", "id_sum")
+    val agg = pre.join(broadcast(enc), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pretok"),
+        sum(coalesce(col("n_pieces"), lit(1))).as("n_bpe"),
+        sum(coalesce(col("id_sum"), lit(0L))).as("id_sum"))
+    // docs spine left join: empty/null texts must emit zero-stat rows,
+    // not vanish (they produce no exploded pre-tokens)
+    TextAnalysis.docs(spark, dir).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pretok"), lit(0L)).as("n_pretok"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+  }
+
+  /** Declared query: (doc_id, n_pretok, n_bpe, id_sum) per document. */
+  def bpeStats(spark: SparkSession, dir: String): DataFrame =
+    bpeCounts(spark, dir).orderBy("doc_id")
+
+  private def sqlQuote(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** Shared CTE chain (caller supplies `WITH RECURSIVE`): the merge table
+    * inlined from the artifact, the vocabulary, the rank-order fold, and
+    * the per-doc aggregate `bpe(doc_id, n_pretok, n_bpe, id_sum)`.
+    */
+  private[textanalysis] val bpeCtes: String = {
+    val mergeValues = Merges.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1},${sqlQuote(l)},${sqlQuote(r)})" }
+      .mkString(",")
+    s"""merges(rank, l, r) AS (SELECT * FROM (VALUES $mergeValues) m(rank, l, r)),
+        pre AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '${TextAnalysis.BpeTokenRegex}')) AS w
+          FROM documents),
+        vocab AS (SELECT DISTINCT w FROM pre WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+        enc(w, i, s) AS (
+          SELECT w, 0, array_to_string(string_split(w, ''), ' ') FROM vocab
+          UNION ALL
+          SELECT e.w, e.i + 1,
+            list_reduce(string_split(e.s, ' '),
+              (acc, x) -> CASE WHEN x = m.r AND (acc = m.l OR ends_with(acc, ' ' || m.l))
+                          THEN acc || x ELSE acc || ' ' || x END)
+          FROM enc e JOIN merges m ON m.rank = e.i + 1),
+        done AS (SELECT w, string_split(s, ' ') AS ps
+          FROM enc WHERE i = ${Merges.length}),
+        piece AS (SELECT w, len(ps) AS n_pieces, unnest(ps) AS sym FROM done),
+        wenc AS (SELECT p.w, any_value(p.n_pieces) AS n_pieces,
+            sum(CASE WHEN len(p.sym) = 1 THEN ascii(p.sym) - 97
+                     ELSE m.rank + 25 END) AS id_sum
+          FROM piece p LEFT JOIN merges m
+            ON len(p.sym) > 1 AND m.l || m.r = p.sym
+          GROUP BY p.w),
+        docagg AS (SELECT pre.doc_id, count(*) AS n_pretok,
+            sum(coalesce(we.n_pieces, 1)) AS n_bpe,
+            sum(coalesce(we.id_sum, 0)) AS id_sum
+          FROM pre LEFT JOIN wenc we ON we.w = pre.w GROUP BY 1),
+        bpe AS (SELECT d.doc_id,
+            CAST(coalesce(a.n_pretok, 0) AS BIGINT) AS n_pretok,
+            CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe,
+            CAST(coalesce(a.id_sum, 0) AS BIGINT) AS id_sum
+          FROM documents d LEFT JOIN docagg a ON a.doc_id = d.doc_id)"""
+  }
+
+  val bpeStatsSql: String =
+    s"""WITH RECURSIVE $bpeCtes
+        SELECT doc_id, n_pretok, n_bpe, id_sum FROM bpe ORDER BY doc_id"""
+
+  /** Loader-true sequence packing: [[CorpusOps.packSequences]]'s stream
+    * policy re-based on REAL subword counts instead of whitespace-token
+    * counts, so `start_tok`/`pack_id` offsets are the ones a training
+    * loader consuming this tokenizer would seek to.
+    */
+  def packBpe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = CorpusOps.shardKey(col("doc_id"))
+    val w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpeCounts(spark, dir)
+      .select(col("doc_id"),
+        (key % CorpusOps.NShards).cast("int").as("shard"),
+        key.as("sort_key"), col("n_bpe").as("n_tok"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id", expr(s"start_tok div ${CorpusOps.PackLen}"))
+      .select("doc_id", "shard", "n_tok", "start_tok", "pack_id")
+      .orderBy("shard", "start_tok", "doc_id")
+  }
+
+  val packBpeSql: String = {
+    val key = duckH48("concat('shard-', doc_id)")
+    s"""WITH RECURSIVE $bpeCtes,
+        t AS (SELECT doc_id,
+            CAST($key % ${CorpusOps.NShards} AS INT) AS shard,
+            $key AS sort_key, n_bpe AS n_tok
+          FROM bpe),
+        c AS (SELECT doc_id, shard, n_tok,
+            -- CAST: DuckDB widens the window sum to HUGEINT
+            CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY sort_key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - n_tok AS start_tok
+          FROM t)
+        SELECT doc_id, shard, n_tok, start_tok,
+          start_tok // ${CorpusOps.PackLen} AS pack_id
+        FROM c ORDER BY shard, start_tok, doc_id"""
+  }
+}

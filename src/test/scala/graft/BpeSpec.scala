@@ -1,0 +1,78 @@
+package graft
+
+import graft.textanalysis.{Bpe, CorpusOps}
+
+/** Pins the BPE application contract (rank-order, left-to-right
+  * non-overlapping passes) that both the Scala scan and the DuckDB
+  * list_reduce oracle implement, plus the non-letter pre-token and
+  * empty-doc edge cases `CORRECTNESS` can't isolate.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("mergePass is left-to-right non-overlapping") {
+    // 'aaa' with rule (a,a): greedy scan takes the FIRST pair → [aa, a]
+    assert(Bpe.mergePass(Array("a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "a"))
+    assert(Bpe.mergePass(Array("a", "a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "aa"))
+    // a fresh merge is not re-matched as the left operand in the same pass
+    assert(Bpe.mergePass(Array("x", "y", "y"), "x", "y").toSeq ==
+      Seq("xy", "y"))
+  }
+
+  test("encode applies merges strictly in rank order") {
+    // single letters are base symbols, never merged away entirely unless
+    // a rule exists; every piece must be a known symbol with an id
+    for (w <- Seq("hash", "join", "batch", "query", "zzz")) {
+      val ps = Bpe.encode(w)
+      assert(ps.mkString == w, s"pieces must concatenate back to '$w'")
+      ps.foreach(p => assert(Bpe.PieceId.contains(p), s"unknown piece $p"))
+    }
+    // determinism
+    assert(Bpe.encode("hash") == Bpe.encode("hash"))
+  }
+
+  test("piece ids: base alphabet 0..25, merges 26.. in rank order") {
+    assert(Bpe.PieceId("a") == 0 && Bpe.PieceId("z") == 25)
+    Bpe.Merges.zipWithIndex.foreach { case ((l, r), i) =>
+      assert(Bpe.PieceId(l + r) == 26 + i)
+    }
+  }
+
+  test("bpeStats: non-letter pre-tokens count 1 piece / id 0; empty docs emit zero rows") {
+    val dir = writeDocs(Seq(
+      (1L, "hash hash join"), // letter runs, BPE-encoded
+      (2L, "a1, b!"),         // pre-tokens: a,1,',',b,'!' → 5 pretok
+      (3L, "")))              // no pre-tokens at all
+    val out = Bpe.bpeStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val hashN = Bpe.encode("hash").length
+    val joinN = Bpe.encode("join").length
+    val hashS = Bpe.encode("hash").map(Bpe.PieceId(_).toLong).sum
+    val joinS = Bpe.encode("join").map(Bpe.PieceId(_).toLong).sum
+    assert(out(1L) == ((3L, 2L * hashN + joinN, 2L * hashS + joinS)))
+    // 'a1, b!' pre-tokenizes to a | 1 | , | b | ! — letters a,b are base
+    // pieces (ids 0, 1); digit/punct each 1 piece, id contribution 0
+    assert(out(2L) == ((5L, 5L, 1L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("packBpe: per-shard start_tok is contiguous and pack_id = start div PackLen") {
+    val dir = writeDocs((1L to 40L).map(i => (i, s"hash join batch row q$i")))
+    val rows = Bpe.packBpe(spark, dir).collect()
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      var expect = 0L
+      rs.sortBy(_.getLong(3)).foreach { r =>
+        assert(r.getLong(3) == expect, "start_tok must be contiguous")
+        assert(r.getLong(4) == expect / CorpusOps.PackLen)
+        expect += r.getLong(2)
+      }
+    }
+    // n_tok is the REAL subword count, not the whitespace count
+    val one = rows.find(_.getLong(0) == 1L).get
+    val words = Seq("hash", "join", "batch", "row", "q")
+    assert(one.getLong(2) ==
+      words.map(Bpe.encode(_).length).sum + 1) // + '1' digit pre-token
+  }
+}
