@@ -714,4 +714,80 @@ object CorpusOps {
           start_tok // $PackLen AS pack_id
         FROM c ORDER BY shard, start_tok, doc_id"""
   }
+
+  // ---------------------------------------------------------------- mixing
+
+  /** Source-weighted corpus mixing — re-weight a multi-source corpus to a
+    * target mixture (the Pile/Llama-style "web 60%, books 20%, code 20%"
+    * recipe) by deterministic per-source up/down-sampling. The declared
+    * weight of a source here is `1 + (numeric suffix mod 3)` ∈ {1,2,3}
+    * (portable across scale factors; a real run passes its own table);
+    * the output budget equals the input size, so rates straddle 1 and
+    * both branches (drop + epoch-repeat) are exercised.
+    *
+    * Everything is EXACT INTEGER arithmetic: with T = Σ n_s (budget),
+    * W = Σ w_s, the target rate for source s is the rational
+    * A_s/B_s = (T·w_s)/(W·n_s). Each doc gets
+    *   n_copies = A_s div B_s  +  [h48("mix-"||doc_id) mod B_s < A_s mod B_s]
+    * — floor(rate) whole epochs plus a hash-Bernoulli(frac(rate)) extra,
+    * so per-source output lands within n_s·frac of the target and NO
+    * float ever enters the plan (no rounding-parity risk with the
+    * oracle, no platform drift). The same id always makes the same draw:
+    * reruns, retries, and engines agree row-for-row.
+    *
+    * Scale (100 TB): the rate table is one tiny per-source aggregate
+    * (|sources| rows) windowed over itself and broadcast back; the copy
+    * decision is a pure row function; upsampling explodes at most
+    * ceil(rate) rows per doc. No corpus-wide shuffle at any point —
+    * the one exchange is the |sources|-row aggregate.
+    * Output: one row per emitted copy, (doc_id, source, epoch).
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    // nullif before the cast: ANSI mode hard-errors on CAST('' AS BIGINT)
+    val weight = lit(1L) +
+      coalesce(nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
+        .cast("long"), lit(0L)) % 3
+    val all = Window.partitionBy()
+    val rates = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", weight)
+      .withColumn("a", sum("n_s").over(all) * col("w_s"))
+      .withColumn("b", sum("w_s").over(all) * col("n_s"))
+      .select(col("source"), expr("a div b").as("base"),
+        (col("a") % col("b")).as("rem"), col("b").as("den"))
+    d.select("doc_id", "source")
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("n_copies", col("base") +
+        when(Hashing.h48(concat(lit("mix-"), col("doc_id"))) % col("den")
+          < col("rem"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"),
+        explode(when(col("n_copies") >= 1L,
+          sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  val corpusMixSql: String = {
+    val h = duckH48("concat('mix-', doc_id)")
+    s"""WITH stats AS (SELECT source, count(*) AS n_s,
+            1 + COALESCE(CAST(NULLIF(
+              regexp_extract(source, '([0-9]+)${"$"}', 1), '') AS BIGINT),
+              0) % 3 AS w_s
+          FROM documents GROUP BY source),
+        -- CAST: DuckDB widens window sums to HUGEINT
+        tot AS (SELECT source, n_s, w_s,
+            CAST(sum(n_s) OVER () AS BIGINT) * w_s AS a,
+            CAST(sum(w_s) OVER () AS BIGINT) * n_s AS b
+          FROM stats),
+        rates AS (SELECT source, a // b AS base, a % b AS rem, b AS den
+          FROM tot),
+        cop AS (SELECT d.doc_id, d.source,
+            r.base + CASE WHEN $h % r.den < r.rem THEN 1 ELSE 0 END
+              AS n_copies
+          FROM documents d JOIN rates r USING (source))
+        SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies))
+            AS BIGINT) AS epoch
+        FROM cop WHERE n_copies >= 1 ORDER BY doc_id, epoch"""
+  }
 }

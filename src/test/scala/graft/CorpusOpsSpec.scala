@@ -326,4 +326,41 @@ class CorpusOpsSpec extends SparkSpec {
       assert(keys == keys.sorted, s"shard $s stream not sorted across files")
     }
   }
+
+  test("corpus mix: per-source output hits floor(rate)·n_s..ceil(rate)·n_s, budget ≈ input") {
+    import spark.implicits._
+    // three sources, 12 docs each → weights: srcA(no digit)=1, src1=2, src2=3
+    val rows = (0 until 36).map { i =>
+      (i.toLong, s"doc $i text", Seq("srcA", "src1", "src2")(i % 3))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mixfix").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = CorpusOps.corpusMix(spark, dir).collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // T=36, W=6: rate(srcA)=36·1/(6·12)=1/2 → exactly {6..6}? no: base=0,
+    // rem/den=1/2 → n_out ∈ [0..12]; but the INTEGER bounds that must hold:
+    // base·n_s ≤ n_out ≤ (base+1)·n_s, and epochs are 1..n_copies dense
+    val spec = Map("srcA" -> 1L, "src1" -> 2L, "src2" -> 3L)
+    for ((src, w) <- spec) {
+      val a = 36L * w; val b = 6L * 12L
+      val n = bySrc.getOrElse(src, 0)
+      assert(n >= (a / b) * 12 && n <= (a / b + 1) * 12,
+        s"$src emitted $n copies, rate $a/$b")
+    }
+    // per-doc epochs dense from 1
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // deterministic: a second run emits the identical multiset
+    val again = CorpusOps.corpusMix(spark, dir).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // weight-3 source outputs strictly more than weight-1 on equal sizes
+    assert(bySrc("src2") > bySrc.getOrElse("srcA", 0))
+  }
 }
