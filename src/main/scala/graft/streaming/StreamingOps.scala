@@ -46,8 +46,13 @@ object StreamingOps {
       .orderBy("user_id", "session_idx")
   }
 
-  val sessionsBatchSql: String =
-    s"""WITH l AS (
+  /** Shared CTE chain ending in `sess(user_id, session_idx, n_events,
+    * start_us, end_us)` — single definition for [[sessionsBatchSql]] and
+    * [[sessionStatsSql]] so the stats can never drift from the sessions
+    * they summarize.
+    */
+  private val sessionsCtes: String =
+    s"""l AS (
           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
             lag(epoch_us(ts)) OVER (PARTITION BY user_id
               ORDER BY epoch_us(ts), event_id) AS prev_us
@@ -62,11 +67,46 @@ object StreamingOps {
             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               AS session_idx
-          FROM f)
-        SELECT user_id, session_idx, count(*) AS n_events,
-          min(ts_us) AS start_us, max(ts_us) AS end_us
-        FROM s GROUP BY user_id, session_idx
-        ORDER BY user_id, session_idx"""
+          FROM f),
+        sess AS (
+          SELECT user_id, session_idx, count(*) AS n_events,
+            min(ts_us) AS start_us, max(ts_us) AS end_us
+          FROM s GROUP BY user_id, session_idx)"""
+
+  val sessionsBatchSql: String =
+    s"""WITH $sessionsCtes
+        SELECT user_id, session_idx, n_events, start_us, end_us
+        FROM sess ORDER BY user_id, session_idx"""
+
+  /** Per-user session behavior profile over [[sessionsBatch]] — the
+    * engagement summary an analytics consumer reads instead of raw
+    * sessions: session count, bounce count (single-event sessions),
+    * event totals/max, and total/longest dwell time. All exact integer
+    * µs arithmetic — no float enters the aggregate. One extra shuffle
+    * on user_id over the sessions result (which is already partitioned
+    * by user_id, so AQE plans it exchange-free in practice).
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionsBatch(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum("n_events").as("total_events"),
+        max("n_events").as("max_events"),
+        sum(col("end_us") - col("start_us")).as("total_dur_us"),
+        max(col("end_us") - col("start_us")).as("longest_dur_us"))
+      .orderBy("user_id")
+
+  val sessionStatsSql: String =
+    s"""WITH $sessionsCtes
+        SELECT user_id, count(*) AS n_sessions,
+          CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bounce,
+          CAST(sum(n_events) AS BIGINT) AS total_events,
+          max(n_events) AS max_events,
+          CAST(sum(end_us - start_us) AS BIGINT) AS total_dur_us,
+          max(end_us - start_us) AS longest_dur_us
+        FROM sess GROUP BY user_id ORDER BY user_id"""
 
   /** Batch twin of [[enrichedHourly]] — the declared, oracle-gated form.
     * Broadcast inner join (customer is the classic small dim; every

@@ -70,6 +70,25 @@ class StreamingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("session stats are exactly the per-user fold of the session table") {
+    val sf = "/root/testdata/sf0.001"
+    val sessions = StreamingOps.sessionsBatch(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().groupBy(_._1)
+    val stats = StreamingOps.sessionStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats.nonEmpty && stats.map(_._1).toSeq == stats.map(_._1).sorted.toSeq)
+    for ((u, nSess, nBounce, totEv, maxEv, totDur, maxDur) <- stats) {
+      val ss = sessions(u)
+      assert(nSess == ss.length)
+      assert(nBounce == ss.count(_._3 == 1L))
+      assert(totEv == ss.map(_._3).sum && maxEv == ss.map(_._3).max)
+      assert(totDur == ss.map(s => s._5 - s._4).sum)
+      assert(maxDur == ss.map(s => s._5 - s._4).max)
+    }
+    // every user with events appears exactly once
+    assert(stats.map(_._1).toSet == sessions.keySet)
+  }
+
   test("stream-static enrichment join matches the batch form of the same graph") {
     implicit val sqlCtx = spark.sqlContext
     val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
