@@ -790,4 +790,75 @@ object CorpusOps {
             AS BIGINT) AS epoch
         FROM cop WHERE n_copies >= 1 ORDER BY doc_id, epoch"""
   }
+
+  // ---------------------------------------------------------- dup n-grams
+
+  /** Memorization-audit n-gram length (the 13-gram convention from the
+    * GPT-3/PaLM contamination methodology) and report size.
+    */
+  val DupGramN = 13
+  val DupGramTopK = 50
+
+  /** Corpus-wide repeated n-gram audit — the memorization-risk report:
+    * which exact [[DupGramN]]-grams recur across ≥ 2 distinct documents,
+    * top [[DupGramTopK]] by total occurrence count. This is the
+    * boilerplate/license-header/template detector run before training.
+    *
+    * TWO-PASS hash-first design: pass 1 explodes grams as 48-bit IN-ROW
+    * hashes and aggregates (count, distinct docs) on the 8-byte key —
+    * at 100 TB the shuffle carries hashes, never the ~90-byte gram
+    * strings (≈11× shuffle-volume saving). The ≥2-docs filter + top-k
+    * cut happen on that hash aggregate (deterministic cut key:
+    * occurrences DESC, hash ASC). Pass 2 re-scans only to recover the
+    * winning grams' TEXT: the ≤ [[DupGramTopK]]-row winner set
+    * broadcast-joins against a fresh gram explode, taking min(gram) per
+    * hash (dedup + collision determinism). Second scan beats shuffling
+    * text for every gram — scans are cheap, wide shuffles are not.
+    * Output: (gram, n_docs, n_occurrences, gh), occurrences-desc.
+    */
+  def dupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ts = toks(col("text"))
+    // when-guard, not greatest(...,0): Spark's sequence(1, 0) DESCENDS
+    // to [1, 0] instead of returning the empty sequence
+    val grams = transform(
+      when(size(ts) >= DupGramN,
+        sequence(lit(1), size(ts) - (DupGramN - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(ts, i, lit(DupGramN))))
+    val top = d.select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), Hashing.h48(col("gram")).as("gh"))
+      .groupBy("gh")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") >= 2L)
+      .orderBy(col("n_occurrences").desc, col("gh").asc)
+      .limit(DupGramTopK)
+    d.select(explode(grams).as("gram"))
+      .select(col("gram"), Hashing.h48(col("gram")).as("gh"))
+      .join(broadcast(top), Seq("gh"))
+      .groupBy("gh", "n_docs", "n_occurrences")
+      .agg(min("gram").as("gram"))
+      .select("gram", "n_docs", "n_occurrences", "gh")
+      .orderBy(col("n_occurrences").desc, col("gh").asc)
+  }
+
+  val dupNgramsSql: String = {
+    val n = DupGramN
+    s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+        g AS (SELECT doc_id,
+            array_to_string(ts[i:i+${n - 1}], ' ') AS gram
+          FROM t, unnest(generate_series(1, greatest(len(ts) - ${n - 1}, 0)))
+            AS u(i)),
+        h AS (SELECT doc_id, gram, ${duckH48("gram")} AS gh FROM g),
+        agg AS (SELECT gh, count(*) AS n_occurrences,
+            count(DISTINCT doc_id) AS n_docs
+          FROM h GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        top AS (SELECT * FROM agg
+          ORDER BY n_occurrences DESC, gh LIMIT $DupGramTopK)
+        SELECT min(h.gram) AS gram, any_value(t.n_docs) AS n_docs,
+          any_value(t.n_occurrences) AS n_occurrences, t.gh AS gh
+        FROM top t JOIN h ON h.gh = t.gh
+        GROUP BY t.gh ORDER BY n_occurrences DESC, gh"""
+  }
 }

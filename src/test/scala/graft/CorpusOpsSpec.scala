@@ -363,4 +363,26 @@ class CorpusOpsSpec extends SparkSpec {
     // weight-3 source outputs strictly more than weight-1 on equal sizes
     assert(bySrc("src2") > bySrc.getOrElse("srcA", 0))
   }
+
+  test("dup n-grams: cross-doc boilerplate found, within-doc repeats excluded, short docs skipped") {
+    val boiler = (1 to CorpusOps.DupGramN).map(i => s"b$i").mkString(" ")
+    val selfRep = (1 to CorpusOps.DupGramN).map(i => s"s$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"alpha $boiler omega"),
+      (2L, s"$boiler beta gamma delta"),
+      (3L, boiler),
+      (4L, s"$selfRep pad $selfRep"), // repeats only INSIDE one doc
+      (5L, "too short for any gram")))
+    val out = CorpusOps.dupNgrams(spark, dir).collect()
+    val byGram = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    // the planted gram occurs once per doc 1..3 → (3 docs, 3 occurrences)
+    assert(byGram(boiler) == ((3L, 3L)))
+    // n_docs >= 2 means DISTINCT docs: the self-repeating gram is absent
+    assert(!byGram.contains(selfRep))
+    // every reported gram names at least 2 docs, ordering is occ-desc
+    assert(out.forall(_.getLong(1) >= 2L))
+    val occ = out.map(_.getLong(2)).toSeq
+    assert(occ == occ.sortBy(-_))
+  }
 }
