@@ -180,4 +180,26 @@ class SimilaritySpec extends SparkSpec {
     assert(prunedFiles > 0 && prunedFiles < allFiles,
       s"pruned scan opened $prunedFiles of $allFiles files")
   }
+
+  test("label centroids: tight cluster scores 1.0, orthogonal pair scores 1/sqrt(2)") {
+    val dir = java.nio.file.Files.createTempDirectory("centfix").toString
+    // label 0: three IDENTICAL unit vectors → centroid = the vector,
+    // every cosine exactly 1. label 1: two orthogonal unit vectors →
+    // centroid (.5,.5,0,0), norm 1/√2, each member's cosine 1/√2.
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f, 0f), 0),
+      (4L, Array(1f, 0f, 0f, 0f), 1), (5L, Array(0f, 1f, 0f, 0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embedCentroids(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val inv = 1.0 / math.sqrt(2.0)
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    val (n0, nrm0, mean0, min0) = out(0)
+    assert(n0 == 3L && near(nrm0, 1.0) && near(mean0, 1.0) && near(min0, 1.0))
+    val (n1, nrm1, mean1, min1) = out(1)
+    assert(n1 == 2L && near(nrm1, inv) && near(mean1, inv) && near(min1, inv))
+  }
 }
