@@ -477,8 +477,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val containmentPairsSql: String =
-    s"""WITH $duckShingles,
+  /** Shared CTE chain (`sdf`/`kept`/`sizes`/`inter`) of the inverted-index
+    * intersection pipeline — the SQL twin of [[pairIntersections]], single
+    * definition for the jaccard, containment and cross-source twins.
+    */
+  private val duckPairCtes: String =
+    s"""$duckShingles,
         sdf AS (SELECT shingle_h, count(*) AS df FROM sh GROUP BY shingle_h),
         kept AS (
           SELECT sh.doc_id, sh.shingle_h FROM sh
@@ -489,7 +493,10 @@ object Dedup {
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           FROM kept a JOIN kept b
             ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+          GROUP BY 1, 2)"""
+
+  val containmentPairsSql: String =
+    s"""WITH $duckPairCtes
         SELECT doc_a, doc_b,
           CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
             AS containment
@@ -501,18 +508,7 @@ object Dedup {
         ORDER BY doc_a, doc_b"""
 
   val jaccardPairsSql: String =
-    s"""WITH $duckShingles,
-        sdf AS (SELECT shingle_h, count(*) AS df FROM sh GROUP BY shingle_h),
-        kept AS (
-          SELECT sh.doc_id, sh.shingle_h FROM sh
-          JOIN sdf ON sh.shingle_h = sdf.shingle_h
-          WHERE sdf.df <= $MaxShingleDf),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM kept a JOIN kept b
-            ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+    s"""WITH $duckPairCtes
         SELECT doc_a, doc_b,
           CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
         FROM inter
@@ -521,6 +517,48 @@ object Dedup {
         WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
           >= $JaccardThreshold
         ORDER BY doc_a, doc_b"""
+
+  /** Provenance audit over the near-dup pair table: how much duplication
+    * CROSSES source boundaries (two "independent" crawls shipping the
+    * same text inflates that content's effective epoch count after
+    * source-weighted mixing, silently). Pairs come from the same
+    * inverted-index pipeline as [[jaccardPairsFrom]]; each side then
+    * resolves its source via a join against the narrow (doc_id, source)
+    * projection — the pair table is orders smaller than the corpus, so
+    * AQE broadcasts it against the projection at any scale. Output one
+    * row per unordered source pair: (src_lo, src_hi, n_pairs,
+    * cross_source), sorted.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents", "doc_id")
+    val src = d.select(col("doc_id"), col("source"))
+    jaccardPairsFrom(d).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_lo") =!= col("src_hi"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  val crossSourceDupsSql: String =
+    s"""WITH $duckPairCtes,
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+            >= $JaccardThreshold)
+        SELECT least(da.source, db.source) AS src_lo,
+          greatest(da.source, db.source) AS src_hi,
+          count(*) AS n_pairs,
+          least(da.source, db.source) <> greatest(da.source, db.source)
+            AS cross_source
+        FROM pairs
+        JOIN documents da ON pairs.doc_a = da.doc_id
+        JOIN documents db ON pairs.doc_b = db.doc_id
+        GROUP BY 1, 2 ORDER BY src_lo, src_hi"""
 
   // --------------------------------------------------------- incremental
 

@@ -274,4 +274,24 @@ class DedupSpec extends SparkSpec {
     for ((doc, canon, _) <- surv)
       assert(labels.getOrElse(doc, doc) == canon)
   }
+
+  test("cross-source dups: boundary-crossing pairs flagged, within-source not") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = java.nio.file.Files.createTempDirectory("xsrcfix").toString
+    // docs 1,2 duplicate ACROSS web/books; docs 3,4 duplicate WITHIN web;
+    // doc 5 unique (no pair)
+    Seq((1L, txt, "web"), (2L, txt, "books"),
+      (3L, "one two three four five six seven eight", "web"),
+      (4L, "one two three four five six seven eight", "web"),
+      (5L, "totally different words nothing shared here at all", "web"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.crossSourceDups(spark, dir)
+      .as[(String, String, Long, Boolean)].collect().toList
+    assert(out == List(("books", "web", 1L, true), ("web", "web", 1L, false)))
+  }
 }
