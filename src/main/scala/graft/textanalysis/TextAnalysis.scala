@@ -516,4 +516,47 @@ object TextAnalysis {
               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
             s -> ${duckH48p("s")})) AS min_shingle_hash
         FROM f WHERE len(t) >= 3 ORDER BY doc_id"""
+
+  // ----------------------------------------------------- feature hashing
+
+  /** Hashing-trick vector width. Small so the fixtures exercise heavy
+    * bucket collision; real runs use 2^18+.
+    */
+  val HashVecDim = 32
+
+  /** Feature-hashing (hashing-trick) text vectorizer — the classic
+    * no-vocabulary bag-of-words embedding (Weinberger et al. 2009;
+    * scikit-learn's HashingVectorizer): token w lands in dimension
+    * h48(w) mod [[HashVecDim]], value = term frequency. The bridge from
+    * the documents table to a fixed-width vector column — exactly what
+    * feeds a linear probe / clustering / dedup baseline when training a
+    * real tokenizer+embedding is too expensive for a first pass.
+    *
+    * Scale: a PURE PROJECTION — hashes computed once per token in-row,
+    * counts by in-row filter over the hashed array. No explode, no
+    * shuffle, no vocabulary state; at 100 TB this runs at scan speed and
+    * partitions trivially. All-integer output ⇒ engine-exact.
+    * Output: (doc_id, n_tok, vec[HashVecDim] of term counts).
+    */
+  def hashVectors(spark: SparkSession, dir: String): DataFrame = {
+    val dims = transform(toks(col("text")),
+      w => graft.functions.Hashing.h48(w) % HashVecDim)
+    docs(spark, dir)
+      .select(col("doc_id"), dims.as("dims"))
+      .select(col("doc_id"), size(col("dims")).cast("long").as("n_tok"),
+        transform(sequence(lit(0), lit(HashVecDim - 1)),
+          i => size(filter(col("dims"), d => d === i.cast("long")))
+            .cast("long")).as("vec"))
+      .orderBy("doc_id")
+  }
+
+  val hashVectorsSql: String =
+    s"""WITH t AS (SELECT doc_id,
+          list_transform($duckToks, w -> ${Hashing.duckH48("w")} % $HashVecDim)
+            AS dims
+        FROM documents)
+        SELECT doc_id, CAST(len(dims) AS BIGINT) AS n_tok,
+          list_transform(range(0, $HashVecDim),
+            i -> CAST(len(list_filter(dims, d -> d = i)) AS BIGINT)) AS vec
+        FROM t ORDER BY doc_id"""
 }

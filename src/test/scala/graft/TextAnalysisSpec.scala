@@ -82,4 +82,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L)._1 != m(3L)._1, "poly hash must be order-sensitive")
     assert(m(1L) != m(4L))
   }
+
+  test("hash vectors: counts land in h48-mod buckets, sum to n_tok, empty doc is zeros") {
+    val dir = writeDocs(Seq(
+      (1L, "cat cat dog"),
+      (2L, ""),
+      (3L, "Mixed CASE mixed")))
+    val out = TextAnalysis.hashVectors(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    def dim(w: String): Int =
+      (graft.functions.Hashing.h48String(w) % TextAnalysis.HashVecDim).toInt
+    val (n1, v1) = out(1L)
+    assert(n1 == 3L && v1.length == TextAnalysis.HashVecDim && v1.sum == 3L)
+    assert(v1(dim("cat")) >= 2L && v1(dim("dog")) >= 1L)
+    // empty text → n_tok 0, all-zero vector (not a missing row)
+    assert(out(2L) == ((0L, Seq.fill(TextAnalysis.HashVecDim)(0L))))
+    // case folding: 'Mixed' and 'mixed' share a bucket
+    val (n3, v3) = out(3L)
+    assert(n3 == 3L && v3(dim("mixed")) >= 2L)
+  }
 }
