@@ -861,4 +861,70 @@ object CorpusOps {
         FROM top t JOIN h ON h.gh = t.gh
         GROUP BY t.gh ORDER BY n_occurrences DESC, gh"""
   }
+
+  // -------------------------------------------------------- length buckets
+
+  /** Power-of-two length-bucket geometry: bucket b holds docs with
+    * n_tok ∈ (2^(b-1)·[[LenBucketBase]], 2^b·[[LenBucketBase]]], b=0 is
+    * (0, base]. Matches the bucketed-batching schemes dynamic-padding
+    * loaders use.
+    */
+  val LenBucketBase = 8L
+
+  /** Length-bucketed batching report — the padding-efficiency audit run
+    * before choosing a batching strategy: group documents into
+    * power-of-two token-length buckets and report, per bucket, the
+    * document count, real token total, the padded cost of batching those
+    * docs to the bucket ceiling, and the pad overhead (padded − real) —
+    * the tokens a loader would waste padding every doc in the bucket to
+    * its cap. All integer arithmetic (log2 via bit length of the integer
+    * quotient, not floating log) ⇒ engine-exact.
+    *
+    * Scale: one narrow projection (token count + in-row bucket math)
+    * into a [[LenBucketBase]]-keyed aggregate of ~log₂(max_len) rows —
+    * map-side combine collapses everything before the exchange.
+    * Output: (bucket, cap_tok, n_docs, real_tok, padded_tok, pad_tok).
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks(col("text"))).cast("long")
+    // bucket = smallest b with base·2^b ≥ n, i.e. for n > base the bit
+    // length of x = (n-1) div base (= floor(log2 x) + 1). Computed as
+    // length(bin(x)) — PURE INTEGER/STRING ops: floor(ln(x)/ln(2)) can
+    // land below k at x = 2^k in either engine, bin() cannot.
+    val x = expr(s"(n_tok - 1) div $LenBucketBase")
+    val bucket = when(col("n_tok") <= LenBucketBase, 0L)
+      .otherwise(length(bin(col("x"))).cast("long"))
+    docs(spark, dir)
+      .select(col("doc_id"), n.as("n_tok"))
+      .where(col("n_tok") > 0L)
+      .withColumn("x", x)
+      .withColumn("bucket", bucket)
+      .withColumn("cap_tok",
+        expr(s"$LenBucketBase * shiftleft(1L, cast(bucket as int))"))
+      .groupBy("bucket", "cap_tok")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("real_tok"))
+      .withColumn("padded_tok", col("cap_tok") * col("n_docs"))
+      .withColumn("pad_tok", col("padded_tok") - col("real_tok"))
+      .select("bucket", "cap_tok", "n_docs", "real_tok", "padded_tok", "pad_tok")
+      .orderBy("bucket")
+  }
+
+  val lengthBucketsSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tok
+          FROM documents),
+        b AS (SELECT doc_id, n_tok,
+            CASE WHEN n_tok <= $LenBucketBase THEN 0
+              ELSE CAST(len(bin((n_tok - 1) // $LenBucketBase)) AS BIGINT)
+              END AS bucket
+          FROM t WHERE n_tok > 0),
+        c AS (SELECT doc_id, n_tok, bucket,
+            $LenBucketBase * (CAST(1 AS BIGINT) << CAST(bucket AS INT))
+              AS cap_tok
+          FROM b)
+        SELECT bucket, cap_tok, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS real_tok,
+          cap_tok * count(*) AS padded_tok,
+          cap_tok * count(*) - CAST(sum(n_tok) AS BIGINT) AS pad_tok
+        FROM c GROUP BY bucket, cap_tok ORDER BY bucket"""
 }

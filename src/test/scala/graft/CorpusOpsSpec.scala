@@ -385,4 +385,27 @@ class CorpusOpsSpec extends SparkSpec {
     val occ = out.map(_.getLong(2)).toSeq
     assert(occ == occ.sortBy(-_))
   }
+
+  test("length buckets: power-of-two boundaries land exactly, pad math balances") {
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    // base=8: lengths 1,8 → bucket 0 (cap 8); 9,16 → bucket 1 (cap 16);
+    // 17 → bucket 2 (cap 32); 33 → bucket 3 (cap 64); empty text dropped
+    val dir = writeDocs(Seq(
+      (1L, words(1)), (2L, words(8)), (3L, words(9)), (4L, words(16)),
+      (5L, words(17)), (6L, words(33)), (7L, "")))
+    val out = CorpusOps.lengthBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == ((8L, 2L, 9L, 16L, 7L)))
+    assert(out(1L) == ((16L, 2L, 25L, 32L, 7L)))
+    assert(out(2L) == ((32L, 1L, 17L, 32L, 15L)))
+    assert(out(3L) == ((64L, 1L, 33L, 64L, 31L)))
+    // every doc fits its cap and overflows the previous one
+    for ((b, (cap, _, real, padded, pad)) <- out) {
+      assert(pad == padded - real)
+      assert(real <= padded, s"bucket $b real $real > padded $padded")
+    }
+  }
 }
