@@ -768,6 +768,15 @@ object Dedup {
     }
   }
 
+  /** Drop this session's memo entries — lets the bench record the COLD
+    * fixpoint cost next to the warm memo hit (the warm number alone
+    * stops being a signal, round-5 verdict).
+    */
+  private[graft] def clearClusterMemo(spark: SparkSession): Unit =
+    clusterCache.keySet.removeIf {
+      case (s, _, _) => (s eq spark) || s.sparkContext.isStopped
+    }
+
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     clusterCache.keySet.removeIf { case (s, _, _) => s.sparkContext.isStopped }
     val fp = docsFingerprint(spark, dir)
