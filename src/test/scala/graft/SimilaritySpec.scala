@@ -202,4 +202,40 @@ class SimilaritySpec extends SparkSpec {
     val (n1, nrm1, mean1, min1) = out(1)
     assert(n1 == 2L && near(nrm1, inv) && near(mean1, inv) && near(min1, inv))
   }
+
+  test("semantic dedup: greedy min-id-wins invariants hold within clusters") {
+    val out = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // decision table covers every vector exactly once
+    assert(out.length == vecs.size && out.map(_._1).distinct.length == out.length)
+    val cid = out.map(t => t._1 -> t._2).toMap
+    val eps = 1e-9 // driver loop reassociates the fold; engine value is exact
+    out.foreach { case (id, c, prunedBy, kept) =>
+      assert(kept == prunedBy.isEmpty)
+      prunedBy.foreach { p =>
+        assert(p < id && cid(p) == c, s"pruned_by $p not an earlier cluster-mate of $id")
+        assert(cos(vecs(p), vecs(id)) >= Dedup.CosineThreshold - eps,
+          s"$id pruned by $p below threshold")
+        // pruned_by is the MINIMUM qualifying neighbor
+        out.filter(t => t._2 == c && t._1 < p).foreach { case (q, _, _, _) =>
+          assert(cos(vecs(q), vecs(id)) < Dedup.CosineThreshold + eps,
+            s"$id had a smaller qualifying neighbor $q than $p")
+        }
+      }
+    }
+    // the min vec_id of every cluster is always a keeper
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.minBy(_._1)._4, "cluster min id was pruned")
+    }
+  }
 }
