@@ -2,6 +2,7 @@ package graft.relational
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Hashing
 import graft.model.Tables
 
 /** General relational operator coverage over the TPC-H-ish test tables —
@@ -1110,6 +1111,77 @@ object Relational {
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Blocked fuzzy join: all pairs of customer names within edit distance
+    * 1, found WITHOUT an O(n²) comparison via deletion-neighborhood
+    * blocking (Mor & Fraenkel 1982 / SymSpell): every name emits hashed
+    * keys for itself and each single-character deletion; two strings
+    * within one edit share at least one key (substitution at i ⇒ both
+    * delete i; insert/delete ⇒ one string IS a deletion of the other), so
+    * candidates come from an equi-join on the key. Entity-resolution /
+    * typo-clustering at corpus scale.
+    *
+    * Scale: the exploded key stream carries ONLY (8-byte hash, 8-byte id)
+    * — (len+1) keys per row, names never ride the blocking exchange;
+    * candidate pairs are distinct'd as bare id pairs and names re-attach
+    * by equi-join after (the `q_dedup_embed_lsh` re-attach pattern). A
+    * deletion-key bucket holds only strings agreeing everywhere but one
+    * position — bounded by alphabet size, never a hot key. Hash collisions
+    * only ever ADD candidates; the exact `levenshtein = 1` verify removes
+    * them (both engines' levenshtein is the same integer).
+    *
+    * Output pins every pair without shipping the pair list: per
+    * first-difference position, the pair count and both id checksums.
+    */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val n = col("c_name")
+    val keyArr = array_distinct(transform(sequence(lit(0), length(n)), i =>
+      Hashing.h48(when(i === lit(0), n).otherwise(
+        concat(n.substr(lit(1), i - lit(1)), n.substr(i + lit(1), length(n)))))))
+    val keys = c.select(col("c_custkey"), explode(keyArr).as("k"))
+    val cand = keys.select(col("k"), col("c_custkey").as("a_id"))
+      .join(keys.select(col("k"), col("c_custkey").as("b_id")), "k")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val eq = zip_with(split(col("a_name"), ""), split(col("b_name"), ""),
+      (x, y) => coalesce(x === y, lit(false)))
+    cand
+      .join(c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name")), "a_id")
+      .join(c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name")), "b_id")
+      .where(levenshtein(col("a_name"), col("b_name")) === 1)
+      .select(array_position(eq, false).as("diff_pos"), col("a_id"), col("b_id"))
+      .groupBy("diff_pos")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("a_id").as("a_id_sum"), sum("b_id").as("b_id_sum"))
+      .orderBy("diff_pos")
+  }
+
+  val fuzzyJoinSql: String = {
+    val hName = Hashing.duckH48("c_name")
+    val hDel = Hashing.duckH48("substr(c_name, 1, i - 1) || substr(c_name, i + 1)")
+    s"""WITH keys AS (
+          SELECT c_custkey, unnest(list_distinct(list_transform(
+            range(0, len(c_name) + 1),
+            i -> CASE WHEN i = 0 THEN $hName ELSE $hDel END))) AS k
+          FROM customer),
+        cand AS (SELECT DISTINCT a.c_custkey AS a_id, b.c_custkey AS b_id
+                 FROM keys a JOIN keys b
+                   ON a.k = b.k AND a.c_custkey < b.c_custkey),
+        pairs AS (SELECT a_id, b_id, ca.c_name AS a_name, cb.c_name AS b_name
+                  FROM cand
+                  JOIN customer ca ON ca.c_custkey = cand.a_id
+                  JOIN customer cb ON cb.c_custkey = cand.b_id
+                  WHERE levenshtein(ca.c_name, cb.c_name) = 1)
+        SELECT CAST(list_position(list_transform(
+                 range(1, greatest(len(a_name), len(b_name)) + 1),
+                 i -> substr(a_name, i, 1) = substr(b_name, i, 1)), false)
+               AS BIGINT) AS diff_pos,
+          count(*) AS n_pairs,
+          CAST(sum(a_id) AS BIGINT) AS a_id_sum,
+          CAST(sum(b_id) AS BIGINT) AS b_id_sum
+        FROM pairs GROUP BY diff_pos ORDER BY diff_pos"""
+  }
 
   /** Top-k per group via the bounded-heap typed Aggregator
     * (graft.functions.TopK) instead of a row_number window — the

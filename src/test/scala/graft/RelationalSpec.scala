@@ -91,4 +91,40 @@ class RelationalSpec extends SparkSpec {
       .as[java.math.BigDecimal].head()
     assert(expect.doubleValue == rows.head._6)
   }
+
+  test("fuzzy join: deletion-neighborhood blocking equals brute-force edit distance 1") {
+    val sf = "/root/testdata/sf0.001"
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name").as[(Long, String)].collect().sortBy(_._1)
+    def lev1(a: String, b: String): Boolean = {
+      if (a == b) return false
+      val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+      if (t.length - s.length > 1) return false
+      if (s.length == t.length) s.zip(t).count { case (x, y) => x != y } == 1
+      else {
+        var i = 0; var j = 0; var diff = 0
+        while (i < s.length && j < t.length) {
+          if (s(i) == t(j)) { i += 1; j += 1 }
+          else { diff += 1; j += 1; if (diff > 1) return false }
+        }
+        true
+      }
+    }
+    val brute = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev1(na, nb)
+    } yield {
+      val pos = na.zip(nb).indexWhere { case (x, y) => x != y } match {
+        case -1 => math.min(na.length, nb.length) + 1
+        case p  => p + 1
+      }
+      (pos.toLong, ia, ib)
+    }).toSeq
+    val expect = brute.groupBy(_._1).map { case (pos, ps) =>
+      (pos, ps.size.toLong, ps.map(_._2).sum, ps.map(_._3).sum)
+    }.toSet
+    val got = Relational.fuzzyJoin(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
 }
