@@ -559,4 +559,56 @@ object TextAnalysis {
           list_transform(range(0, $HashVecDim),
             i -> CAST(len(list_filter(dims, d -> d = i)) AS BIGINT)) AS vec
         FROM t ORDER BY doc_id"""
+
+  // -------------------------------------------------------- heavy hitters
+
+  val MgK = 8
+  val HeavyTopN = 10
+
+  /** Heavy hitters over the token stream via the mergeable Misra–Gries
+    * sketch ([[graft.functions.MisraGries]]) — the fixed-memory scale twin
+    * of the exact token count: k counters per partial aggregate regardless
+    * of vocabulary size, while exact `groupBy(word)` state grows with
+    * distinct words. The declared output follows the `q_approx_stats`
+    * sketch contract: engine-exact columns (the top-[[HeavyTopN]] words by
+    * exact count) plus the MG guarantee as booleans the oracle asserts
+    * TRUE —
+    *   present_ok: in-sketch, or exact ≤ (N−M)/(k+1) (absent ⇒ est 0 and
+    *     the bound caps the true count);
+    *   est_ok: absent, or est ≤ exact ≤ est + (N−M)/(k+1)
+    * with N = stream length, M = retained sketch mass — the Agarwal et
+    * al. 2012 merged-summary bound, so the booleans are theorems about
+    * ANY merge tree Spark happens to schedule, not this run's luck.
+    * Raw sketch estimates additionally bounded in MisraGriesSpec.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mg = new graft.functions.MisraGries.MisraGriesAggregator(MgK)
+    val t = docs(spark, dir).select(explode(toks(col("text"))).as("w"))
+    val sketch = t.as[String].select(mg.toColumn).toDF()
+      .select(explode(arrays_zip(col("words").as("word"),
+        col("counts").as("est"))).as("s"))
+      .select(col("s.word").as("word"), col("s.est").as("est"))
+    val mass = sketch.agg(sum("est").as("m"))
+    val exact = t.groupBy(col("w").as("word")).agg(count(lit(1)).as("exact_c"))
+    val total = exact.agg(sum("exact_c").as("n"))
+    val top = exact.orderBy(col("exact_c").desc, col("word")).limit(HeavyTopN)
+    val bound = (col("n") - col("m")) / lit(MgK + 1L) // integer div below
+    top.join(sketch, Seq("word"), "left")
+      .crossJoin(broadcast(total)).crossJoin(broadcast(mass))
+      .select(col("word"), col("exact_c"),
+        (col("est").isNotNull ||
+          col("exact_c") <= floor(bound).cast("long")).as("present_ok"),
+        (col("est").isNull ||
+          (col("est") <= col("exact_c") &&
+            col("exact_c") - col("est") <= floor(bound).cast("long")))
+          .as("est_ok"))
+      .orderBy(col("exact_c").desc, col("word"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tok AS (SELECT unnest($duckToks) AS w FROM documents),
+        ex AS (SELECT w AS word, count(*) AS exact_c FROM tok GROUP BY w)
+        SELECT word, exact_c, TRUE AS present_ok, TRUE AS est_ok
+        FROM ex ORDER BY exact_c DESC, word LIMIT $HeavyTopN"""
 }
