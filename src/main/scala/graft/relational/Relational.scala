@@ -1112,6 +1112,48 @@ object Relational {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Key-skew audit over `events.user_id` — the diagnostic a 100 TB
+    * operator needs BEFORE choosing a join/agg strategy (salt? AQE skew
+    * split? broadcast?): the top-10 heaviest keys with their exact share,
+    * plus the global skew factor, all in exact integer arithmetic
+    * (share_ppm = n·10⁶ div total; skew = max·n_keys·100 div total =
+    * 100·max/mean — a float division would be the only nondeterminism in
+    * an otherwise exact report). One partial-aggregated exchange on
+    * user_id, then a 10-row TakeOrdered and two one-row broadcast joins —
+    * the audit costs one pass regardless of key cardinality.
+    */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val globals = counts.agg(sum("n_events").as("total"),
+      count(lit(1)).as("n_keys"), max("n_events").as("max_n"))
+    val top = counts.orderBy(col("n_events").desc, col("user_id")).limit(10)
+    val ord = Window.orderBy(col("n_events").desc, col("user_id"))
+    top.crossJoin(broadcast(globals))
+      .select(row_number().over(ord).as("rank"),
+        col("user_id"), col("n_events"),
+        expr("n_events * 1000000 div total").as("share_ppm"),
+        col("total").as("total_events"), col("n_keys"),
+        expr("max_n * n_keys * 100 div total").as("skew_x100"))
+      .orderBy("rank")
+  }
+
+  val skewAuditSql: String =
+    """WITH counts AS (SELECT user_id, count(*) AS n_events
+         FROM events GROUP BY user_id),
+       g AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+               count(*) AS n_keys, max(n_events) AS max_n FROM counts),
+       top AS (SELECT user_id, n_events FROM counts
+               ORDER BY n_events DESC, user_id LIMIT 10)
+       SELECT CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS INT)
+           AS rank,
+         user_id, n_events,
+         n_events * 1000000 // total AS share_ppm,
+         total AS total_events, n_keys,
+         max_n * n_keys * 100 // total AS skew_x100
+       FROM top, g ORDER BY rank"""
+
   /** Blocked fuzzy join: all pairs of customer names within edit distance
     * 1, found WITHOUT an O(n²) comparison via deletion-neighborhood
     * blocking (Mor & Fraenkel 1982 / SymSpell): every name emits hashed

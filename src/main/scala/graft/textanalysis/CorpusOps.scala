@@ -927,4 +927,41 @@ object CorpusOps {
           cap_tok * count(*) AS padded_tok,
           cap_tok * count(*) - CAST(sum(n_tok) AS BIGINT) AS pad_tok
         FROM c GROUP BY bucket, cap_tok ORDER BY bucket"""
+
+  // -------------------------------------------------------- inspect sample
+
+  val InspectK = 5
+
+  /** Deterministic per-source inspection sample — the "eyeball k random
+    * docs from every source" step of a curation review, as a pure function
+    * of the data: the [[InspectK]] docs with the smallest
+    * h48("sample-"‖doc_id) per source (a uniform draw in expectation,
+    * reproducible across runs/engines — `TABLESAMPLE`/`rand()` is
+    * neither). The window partitions by source and the rank cutoff is k,
+    * so the sort is per-source and the output bounded at k·|sources|;
+    * at extreme per-source cardinality the bounded-buffer
+    * [[graft.functions.TopK]] aggregator form applies unchanged
+    * (`q_topk_agg` precedent).
+    */
+  def inspectSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        Hashing.h48(concat(lit("sample-"), col("doc_id"))).as("h"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    d.select(col("source"), col("doc_id"), col("h"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= InspectK)
+      .orderBy("source", "rk")
+  }
+
+  val inspectSampleSql: String =
+    s"""WITH d AS (SELECT source, doc_id,
+          ${duckH48("concat('sample-', doc_id)")} AS h
+        FROM documents),
+        r AS (SELECT source, doc_id, h,
+          row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        FROM d)
+        SELECT source, doc_id, h, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= $InspectK ORDER BY source, rk"""
 }

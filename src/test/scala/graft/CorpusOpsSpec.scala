@@ -408,4 +408,36 @@ class CorpusOpsSpec extends SparkSpec {
       assert(real <= padded, s"bucket $b real $real > padded $padded")
     }
   }
+
+  test("inspect sample: k smallest-hash docs per source, reproducible") {
+    val sf = "/root/testdata/sf0.001"
+    val out = CorpusOps.inspectSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val bySource = out.groupBy(_._1)
+    bySource.foreach { case (s, rows) =>
+      assert(rows.length <= CorpusOps.InspectK)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq, s"ranks of $s")
+      // ranks follow the (hash, id) order
+      val sorted = rows.sortBy(_._4)
+      val hs = sorted.map(r => (r._3, r._2))
+      assert(hs.zip(hs.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) }, s"hash order of $s")
+    }
+    // the sample is the MINIMUM hashes of each source, not an arbitrary k
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        graft.functions.Hashing.h48(
+          concat(lit("sample-"), col("doc_id"))).as("h"))
+      .as[(String, Long, Long)].collect()
+    all.groupBy(_._1).foreach { case (s, docs) =>
+      val expect = docs.map(d => (d._3, d._2)).sorted.take(CorpusOps.InspectK)
+        .map(_._2).toSeq
+      val got = bySource(s).sortBy(_._4).map(_._2).toSeq
+      assert(got == expect, s"source $s sample mismatch")
+    }
+    // stable across runs
+    val again = CorpusOps.inspectSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

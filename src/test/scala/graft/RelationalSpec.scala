@@ -127,4 +127,24 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expect)
   }
+
+  test("skew audit: exact integer shares and skew factor vs driver recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Relational.skewAudit(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val counts = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count().as[(Long, Long)].collect()
+    val total = counts.map(_._2).sum
+    val maxN = counts.map(_._2).max
+    val nKeys = counts.length.toLong
+    val expectTop = counts.sortBy { case (u, c) => (-c, u) }.take(10).toSeq
+    assert(rows.map(r => (r._2, r._3)).toSeq == expectTop)
+    rows.foreach { case (rank, _, n, ppm, tot, nk, skew) =>
+      assert(tot == total && nk == nKeys)
+      assert(ppm == n * 1000000L / total)
+      assert(skew == maxN * nKeys * 100L / total)
+      assert(rank >= 1 && rank <= 10)
+    }
+  }
 }
