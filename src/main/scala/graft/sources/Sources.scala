@@ -156,4 +156,23 @@ object Sources {
   def compact(spark: SparkSession, path: String, out: String, nFiles: Int): Unit =
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(out)
+
+  /** Bucketed catalog table: rows hash-partitioned into `nBuckets` files
+    * per write-task group by `bucketCol`, bucket-sorted within each file —
+    * Spark's persisted co-location contract. Two tables bucketed on their
+    * join key with the SAME bucket count join with NO shuffle exchange on
+    * either side (the SortMergeJoin reads matching buckets file-by-file);
+    * repeated fact-fact joins at 100 TB amortize their exchange to write
+    * time once instead of paying it per query. BucketJoinSpec proves the
+    * exchange-free plan on a real write+join round trip.
+    *
+    * Catalog tables only — bucket metadata lives in the metastore, not in
+    * the parquet files, so a plain `.parquet(path)` read of the same files
+    * would NOT get the co-location (Spark cannot trust unknown layouts).
+    */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCol: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }
