@@ -108,6 +108,77 @@ object StreamingOps {
           max(end_us - start_us) AS longest_dur_us
         FROM sess GROUP BY user_id ORDER BY user_id"""
 
+  val PathTopK = 15
+
+  /** Sequence mining over sessions: the top-[[PathTopK]] 3-step
+    * event-type paths (sliding trigrams over each session's time-ordered
+    * event sequence) — "what do users actually DO" as a ranked path
+    * table, the navigation-pattern complement of the staged funnel
+    * (`q_events_funnel` checks ONE hypothesized sequence; this surfaces
+    * the empirical ones).
+    *
+    * Plan: the sessionization window (one exchange on user_id), then one
+    * `collect_list` per session — state bounded by session length, which
+    * the 30-min gap bounds in turn — trigrams built IN-ROW from the
+    * collected array and exploded straight into a partial-aggregated
+    * count. Path strings only exist after the per-session collapse, so
+    * the exchange never carries per-event strings. Deterministic order:
+    * sessions sort by (ts_us, event_id) — the sort_array struct order
+    * and the oracle's `list(... ORDER BY)` agree key for key.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val newSession = when(
+      col("prev_us").isNull ||
+        (col("ts_us") - col("prev_us")) > SessionGapUs, 1).otherwise(0)
+    val sessions = e.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("is_new", newSession)
+      .withColumn("session_idx", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val types = sessions.groupBy("user_id", "session_idx")
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))),
+        s => s.getField("event_type")).as("t"))
+    types.where(size(col("t")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 2), i =>
+        concat_ws(">", element_at(col("t"), i),
+          element_at(col("t"), i + lit(1)),
+          element_at(col("t"), i + lit(2))))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(PathTopK)
+  }
+
+  val eventPathsSql: String =
+    s"""WITH l AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events),
+        f AS (
+          SELECT user_id, event_id, event_type, ts_us,
+            CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessionGapUs
+              THEN 1 ELSE 0 END AS is_new
+          FROM l),
+        s AS (
+          SELECT user_id, event_type, ts_us, event_id,
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM f),
+        g AS (
+          SELECT user_id, session_idx,
+            list(event_type ORDER BY ts_us, event_id) AS t
+          FROM s GROUP BY user_id, session_idx),
+        tri AS (
+          SELECT unnest(list_transform(range(1, len(t) - 1),
+            i -> t[i] || '>' || t[i+1] || '>' || t[i+2])) AS path
+          FROM g WHERE len(t) >= 3)
+        SELECT path, count(*) AS n FROM tri
+        GROUP BY path ORDER BY n DESC, path LIMIT $PathTopK"""
+
   /** Batch twin of [[enrichedHourly]] — the declared, oracle-gated form.
     * Broadcast inner join (customer is the classic small dim; every
     * event's user_id resolves in the generated data), decimal-domain value

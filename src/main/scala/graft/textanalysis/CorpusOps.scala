@@ -329,6 +329,69 @@ object CorpusOps {
           CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS logprob
         FROM lp GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Bigram language-model score per document — [[logProb]]'s n-gram
+    * upgrade, the better fluency filter (a doc of common words in an
+    * impossible ORDER scores low here but fine under unigrams): mean
+    * add-one-smoothed conditional log-probability
+    * ln((c(w₁w₂)+1)/(c(w₁)+V)) over the doc's bigrams, model trained on
+    * the corpus itself.
+    *
+    * Plan shape: bigrams are built IN-ROW (zip the token array against
+    * its own tail, explode once — no positional self-join); the bigram
+    * dictionary aggregates on (w₁,w₂) once, is enriched with the unigram
+    * counts, and joins back to the bigram stream — at corpus scale the
+    * Zipf-bounded dictionary broadcasts while the stream never shuffles
+    * twice. Docs with fewer than two tokens have no bigrams and are
+    * excluded (their fluency is unmeasurable, not zero). Same ln-round +
+    * decimal-sum parity discipline as [[logProb]].
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val f = docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+    val bs = f.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val tok = docs(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+    val cu = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    val dict = cb.join(cu, cb("w1") === cu("w")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round(log((col("c12") + 1).cast("double")
+          / (col("c") + col("v")).cast("double")), 10)
+          .cast("decimal(28,12)").as("l"))
+    bs.join(dict, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"), sum(col("l")).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sl").cast("double") / col("n_bigrams").cast("double"))
+          .as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
+        bs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               FROM f, unnest(range(1, len(t))) AS u(i)
+               WHERE len(t) >= 2),
+        cb AS (SELECT w1, w2, count(*) AS c12 FROM bs GROUP BY w1, w2),
+        cu AS (SELECT w, count(*) AS c
+               FROM (SELECT unnest(t) AS w FROM f) GROUP BY w),
+        v AS (SELECT count(*) AS v FROM cu),
+        dict AS (SELECT w1, w2,
+            CAST(round(ln(CAST(c12 + 1 AS DOUBLE)
+              / CAST(c + v.v AS DOUBLE)), 10) AS DECIMAL(28,12)) AS l
+          FROM cb JOIN cu ON cu.w = cb.w1, v)
+        SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+          CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS logprob
+        FROM bs JOIN dict USING (w1, w2)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   // -------------------------------------------------------- split leakage
 
   /** Train/test contamination check: near-duplicate pairs whose endpoints
@@ -927,6 +990,49 @@ object CorpusOps {
           cap_tok * count(*) AS padded_tok,
           cap_tok * count(*) - CAST(sum(n_tok) AS BIGINT) AS pad_tok
         FROM c GROUP BY bucket, cap_tok ORDER BY bucket"""
+
+  // ----------------------------------------------------------- curriculum
+
+  val CurriculumDeciles = 10
+
+  /** Curriculum ordering: every document assigned a difficulty decile by
+    * quality score (decile 1 = highest quality, trained first — the
+    * easy→hard schedule of curriculum learning), reported as the
+    * per-decile manifest (count, id checksum, quality range) a training
+    * loop consumes. Scores come from [[TextAnalysis.qualityScore]]
+    * verbatim, so the schedule cannot drift from the declared quality op;
+    * scores are engine-exact, so the (quality desc, doc_id) total order —
+    * and therefore every decile boundary — is identical in both engines.
+    *
+    * The exact `ntile` is a single-partition window — fine for the
+    * declared contract, and at 100 TB the decile BOUNDARIES come from the
+    * mergeable quantile sketch broadcast back over the corpus (the
+    * `q_quality_gate` percentile pattern, same output shape within sketch
+    * rank error) while the per-decile aggregate stays partial-aggregated.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityScore(spark, dir).select("doc_id", "quality")
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+    q.select(col("doc_id"), col("quality"),
+        ntile(CurriculumDeciles).over(w).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        min("quality").as("min_q"), max("quality").as("max_q"))
+      .orderBy("decile")
+  }
+
+  val curriculumSql: String =
+    s"""WITH q AS (SELECT doc_id, quality
+          FROM (${TextAnalysis.qualityScoreSql}) t),
+        d AS (SELECT doc_id, quality,
+          CAST(ntile($CurriculumDeciles)
+            OVER (ORDER BY quality DESC, doc_id) AS INT) AS decile
+        FROM q)
+        SELECT decile, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          min(quality) AS min_q, max(quality) AS max_q
+        FROM d GROUP BY decile ORDER BY decile"""
 
   // -------------------------------------------------------- inspect sample
 

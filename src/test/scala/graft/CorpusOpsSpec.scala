@@ -440,4 +440,41 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("bigram LM: hand-computed smoothed conditionals on a tiny corpus") {
+    // corpus: d1 = "a b a b", d2 = "b b", d3 = "a" (no bigrams → excluded)
+    // unigrams: c(a)=3 c(b)=4, V=2
+    // bigrams:  c(a,b)=2 c(b,a)=1 c(b,b)=1
+    val dir = writeDocs(Seq((1L, "a b a b"), (2L, "b b"), (3L, "a")))
+    val out = CorpusOps.bigramLm(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    def lp(c12: Long, c1: Long): Double =
+      BigDecimal(math.log((c12 + 1).toDouble / (c1 + 2).toDouble))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L))
+    val (n1, l1) = out(1L)
+    assert(n1 == 3)
+    assert(math.abs(l1 - (lp(2, 3) * 2 + lp(1, 4)) / 3.0) < 1e-9, s"got $l1")
+    val (n2, l2) = out(2L)
+    assert(n2 == 1)
+    assert(math.abs(l2 - lp(1, 4)) < 1e-9, s"got $l2")
+  }
+
+  test("curriculum: deciles partition the corpus in quality order") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CorpusOps.curriculum(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    val total = graft.textanalysis.TextAnalysis.qualityScore(spark, sf).count()
+    assert(rows.map(_._1).toSeq == (1 to CorpusOps.CurriculumDeciles))
+    assert(rows.map(_._2).sum == total)
+    // ntile size contract: sizes differ by at most 1, larger ones first
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+    // decile k's worst quality is at least decile k+1's best
+    rows.zip(rows.tail).foreach { case (hi, lo) =>
+      assert(hi._4 >= lo._5,
+        s"decile ${hi._1} min_q ${hi._4} < decile ${lo._1} max_q ${lo._5}")
+    }
+  }
 }

@@ -314,4 +314,21 @@ class StreamingSpec extends SparkSpec {
       assert(last == UserRunning(1L, 3L, 10.0))
     } finally q.stop()
   }
+
+  test("event paths: trigrams respect session boundaries and time order") {
+    val s = 1000000000L // 1 s in ns
+    val dir = java.nio.file.Files.createTempDirectory("pathsfix").toString
+    // user 1 session 1: v c p v → v>c>p, c>p>v; 2h gap; session 2: x y (none)
+    // user 2 session 1: v c p → v>c>p
+    Seq(
+      (0L * s, 1L, 1L, "v"), (10L * s, 2L, 1L, "c"),
+      (20L * s, 3L, 1L, "p"), (30L * s, 4L, 1L, "v"),
+      (7230L * s, 5L, 1L, "x"), (7240L * s, 6L, 1L, "y"),
+      (0L * s, 7L, 2L, "v"), (5L * s, 8L, 2L, "c"), (10L * s, 9L, 2L, "p"))
+      .toDF("ts", "event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamingOps.eventPaths(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("v>c>p" -> 2L, "c>p>v" -> 1L), s"got $got")
+  }
 }
