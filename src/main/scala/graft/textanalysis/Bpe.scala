@@ -175,6 +175,45 @@ object Bpe {
     s"""WITH RECURSIVE $bpeCtes
         SELECT doc_id, n_pretok, n_bpe, id_sum FROM bpe ORDER BY doc_id"""
 
+  /** Tokenizer-efficiency report — the eval that decides whether a
+    * tokenizer (merge table) is worth shipping: per language,
+    * chars-per-subword-token (compression rate; higher = cheaper
+    * training per char) and subwords-per-pretoken (fertility; 1.0 =
+    * every word is one piece). Uses the stored `n_chars` column rather
+    * than re-measuring text so both engines count the same chars, and
+    * the committed merge-table artifact via [[bpeCounts]] — encoding
+    * cost stays O(vocab·rules) through the distinct-vocabulary
+    * broadcast, so the report is one corpus pass + a tiny groupBy(lang).
+    * Ratios are single divisions of exact integer sums (engine-exact).
+    */
+  def bpeEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.docs(spark, dir).select("doc_id", "lang", "n_chars")
+    bpeCounts(spark, dir).join(d, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("n_pretok").as("n_pretok"), sum("n_bpe").as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("n_pretok"), col("n_bpe"),
+        (col("n_chars").cast("double") / col("n_bpe").cast("double"))
+          .as("chars_per_token"),
+        (col("n_bpe").cast("double") / col("n_pretok").cast("double"))
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
+  val bpeEfficiencySql: String =
+    s"""WITH RECURSIVE $bpeCtes
+        SELECT d.lang, count(*) AS n_docs,
+          CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+          CAST(sum(bpe.n_pretok) AS BIGINT) AS n_pretok,
+          CAST(sum(bpe.n_bpe) AS BIGINT) AS n_bpe,
+          CAST(sum(d.n_chars) AS DOUBLE) / CAST(sum(bpe.n_bpe) AS DOUBLE)
+            AS chars_per_token,
+          CAST(sum(bpe.n_bpe) AS DOUBLE) / CAST(sum(bpe.n_pretok) AS DOUBLE)
+            AS fertility
+        FROM bpe JOIN documents d USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang"""
+
   /** Loader-true sequence packing: [[CorpusOps.packSequences]]'s stream
     * policy re-based on REAL subword counts instead of whitespace-token
     * counts, so `start_tok`/`pack_id` offsets are the ones a training

@@ -991,6 +991,79 @@ object CorpusOps {
           cap_tok * count(*) - CAST(sum(n_tok) AS BIGINT) AS pad_tok
         FROM c GROUP BY bucket, cap_tok ORDER BY bucket"""
 
+  // ------------------------------------------------- importance weights
+
+  val DsirDim = 256L
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much its hashed-bigram feature distribution looks like a TARGET
+    * distribution vs the raw corpus — here the target is the corpus's own
+    * high-quality slice (quality ≥ [[TextAnalysis.QualityThreshold]], the
+    * same gate `q_corpus_clean` applies, so "looks like what we'd keep"
+    * needs no external dataset). weight(d) = Σ_f ln p̂_t(f)/p̂_r(f) over
+    * d's features, add-one smoothing over the [[DsirDim]] hash buckets;
+    * resampling then keeps docs ∝ softmax(weight) — the weights are the
+    * deliverable.
+    *
+    * Plan: ONE fused scan emits (doc_id, target-flag, feature) — the
+    * quality flag is the in-row [[TextAnalysis.qualityExpr]], bigrams
+    * hash in-row to bucket ids, so the exchange carries (8B, bool, 8B)
+    * rows; both distributions aggregate in a single groupBy(f) with a
+    * conditional sum (never two corpus passes); the [[DsirDim]]-row
+    * log-ratio dictionary broadcasts back onto the feature stream. Same
+    * ln-round + decimal-sum parity discipline as [[logProb]].
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val f = docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+    val ft = f.select(col("doc_id"),
+      (TextAnalysis.qualityExpr >= TextAnalysis.QualityThreshold).as("tgt"),
+      explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        Hashing.h48(concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + lit(1)))) % DsirDim)).as("f"))
+    val cnt = ft.groupBy("f").agg(count(lit(1)).as("c_r"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"))
+    val tot = cnt.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
+    val lw = round(log(
+        ((col("c_t") + 1) * (col("n_r") + DsirDim)).cast("double")
+          / ((col("c_r") + 1) * (col("n_t") + DsirDim)).cast("double")), 10)
+      .cast("decimal(28,12)")
+    val dict = cnt.crossJoin(broadcast(tot)).select(col("f"), lw.as("lw"))
+    ft.join(broadcast(dict), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_feats"),
+        sum("lw").cast("double").as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val importanceWeightsSql: String =
+    s"""WITH fx AS (SELECT doc_id, $duckToks AS t FROM documents),
+        q AS (SELECT doc_id, quality
+              FROM (${TextAnalysis.qualityScoreSql}) x),
+        f2 AS (SELECT fx.doc_id, t,
+                 q.quality >= ${TextAnalysis.QualityThreshold} AS tgt
+               FROM fx JOIN q USING (doc_id) WHERE len(t) >= 2),
+        ft AS (SELECT doc_id, tgt,
+                 unnest(list_transform(range(1, len(t)),
+                   i -> ${duckH48("t[i] || ' ' || t[i+1]")} % $DsirDim)) AS f
+               FROM f2),
+        cnt AS (SELECT f, count(*) AS c_r,
+                  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+                FROM ft GROUP BY f),
+        tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+                  CAST(sum(c_t) AS BIGINT) AS n_t FROM cnt),
+        dict AS (SELECT f,
+            CAST(round(ln(CAST((c_t + 1) * (n_r + $DsirDim) AS DOUBLE)
+              / CAST((c_r + 1) * (n_t + $DsirDim) AS DOUBLE)), 10)
+              AS DECIMAL(28,12)) AS lw
+          FROM cnt, tot)
+        SELECT doc_id, CAST(count(*) AS INT) AS n_feats,
+          CAST(sum(lw) AS DOUBLE) AS weight
+        FROM ft JOIN dict USING (f)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   // ----------------------------------------------------------- curriculum
 
   val CurriculumDeciles = 10

@@ -8,6 +8,7 @@ import graft.textanalysis.{Bpe, CorpusOps}
   * empty-doc edge cases `CORRECTNESS` can't isolate.
   */
 class BpeSpec extends SparkSpec {
+  import spark.implicits._
 
   test("mergePass is left-to-right non-overlapping") {
     // 'aaa' with rule (a,a): greedy scan takes the FIRST pair → [aa, a]
@@ -74,5 +75,27 @@ class BpeSpec extends SparkSpec {
     val words = Seq("hash", "join", "batch", "row", "q")
     assert(one.getLong(2) ==
       words.map(Bpe.encode(_).length).sum + 1) // + '1' digit pre-token
+  }
+
+  test("bpeEfficiency aggregates bpeStats per language exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Bpe.bpeEfficiency(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val stats = Bpe.bpeStats(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "lang", "n_chars"), "doc_id")
+      .select("lang", "n_chars", "n_pretok", "n_bpe")
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = stats.groupBy(_._1)
+    assert(rows.map(_._1).toSeq == byLang.keys.toSeq.sorted)
+    rows.foreach { case (lang, nd, nc, np, nb, cpt, fert) =>
+      val g = byLang(lang)
+      assert(nd == g.length && nc == g.map(_._2).sum)
+      assert(np == g.map(_._3).sum && nb == g.map(_._4).sum)
+      assert(cpt == nc.toDouble / nb.toDouble)
+      assert(fert == nb.toDouble / np.toDouble)
+      assert(fert >= 1.0, "each pre-token yields at least one piece")
+    }
   }
 }

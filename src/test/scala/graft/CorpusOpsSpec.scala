@@ -460,6 +460,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(l2 - lp(1, 4)) < 1e-9, s"got $l2")
   }
 
+  test("importance weights: target-like docs outscore raw-only docs") {
+    // targets: distinct non-stop words (ttr = 1 → quality ≥ 0.4);
+    // non-targets: one word repeated (ttr → 0, quality < 0.35).
+    // Their bigram features are disjoint, so every target doc's weight
+    // must exceed every non-target doc's.
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma epsilon zeta"),
+      (4L, "zz zz zz zz zz zz"),
+      (5L, "zz zz zz zz")))
+    val q = graft.textanalysis.TextAnalysis.qualityScore(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    val targets = q.filter(_._2 >= graft.textanalysis.TextAnalysis.QualityThreshold).keySet
+    assert(targets == Set(1L, 2L, 3L), s"fixture split drifted: $q")
+    val w = CorpusOps.importanceWeights(spark, dir)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    val minTarget = targets.map(w).min
+    val maxRaw = (w.keySet -- targets).map(w).max
+    assert(minTarget > maxRaw,
+      s"target weights $w should separate above non-targets")
+  }
+
   test("curriculum: deciles partition the corpus in quality order") {
     val sf = "/root/testdata/sf0.001"
     val rows = CorpusOps.curriculum(spark, sf)

@@ -203,6 +203,26 @@ class SimilaritySpec extends SparkSpec {
     assert(n1 == 2L && near(nrm1, inv) && near(mean1, inv) && near(min1, inv))
   }
 
+  test("label balance: shares and entropy match a driver recomputation") {
+    val rows = Similarity.labelBalance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val counts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy("label").count().as[(Int, Long)].collect().toMap
+    val n = counts.values.sum
+    val expectEnt = -counts.values.map { c =>
+      val p = c.toDouble / n
+      BigDecimal(p * math.log(p))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    assert(rows.map(_._1).toSeq == counts.keys.toSeq.sorted)
+    rows.foreach { case (label, nv, ppm, nl, ent) =>
+      assert(nv == counts(label))
+      assert(ppm == nv * 1000000L / n)
+      assert(nl == counts.size.toLong)
+      assert(math.abs(ent - expectEnt) < 1e-9)
+    }
+  }
+
   test("semantic dedup: greedy min-id-wins invariants hold within clusters") {
     val out = Similarity.semanticDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1),
