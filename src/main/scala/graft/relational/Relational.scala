@@ -1112,6 +1112,53 @@ object Relational {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** MERGE-style snapshot upsert (SCD type 1): apply a change batch —
+    * each user's LATEST event value, selected by a deterministic
+    * (ts, event_id) argmax — onto the customer snapshot. Matched keys
+    * take the new balance, unmatched keep theirs, and change-batch keys
+    * absent from the snapshot INSERT a synthesized row (the full-outer
+    * branch; empty on the generated data, exercised by spec fixture).
+    * This is `MERGE INTO` without a transactional table format: one
+    * exchange for the per-key argmax (a bounded max-of-struct partial
+    * aggregate, never a window sort), one outer join on the key — at
+    * 100 TB both sides shuffle once on c_custkey, or zero times if the
+    * snapshot is bucketed by key ([[graft.sources.Sources.writeBucketed]]).
+    */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val delta = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id").as("c_custkey"))
+      .agg(max(struct(col("ts_ns"), col("event_id"), col("value")))
+        .getField("value").as("new_bal"))
+    c.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .join(delta, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        coalesce(col("c_name"),
+          concat(lit("Customer#new#"), col("c_custkey"))).as("c_name"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("acctbal"),
+        col("new_bal").isNotNull.as("updated"),
+        col("c_name").isNull.as("inserted"))
+      .orderBy("c_custkey")
+  }
+
+  val upsertSql: String =
+    """WITH delta AS (
+         SELECT c_custkey, value AS new_bal FROM (
+           SELECT user_id AS c_custkey, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1)
+       SELECT
+         COALESCE(c.c_custkey, delta.c_custkey) AS c_custkey,
+         COALESCE(c.c_name,
+           concat('Customer#new#', delta.c_custkey)) AS c_name,
+         COALESCE(delta.new_bal, c.c_acctbal) AS acctbal,
+         delta.new_bal IS NOT NULL AS updated,
+         c.c_name IS NULL AS inserted
+       FROM customer c FULL OUTER JOIN delta
+         ON c.c_custkey = delta.c_custkey
+       ORDER BY 1"""
+
   /** Key-skew audit over `events.user_id` — the diagnostic a 100 TB
     * operator needs BEFORE choosing a join/agg strategy (salt? AQE skew
     * split? broadcast?): the top-10 heaviest keys with their exact share,

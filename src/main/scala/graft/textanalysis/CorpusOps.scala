@@ -151,6 +151,76 @@ object CorpusOps {
         FROM c ORDER BY doc_id, chunk_idx"""
   }
 
+  val CdcWindow = 4
+  val CdcMask = 16L
+
+  /** Content-defined chunking (the Rabin/FastCDC idea at token
+    * granularity): a chunk boundary falls AFTER token i exactly when the
+    * rolling hash of the trailing [[CdcWindow]]-token window ≡ 0
+    * (mod [[CdcMask]]) — so boundaries are a function of local CONTENT,
+    * not position, and an insertion near a document's head shifts every
+    * downstream token yet leaves all post-insertion chunk hashes
+    * identical (the property fixed-stride chunking lacks, and the reason
+    * CDC is the dedup-storage standard: shifted copies still dedup
+    * chunk-for-chunk). Expected chunk length = mask = 16 tokens.
+    *
+    * Everything is built in-row from the token array — window hashes,
+    * boundary list, chunk spans — and exploded once (no self-join on
+    * position, no UDF; one narrow pass at any scale). Output:
+    * (doc_id, chunk_idx, start_tok, n_tok, chunk_hash).
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val n = size(t)
+    val bnds = filter(sequence(lit(1), n), i =>
+      i >= lit(CdcWindow) && i < n &&
+        Hashing.h48(concat_ws(" ", slice(t, i - lit(CdcWindow - 1), lit(CdcWindow))))
+          % CdcMask === 0)
+    val starts = concat(array(lit(1)), transform(bnds, x => x + 1))
+    val ends = concat(bnds, array(n))
+    val chunkStructs = transform(sequence(lit(1), size(starts)), j => struct(
+      (j - 1).as("chunk_idx"),
+      element_at(starts, j).as("start_tok"),
+      (element_at(ends, j) - element_at(starts, j) + 1).as("n_tok"),
+      Hashing.h48(concat_ws(" ",
+        slice(t, element_at(starts, j),
+          element_at(ends, j) - element_at(starts, j) + 1))).as("chunk_hash")))
+    docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(t) > 0)
+      .select(col("doc_id"), explode(chunkStructs).as("ch"))
+      .select(col("doc_id"),
+        col("ch.chunk_idx").cast("long").as("chunk_idx"),
+        col("ch.start_tok").cast("long").as("start_tok"),
+        col("ch.n_tok").cast("long").as("n_tok"),
+        col("ch.chunk_hash").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val cdcChunksSql: String = {
+    val winHash = duckH48(s"array_to_string(t[i-${CdcWindow - 1}:i], ' ')")
+    val chunkHash = duckH48("array_to_string(t[starts[j]:ends[j]], ' ')")
+    s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
+        f2 AS (SELECT doc_id, t, len(t) AS n FROM f WHERE len(t) > 0),
+        b AS (SELECT doc_id, t, n,
+            list_filter(range(1, n + 1), i -> i >= $CdcWindow AND i < n
+              AND $winHash % $CdcMask = 0) AS bnds
+          FROM f2),
+        s AS (SELECT doc_id, t,
+            list_prepend(CAST(1 AS BIGINT),
+              list_transform(bnds, x -> x + 1)) AS starts,
+            list_append(bnds, n) AS ends
+          FROM b),
+        c AS (SELECT doc_id, t, starts, ends,
+            unnest(range(1, len(starts) + 1)) AS j
+          FROM s)
+        SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+          CAST(starts[j] AS BIGINT) AS start_tok,
+          CAST(ends[j] - starts[j] + 1 AS BIGINT) AS n_tok,
+          $chunkHash AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx"""
+  }
+
   // ------------------------------------------------------------------ PII
 
   /** PII patterns, kept to the Java-regex ∩ RE2 common subset so Spark and

@@ -502,4 +502,32 @@ class CorpusOpsSpec extends SparkSpec {
         s"decile ${hi._1} min_q ${hi._4} < decile ${lo._1} max_q ${lo._5}")
     }
   }
+
+  test("cdc chunks: boundaries are content-defined and shift-invariant") {
+    val base = (0 until 240).map(i => s"w${(i * 7919) % 997}")
+    val shifted = "zzz" +: base
+    val dir = writeDocs(Seq(1L -> base.mkString(" "), 2L -> shifted.mkString(" ")))
+    val rows = CorpusOps.cdcChunks(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val byDoc = rows.groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    // chunks tile the token array exactly: start at 1, spans abut, cover n
+    for ((doc, n) <- Seq(1L -> base.size, 2L -> shifted.size)) {
+      val ch = byDoc(doc)
+      assert(ch.head._3 == 1L)
+      assert(ch.map(_._4).sum == n)
+      ch.zip(ch.tail).foreach { case (a, b) => assert(b._3 == a._3 + a._4) }
+    }
+    // chunk_hash is the h48 of the covered token slice (driver recompute)
+    byDoc(1L).foreach { case (_, _, st, len, h) =>
+      assert(h == graft.functions.Hashing.h48String(
+        base.slice(st.toInt - 1, st.toInt - 1 + len.toInt).mkString(" ")))
+    }
+    // content-defined ⇒ prepending one token shifts positions but not
+    // window contents: every base chunk after the first boundary is
+    // byte-identical in the shifted doc, so base's rest-chunks are a
+    // suffix of the shifted doc's chunk-hash list (fixed-stride fails this)
+    val rest = byDoc(1L).drop(1).map(_._5)
+    assert(rest.nonEmpty, "fixture produced no interior boundary; widen it")
+    assert(byDoc(2L).map(_._5).takeRight(rest.size) == rest)
+  }
 }

@@ -128,6 +128,30 @@ class RelationalSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("upsert: latest-event wins, ties break by event_id, absent keys insert") {
+    val dir = java.nio.file.Files.createTempDirectory("upsfix").toString
+    Seq((1L, "Customer#1", 10.0), (2L, "Customer#2", 20.0),
+        (3L, "Customer#3", 30.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(
+      // user 1: later ts wins regardless of event_id order
+      (10L, 100L, 1L, "set", 11.0), (9L, 200L, 1L, "set", 99.0),
+      // user 2: equal ts → larger event_id wins
+      (11L, 100L, 2L, "set", 55.0), (12L, 100L, 2L, "set", 66.0),
+      // user 4: not in the snapshot → INSERT branch
+      (13L, 100L, 4L, "set", 44.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.upsert(spark, dir)
+      .as[(Long, String, Double, Boolean, Boolean)].collect().toList
+    assert(got == List(
+      (1L, "Customer#1", 99.0, true, false),
+      (2L, "Customer#2", 66.0, true, false),
+      (3L, "Customer#3", 30.0, false, false),
+      (4L, "Customer#new#4", 44.0, true, true)))
+  }
+
   test("skew audit: exact integer shares and skew factor vs driver recomputation") {
     val sf = "/root/testdata/sf0.001"
     val rows = Relational.skewAudit(spark, sf)
