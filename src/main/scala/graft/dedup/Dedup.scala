@@ -422,11 +422,21 @@ object Dedup {
     * derive their measures from (one postings aggregate, reused by the
     * pairs and sizes branches).
     */
-  private[graft] def pairIntersections(docs: DataFrame, maxDf: Int): DataFrame = {
-    val posts = shingles(docs)
-      .groupBy("shingle_h")
+  private[graft] def pairIntersections(docs: DataFrame, maxDf: Int): DataFrame =
+    keyedPairIntersections(
+      shingles(docs).withColumnRenamed("shingle_h", "h"), maxDf)
+
+  /** The same intersection pipeline over ANY (doc_id, h) hashed-feature
+    * relation — shingles ([[pairIntersections]]) and winnowed
+    * fingerprints ([[winnowOverlap]]) share one plan shape, df ceiling
+    * and reused-postings property.
+    */
+  private[graft] def keyedPairIntersections(keyed: DataFrame, maxDf: Int)
+      : DataFrame = {
+    val posts = keyed
+      .groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) <= maxDf) // stop-shingle cut
+      .where(size(col("ds")) <= maxDf) // stop-feature cut
     val sizes = posts.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val buckets = posts.where(size(col("ds")) > 1)
@@ -517,6 +527,106 @@ object Dedup {
         WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
           >= $JaccardThreshold
         ORDER BY doc_a, doc_b"""
+
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing fingerprint window: over the positional k-gram hash
+    * sequence, each [[WinnowW]]-window contributes its minimum hash.
+    * Selection guarantee (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): any token run of ≥ W+K−1 (= 6) tokens shared
+    * by two documents shares at least one selected fingerprint.
+    */
+  val WinnowW = 4
+  val WinnowThreshold = 0.5
+
+  /** Winnowed fingerprint set per document: hash every POSITIONAL token
+    * 3-gram (the same k-gram family as [[shingles]], but order and
+    * multiplicity preserved — winnowing is positional), slide a
+    * [[WinnowW]]-window over the hash sequence, keep each window's
+    * minimum, distinct the kept values. Docs whose whole hash sequence is
+    * shorter than one window contribute their global minimum (the paper's
+    * degenerate case), so every ≥3-token doc has ≥1 fingerprint.
+    *
+    * Ties inside a window are value-ties: whichever position wins, the
+    * selected VALUE is the window minimum, and only distinct values
+    * survive — so the fingerprint set needs no tie-break rule and the
+    * oracle reproduces it exactly.
+    *
+    * Everything is in-row (transform over an index sequence + array_min
+    * over slices, O(m·W) per doc); density is ~2/(W+1) of all k-grams,
+    * so the downstream inverted index moves ~2.5× less data than the
+    * full-shingle index while keeping the 6-token detection guarantee.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val hs = col("hs")
+    val m = size(hs)
+    val windowMins = transform(sequence(lit(1), m - (WinnowW - 1)),
+      j => array_min(slice(hs, j, lit(WinnowW))))
+    val posHashes = transform(sequence(lit(1), size(col("t")) - 2),
+      i => Hashing.h48(concat_ws(" ",
+        element_at(col("t"), i),
+        element_at(col("t"), i + 1),
+        element_at(col("t"), i + 2))))
+    tokens(docs)
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), posHashes.as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(m >= WinnowW, windowMins)
+          .otherwise(array(array_min(hs))))).as("h"))
+  }
+
+  /** Local (substring-level) overlap detection via winnowed fingerprints
+    * — the plagiarism/boilerplate detector that catches documents sharing
+    * long verbatim RUNS even when their overall shingle Jaccard is
+    * silent: overlap = i / min(|A|,|B|) over fingerprint sets, so a page
+    * of unique prose wrapped around a shared 50-token license block still
+    * pairs. Same inverted-index pipeline, df ceiling and bounded hot
+    * buckets as [[jaccardPairsFrom]] (via [[keyedPairIntersections]]),
+    * just ~2.5× lighter postings. Output: (doc_a, doc_b, n_shared,
+    * overlap) for pairs at ≥ [[WinnowThreshold]], sorted.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ov = col("i").cast("double") /
+      least(col("sza"), col("szb")).cast("double")
+    keyedPairIntersections(
+      winnowFingerprints(Tables.loadSpread(spark, dir, "documents", "doc_id")),
+      MaxShingleDf)
+      .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
+        ov.as("overlap"))
+      .where(col("overlap") >= WinnowThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val winnowOverlapSql: String = {
+    val gram = duckH48("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")
+    s"""WITH toks AS ($duckTokens),
+        f2 AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+        hsq AS (SELECT doc_id,
+            list_transform(range(1, n - 1), i -> $gram) AS hs
+          FROM f2),
+        fp AS (SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(hs) >= $WinnowW
+              THEN list_transform(range(1, len(hs) - ${WinnowW - 2}),
+                j -> list_aggregate(hs[j:j+${WinnowW - 1}], 'min'))
+              ELSE [list_aggregate(hs, 'min')] END)) AS h
+          FROM hsq),
+        fdf AS (SELECT h, count(*) AS df FROM fp GROUP BY h),
+        kept AS (SELECT fp.doc_id, fp.h FROM fp
+          JOIN fdf ON fp.h = fdf.h WHERE fdf.df <= $MaxShingleDf),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM kept a JOIN kept b
+            ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, i AS n_shared,
+          CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS overlap
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+          >= $WinnowThreshold
+        ORDER BY doc_a, doc_b"""
+  }
 
   /** Provenance audit over the near-dup pair table: how much duplication
     * CROSSES source boundaries (two "independent" crawls shipping the

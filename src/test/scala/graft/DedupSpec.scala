@@ -251,6 +251,43 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty, s"jaccard unexpectedly flagged: $jac")
   }
 
+  test("winnowing: shift-invariant fingerprints catch a shared run jaccard misses") {
+    // driver-side reference winnow: positional 3-gram hashes, 4-window
+    // minima, distinct values (degenerate short sequence → global min)
+    def winnow(text: String): Set[Long] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      val hs = t.sliding(3).filter(_.size == 3)
+        .map(g => graft.functions.Hashing.h48String(g.mkString(" "))).toVector
+      if (hs.isEmpty) Set.empty
+      else if (hs.size < Dedup.WinnowW) Set(hs.min)
+      else hs.sliding(Dedup.WinnowW).map(_.min).toSet
+    }
+    val boiler = "the quick brown fox jumps over the lazy dog tonight"
+    // the shared run sits at DIFFERENT token offsets in each doc —
+    // fixed-stride sampling would desynchronize, winnowing cannot
+    val a = s"alpha beta gamma delta epsilon zeta $boiler eta theta iota kappa lambda mu"
+    val b = s"one two $boiler three four"
+    val c = "completely disjoint prose with no shared trigram at all honest"
+    val dir = writeDocs(Seq(1L -> a, 2L -> b, 3L -> c))
+    // fingerprint sets match the reference implementation exactly
+    val got = Dedup.winnowFingerprints(
+      graft.model.Tables.load(spark, dir, "documents"))
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).toSet }
+    assert(got == Map(1L -> winnow(a), 2L -> winnow(b), 3L -> winnow(c)))
+    // the pair query finds (1,2) with the exact shared count and overlap
+    val shared = (winnow(a) intersect winnow(b)).size
+    assert(shared >= 1, "guarantee: a 10-token shared run must fingerprint")
+    val expOverlap = shared.toDouble / math.min(winnow(a).size, winnow(b).size)
+    assert(expOverlap >= Dedup.WinnowThreshold, s"fixture drifted: $expOverlap")
+    val pairs = Dedup.winnowOverlap(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(pairs == List((1L, 2L, shared.toLong, expOverlap)))
+    // whole-doc jaccard at 0.8 is silent on the same fixture — the local
+    // detector adds coverage, it doesn't duplicate it
+    assert(Dedup.jaccardPairs(spark, dir).collect().isEmpty)
+  }
+
   test("dedup survivors: total decision table, kept iff own canonical") {
     val docs = graft.model.Tables.load(spark, sf, "documents")
       .select("doc_id").as[Long].collect().toSet
