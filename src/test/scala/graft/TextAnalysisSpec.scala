@@ -101,4 +101,30 @@ class TextAnalysisSpec extends SparkSpec {
     val (n3, v3) = out(3L)
     assert(n3 == 3L && v3(dim("mixed")) >= 2L)
   }
+
+  test("quality classifier: logit matches driver fold, distills the heuristic") {
+    import graft.textanalysis.QualityClassifier
+    // exact logit recompute on a crafted doc
+    val text = "the cat sat on the mat"
+    val dir = writeDocs(Seq(1L -> text, 2L -> "   "))
+    val got = QualityClassifier.classify(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().toList
+    val toks = text.split("\\s+").toSeq
+    val s = toks.map(w => QualityClassifier.weights(
+      (graft.functions.Hashing.h48String(w) % QualityClassifier.ClfDim).toInt))
+      .sum
+    val logit = QualityClassifier.bias.toDouble + s.toDouble / toks.size
+    assert(got == List((1L, toks.size.toLong, logit, logit > 0)))
+    // distillation quality: decision agrees with the heuristic label on
+    // >= 70% of sf0.01 (the trainer reports 73.2%; majority class is 63%)
+    val sf = "/root/testdata/sf0.01"
+    val labels = TextAnalysis.qualityScore(spark, sf)
+      .select(col("doc_id"),
+        (col("quality") >= TextAnalysis.QualityThreshold).as("y"))
+    val agree = QualityClassifier.classify(spark, sf)
+      .join(labels, "doc_id")
+      .select(avg((col("pred") === col("y")).cast("double")))
+      .as[Double].head()
+    assert(agree >= 0.70, s"classifier/heuristic agreement $agree < 0.70")
+  }
 }
