@@ -1042,6 +1042,51 @@ object Dedup {
         FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
         ORDER BY d.doc_id"""
 
+  /** The "how much of my corpus is redundant bytes" number every
+    * training-data team asks before buying more crawl: per source, the
+    * share of TOKENS (not documents) sitting in docs dedup would drop —
+    * doc counts understate redundancy when duplicates skew long, and
+    * token share is what actually multiplies effective epochs. Folds the
+    * [[dedupSurvivors]] decision table (near-dup clusters subsume exact
+    * copies: identical texts share all shingles) onto a narrow
+    * (doc_id, source, n_tok) projection — one broadcast-label join, one
+    * per-source aggregate on top of the cluster resolution. Output:
+    * (source, n_docs, n_dup_docs, total_tokens, dup_tokens, dup_share).
+    */
+  def dupTokenShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
+          w => length(w) > 0)).cast("long").as("n_tok"))
+    val kept = dedupSurvivors(spark, dir).select("doc_id", "kept")
+    t.join(kept, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(!col("kept"), col("n_tok")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_share",
+        col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+      .orderBy("source")
+  }
+
+  val dupTokenShareSql: String =
+    s"""WITH sv AS ($dedupSurvivorsSql),
+        t AS (SELECT doc_id, source,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT t.source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN NOT sv.kept THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_docs,
+          CAST(sum(t.n_tok) AS BIGINT) AS total_tokens,
+          CAST(sum(CASE WHEN NOT sv.kept THEN t.n_tok ELSE 0 END) AS BIGINT)
+            AS dup_tokens,
+          CAST(sum(CASE WHEN NOT sv.kept THEN t.n_tok ELSE 0 END) AS DOUBLE)
+            / CAST(sum(t.n_tok) AS DOUBLE) AS dup_share
+        FROM t JOIN sv ON t.doc_id = sv.doc_id
+        GROUP BY t.source ORDER BY t.source"""
+
   // ------------------------------------------------------------ embedding
 
   val CosineThreshold = 0.4

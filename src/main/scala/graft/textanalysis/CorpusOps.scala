@@ -1213,4 +1213,90 @@ object CorpusOps {
         FROM d)
         SELECT source, doc_id, h, CAST(rk AS INT) AS rk
         FROM r WHERE rk <= $InspectK ORDER BY source, rk"""
+
+  // -------------------------------------------------- signal correlation
+
+  /** Spearman rank correlation between two curation signals per source —
+    * "does the cheap heuristic agree with the LM filter, and on which
+    * crawl do they diverge?": ρ of ([[TextAnalysis.qualityScore]].quality,
+    * [[logProb]].logprob) over each source's documents. Rank-based, so it
+    * sees monotone agreement without assuming the two scores share a
+    * scale — exactly the audit run before replacing an expensive filter
+    * with a cheap proxy.
+    *
+    * Exactness: tie-averaged ranks enter as the INTEGER transform
+    * 2·rank + ties − 1 (= twice the average rank; Spearman is invariant
+    * under linear rank maps, so ρ is unchanged and no fraction ever
+    * appears), the five power sums aggregate in exact decimals, and the
+    * closing Pearson form runs in doubles over identically-rounded casts
+    * — every arithmetic op IEEE-deterministic on bit-equal operands, no
+    * engine drift. Constant-signal sources yield NULL (undefined ρ), the
+    * [[graft.relational.Relational!.momentCols momentCols]] convention.
+    *
+    * Scale: two per-doc score passes, one join on doc_id, two window
+    * ranks partitioned BY SOURCE (each source ranks independently — no
+    * global sort), one tiny per-source aggregate. Σa² ≤ 4n³ holds in
+    * decimal(38,0) to n ≈ 10¹¹ docs per source.
+    * Output: (source, n, spearman), sorted.
+    */
+  def signalCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val lp = logProb(spark, dir).select(col("doc_id"), col("logprob"))
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    def rank2(v: String): Column =
+      (rank().over(Window.partitionBy("source").orderBy(v)) * 2 +
+        count(lit(1)).over(Window.partitionBy(col("source"), col(v))) - 1)
+        .cast("decimal(19,0)")
+    val joined = q.join(lp, "doc_id").join(src, "doc_id")
+      .select(col("source"), rank2("quality").as("a"), rank2("logprob").as("b"))
+    val agg = joined.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+      sum(col("a") * col("a")).as("saa"), sum(col("b") * col("b")).as("sbb"),
+      sum(col("a") * col("b")).as("sab"))
+    val nD = col("n").cast("double")
+    def d(s: Column) = s.cast("double")
+    val num = nD * d(col("sab")) - d(col("sa")) * d(col("sb"))
+    val d1 = nD * d(col("saa")) - d(col("sa")) * d(col("sa"))
+    val d2 = nD * d(col("sbb")) - d(col("sb")) * d(col("sb"))
+    agg.select(col("source"), col("n"),
+      when(d1 > 0d && d2 > 0d, num / (sqrt(d1) * sqrt(d2)))
+        .as("spearman"))
+      .orderBy("source")
+  }
+
+  val signalCorrSql: String =
+    s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+        lp AS ($logProbSql),
+        j AS (SELECT d.source, q.quality, lp.logprob
+          FROM q JOIN lp ON q.doc_id = lp.doc_id
+          JOIN documents d ON q.doc_id = d.doc_id),
+        rk AS (SELECT source,
+            CAST(2 * rank() OVER (PARTITION BY source ORDER BY quality)
+              + count(*) OVER (PARTITION BY source, quality) - 1
+              AS DECIMAL(19,0)) AS a,
+            CAST(2 * rank() OVER (PARTITION BY source ORDER BY logprob)
+              + count(*) OVER (PARTITION BY source, logprob) - 1
+              AS DECIMAL(19,0)) AS b
+          FROM j),
+        s AS (SELECT source, count(*) AS n,
+            sum(a) AS sa, sum(b) AS sb,
+            sum(a*a) AS saa, sum(b*b) AS sbb, sum(a*b) AS sab
+          FROM rk GROUP BY source)
+        SELECT source, n,
+          CASE WHEN
+              CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+            AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+          THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+          END AS spearman
+        FROM s ORDER BY source"""
 }

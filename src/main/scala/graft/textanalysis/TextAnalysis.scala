@@ -385,6 +385,67 @@ object TextAnalysis {
         FROM qs JOIN documents d ON qs.doc_id = d.doc_id
         GROUP BY d.source ORDER BY d.source"""
 
+  /** The corpus DATA CARD: one row of the headline numbers a dataset
+    * release documents (and a curation run eyeballs first) — volume
+    * (docs, sources, langs, tokens), exact-dup pollution (distinct
+    * digests vs docs), quality profile (scored docs, gate pass count,
+    * mean composite — over scored docs, the quality model's domain), and
+    * predicted-English share. Three independent one-row aggregates
+    * (documents scan, quality pass, lang-ID pass) cross-joined as
+    * broadcast scalars — each input is one narrow scan + partial
+    * aggregate, nothing shuffles more than its 1-row result; means are
+    * exact-integer or round-then-decimal-sum divisions (the
+    * [[sourceStats]] convention), engine-exact.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("source"), col("lang"), md5(col("text")).as("h"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("h")).as("distinct_texts"),
+        (count(lit(1)) - count_distinct(col("h"))).as("exact_dup_docs"),
+        sum(col("n_tok")).as("total_tokens"))
+      .withColumn("mean_doc_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+    val q = qualityScore(spark, dir)
+      .agg(count(lit(1)).as("scored_docs"),
+        sum(when(col("quality") >= QualityThreshold, 1L).otherwise(0L))
+          .as("quality_pass"),
+        (sum(round(col("quality"), 10).cast("decimal(28,12)")).cast("double")
+          / count(lit(1)).cast("double")).as("mean_quality"))
+    val l = langId(spark, dir)
+      .agg(sum(when(col("pred_lang") === "en", 1L).otherwise(0L))
+        .as("en_docs"))
+    base.crossJoin(broadcast(q)).crossJoin(broadcast(l))
+  }
+
+  // lazy: interpolates QualityThreshold, declared further down the object
+  lazy val corpusCardSql: String =
+    s"""WITH b AS (SELECT count(*) AS n_docs,
+          count(DISTINCT source) AS n_sources,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT md5(text)) AS distinct_texts,
+          count(*) - count(DISTINCT md5(text)) AS exact_dup_docs,
+          CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens
+        FROM documents),
+        q AS (SELECT count(*) AS scored_docs,
+          CAST(sum(CASE WHEN quality >= $QualityThreshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS quality_pass,
+          CAST(sum(CAST(round(quality, 10) AS DECIMAL(28,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mean_quality
+        FROM ($qualityScoreSql)),
+        l AS (SELECT CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)
+            AS BIGINT) AS en_docs
+          FROM ($langIdSql))
+        SELECT n_docs, n_sources, n_langs, distinct_texts, exact_dup_docs,
+          total_tokens,
+          CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            AS mean_doc_tokens,
+          scored_docs, quality_pass, mean_quality, en_docs
+        FROM b, q, l"""
+
   // ------------------------------------------------------------ coverage
 
   val CoverageTopK = 100

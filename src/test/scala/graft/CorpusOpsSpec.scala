@@ -530,4 +530,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rest.nonEmpty, "fixture produced no interior boundary; widen it")
     assert(byDoc(2L).map(_._5).takeRight(rest.size) == rest)
   }
+
+  test("signal correlation: per-source spearman matches a driver recompute") {
+    val sf = "/root/testdata/sf0.001"
+    def avgRanks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      val first = sorted.zipWithIndex.reverse.toMap   // value -> first idx
+      val count = v.groupBy(identity).map { case (k, g) => k -> g.size }
+      v.map(x => first(x) + 1 + (count(x) - 1) / 2.0)
+    }
+    def pearson(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val saa = a.map(x => x * x).sum
+      val sbb = b.map(x => x * x).sum
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      val (d1, d2) = (n * saa - sa * sa, n * sbb - sb * sb)
+      if (d1 > 0 && d2 > 0) Some((n * sab - sa * sb) / (math.sqrt(d1) * math.sqrt(d2)))
+      else None
+    }
+    val q = graft.textanalysis.TextAnalysis.qualityScore(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val lp = CorpusOps.logProb(spark, sf)
+      .select("doc_id", "logprob").as[(Long, Double)].collect().toMap
+    val src = graft.model.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expect = src.filter(r => q.contains(r._1) && lp.contains(r._1))
+      .groupBy(_._2).map { case (s, rows) =>
+        val ids = rows.map(_._1).toSeq
+        s -> ((ids.size.toLong,
+          pearson(avgRanks(ids.map(q)), avgRanks(ids.map(lp)))))
+      }
+    val got = CorpusOps.signalCorr(spark, sf)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (s, (n, rho)) =>
+      val (gn, gr) = got(s)
+      assert(gn == n, s"source $s row count")
+      (rho, gr) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9,
+          s"source $s: spearman $g vs driver $e")
+        case (e, g) => assert(e.isEmpty == g.isEmpty, s"source $s: $e vs $g")
+      }
+    }
+  }
 }

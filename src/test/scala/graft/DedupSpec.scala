@@ -251,6 +251,25 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty, s"jaccard unexpectedly flagged: $jac")
   }
 
+  test("dup token share: token-weighted redundancy per source") {
+    // source A: a 12-token doc duplicated (one copy dropped) + a 4-token
+    // unique doc → dup_tokens 12 of 28; source B: all unique → share 0
+    val long12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val d2 = java.nio.file.Files.createTempDirectory("dtsfix").toString
+    Seq((1L, long12, "A"), (2L, long12, "A"), (3L, "tiny doc of four", "A"),
+        (4L, "other words entirely here now", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val got = Dedup.dupTokenShare(spark, d2)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("A", 3L, 1L, 28L, 12L, 12.0 / 28.0),
+      ("B", 1L, 0L, 5L, 0L, 0.0)))
+  }
+
   test("winnowing: shift-invariant fingerprints catch a shared run jaccard misses") {
     // driver-side reference winnow: positional 3-gram hashes, 4-window
     // minima, distinct values (degenerate short sequence → global min)
