@@ -46,7 +46,15 @@ class PlanAuditSpec extends SparkSpec {
       "q_sim_topk", "q_text_tfidf", "q_text_pmi", "q_text_oov",
       "q_quality_gate", "q_text_logprob", "q_ann_topk",
       // one-row corpus-total scalar riding the 100-row coverage curve
-      "q_token_coverage")
+      "q_token_coverage",
+      // one-row (N, V) model scalars, inherited from the logProb shape
+      "q_text_bigram_lm", "q_signal_corr",
+      // one-row corpus totals crossed onto tiny aggregates: the data
+      // card's three 1-row sections, the MG sketch's (N, M) bound
+      // scalars, the skew audit's (total, n_keys) pair, label balance's
+      // (total, entropy) pair, DSIR's feature-mass normalizers
+      "q_corpus_card", "q_heavy_hitters", "q_skew_audit",
+      "q_label_balance", "q_importance_weights")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
