@@ -180,6 +180,84 @@ object Dedup {
             ORDER BY doc_id, para_idx) = 1 AS kept
         FROM p ORDER BY doc_id, para_idx"""
 
+  // ------------------------------------------------------ duplicated spans
+
+  /** Gram length for [[dupSpans]] — the 13-gram memorization convention
+    * shared with [[graft.textanalysis.CorpusOps.DupGramN]].
+    */
+  val SpanGramN = 13
+
+  /** Duplicated-SPAN removal decision table — the exact-substring dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") at token-gram granularity: any [[SpanGramN]]-token run that
+    * occurs ≥ 2 times ANYWHERE in the corpus (across docs or within one)
+    * is marked for removal, and overlapping/adjacent marked runs merge
+    * into maximal spans. Where [[paragraphDedup]] drops fixed blocks and
+    * `q_dup_ngrams` reports the top offenders, this emits the per-doc cut
+    * list a loader applies: (doc_id, span_start, span_len, n_grams), one
+    * row per maximal removable span, 1-based token offsets.
+    *
+    * Scale shape: grams are hashed IN-ROW to 48-bit longs (8-byte shuffle
+    * keys, never ~90-byte gram text); the duplicate set is one hash
+    * aggregate; flagged starts re-join on the same 8-byte key; span
+    * assembly is a per-doc gaps-and-islands window over only the FLAGGED
+    * positions (rare by construction) — grouping on (doc_id, island)
+    * reuses the window's doc_id partitioning, so assembly adds no
+    * exchange. A corpus-wide boilerplate gram lands one 8-byte-row
+    * partition in the duplicate aggregate, same bounded skew story as
+    * [[paragraphDedup]].
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("t")
+    val gramStructs = transform(
+      when(size(t) >= SpanGramN, sequence(lit(1), size(t) - (SpanGramN - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => struct(i.cast("long").as("pos"),
+        Hashing.h48(concat_ws(" ", slice(t, i, lit(SpanGramN)))).as("gh")))
+    val g = tokens(Tables.loadSpread(spark, dir, "documents", "doc_id"))
+      .select(col("doc_id"), explode(gramStructs).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dup = g.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2L).select("gh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val flagged = g.join(dup, "gh").select("doc_id", "pos")
+      // islands: two flagged starts s₁ < s₂ cover overlapping-or-adjacent
+      // token runs iff s₂ − s₁ ≤ SpanGramN ([s,s+N−1] touches [s',s'+N−1])
+      .withColumn("nw",
+        when(lag("pos", 1).over(w).isNull ||
+          col("pos") - lag("pos", 1).over(w) > SpanGramN, 1L).otherwise(0L))
+      .withColumn("island", sum("nw").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + SpanGramN).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_len", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dupSpansSql: String = {
+    val n = SpanGramN
+    s"""WITH t AS ($duckTokens),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+            ${duckH48(s"array_to_string(t[i:i+${n - 1}], ' ')")} AS gh
+          FROM t, unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0)))
+            AS u(i)),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        f AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        isl AS (SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > $n THEN 1 ELSE 0 END AS nw
+          FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (SELECT doc_id, pos,
+            sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl)
+        SELECT doc_id, min(pos) AS span_start,
+          max(pos) - min(pos) + $n AS span_len, count(*) AS n_grams
+        FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+  }
+
   // -------------------------------------------------------------- minhash
 
   val NumPerms = 16

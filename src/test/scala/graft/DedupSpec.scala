@@ -88,6 +88,32 @@ class DedupSpec extends SparkSpec {
       case ((d, _), kept) => d == id && kept }))
   }
 
+  test("dup spans: shared runs merge to maximal spans, unique prose unmarked") {
+    // a 20-token boilerplate run shared by docs 1 and 2: its 8 flagged
+    // 13-gram starts (1..8 in doc 1, 3..10 in doc 2) must merge into ONE
+    // span of exactly the run's length; doc 3 is unique prose (no rows);
+    // doc 4 repeats a 13-token run WITHIN itself (both copies marked)
+    val run = (0 until 20).map(i => s"b$i").mkString(" ")
+    val uniq = (tag: String, n: Int) => (0 until n).map(i => s"$tag$i").mkString(" ")
+    val rep = (0 until 13).map(i => s"r$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      1L -> s"$run ${uniq("u", 15)}",
+      2L -> s"x0 x1 $run ${uniq("v", 9)}",
+      3L -> uniq("w", 40),
+      4L -> s"$rep ${uniq("z", 14)} $rep"))
+    val got = Dedup.dupSpans(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3, s._4)).toSeq).toMap
+    assert(got(1L) == Seq((1L, 20L, 8L)), s"doc1: ${got.get(1L)}")
+    assert(got(2L) == Seq((3L, 20L, 8L)), s"doc2: ${got.get(2L)}")
+    assert(!got.contains(3L), s"doc3 unique prose marked: ${got.get(3L)}")
+    assert(got(4L) == Seq((1L, 13L, 1L), (28L, 13L, 1L)), s"doc4: ${got.get(4L)}")
+    // invariant: spans within a doc are disjoint with a gap > 0 between
+    // them (maximality — adjacent/overlapping runs must have merged)
+    for ((_, spans) <- got; Seq((s1, l1, _), (s2, _, _)) <- spans.sliding(2))
+      assert(s2 > s1 + l1, s"non-maximal spans ($s1,$l1) ($s2)")
+  }
+
   test("minhash LSH candidates are a superset of true jaccard>=0.8 pairs") {
     val trueDups = Dedup.jaccardPairs(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
