@@ -262,6 +262,109 @@ object TextAnalysis {
           FROM scored) t
         WHERE rn <= 3 ORDER BY doc_id, rn"""
 
+  // ----------------------------------------------------------- bm25 search
+
+  /** Okapi BM25 parameters (the standard k₁=1.2, b=0.75), query-doc
+    * sampling modulus, and results per query.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25QueryMod = 25
+  val Bm25TopK = 5
+
+  /** BATCH BM25 ranked retrieval — the text-side twin of `q_knn_join`:
+    * many queries × corpus top-k through shared POSTINGS, not a
+    * per-query scan. The query workload is derived from the corpus
+    * itself (every h48-sampled ~1-in-[[Bm25QueryMod]] document asks
+    * "find docs like my [[tfidf]] top-3 terms"), so it exists at every
+    * scale without external fixtures. Score = Σ_t idf(t) ·
+    * tf·(k₁+1)/(tf + k₁·(1−b+b·len/avglen)) with the BM25+ idf form
+    * ln(1 + (N−df+0.5)/(df+0.5)) ≥ 0.
+    *
+    * Scale shape: candidates come from an equi-join of the tiny
+    * (query, term, df) table (broadcast — ≤ 3 terms/query) against the
+    * per-doc term-frequency table, so the cost is Σ_t df(t) — postings
+    * of the query terms, never a corpus scan per query (tf-idf picks
+    * rare terms, keeping postings short); the (N, Σlen) scalars ride as
+    * one broadcast row; top-k is a per-query window over candidates
+    * only. Parity: the one transcendental (ln) and the per-term product
+    * are rounded to 10 decimals, per-(query, doc) totals sum in
+    * decimal(28,12) (fold-order-proof), the final cast-to-double is
+    * identical in both engines. Output: (query_id, doc_id, score, rank).
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+    val tok = d.select(col("doc_id"), size(col("t")).as("n_tok"),
+      explode(col("t")).as("word"))
+    val perDoc = tok.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("n_tok"))
+    val dfDocs = perDoc.groupBy("word").agg(count(lit(1)).as("df_docs"))
+    val scalars = d.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("total_tok"))
+    val qterms = tfidf(spark, dir)
+      .where(Hashing.h48(concat(lit("bm25q-"), col("doc_id"))) % Bm25QueryMod === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val idf = round(log(lit(1.0) +
+      ((col("n_docs") - col("df_docs")).cast("double") + 0.5) /
+        (col("df_docs").cast("double") + 0.5)), 10)
+    val avglen = col("total_tok").cast("double") / col("n_docs").cast("double")
+    val tfpart = (col("cnt").cast("double") * (Bm25K1 + 1.0)) /
+      (col("cnt").cast("double") +
+        lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * (col("n_tok").cast("double") / avglen)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perDoc
+      .join(broadcast(qterms.join(dfDocs, "word")), "word")
+      .crossJoin(broadcast(scalars))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfpart, 10).cast("decimal(28,12)").as("s"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).as("sl"))
+      .select(col("query_id"), col("doc_id"), col("sl").cast("double").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= Bm25TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25Sql: String =
+    s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+        d2 AS (SELECT doc_id, t FROM d WHERE len(t) > 0),
+        tok AS (SELECT doc_id, len(t) AS n_tok, unnest(t) AS word FROM d2),
+        per_doc AS (SELECT doc_id, word, count(*) AS cnt, max(n_tok) AS n_tok
+                    FROM tok GROUP BY doc_id, word),
+        df_docs AS (SELECT word, count(*) AS df_docs FROM per_doc GROUP BY word),
+        scalars AS (SELECT count(*) AS n_docs,
+            CAST(sum(len(t)) AS BIGINT) AS total_tok FROM d2),
+        tfidf AS ($tfidfSql),
+        qterms AS (SELECT doc_id AS query_id, word FROM tfidf
+          WHERE ${Hashing.duckH48("concat('bm25q-', doc_id)")} % $Bm25QueryMod = 0),
+        cand AS (SELECT q.query_id, p.doc_id,
+            CAST(round(
+              round(ln(1.0 + (CAST(s.n_docs - f.df_docs AS DOUBLE) + 0.5)
+                / (CAST(f.df_docs AS DOUBLE) + 0.5)), 10)
+              * ((CAST(p.cnt AS DOUBLE) * ${Bm25K1 + 1.0}) /
+                 (CAST(p.cnt AS DOUBLE) + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B
+                   * (CAST(p.n_tok AS DOUBLE)
+                      / (CAST(s.total_tok AS DOUBLE)
+                         / CAST(s.n_docs AS DOUBLE)))))), 10)
+              AS DECIMAL(28,12)) AS s
+          FROM per_doc p
+            JOIN qterms q ON p.word = q.word
+            JOIN df_docs f ON p.word = f.word, scalars s),
+        scored AS (SELECT query_id, doc_id,
+            CAST(sum(s) AS DOUBLE) AS score
+          FROM cand GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT query_id, doc_id, score,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS INT) AS rank
+          FROM scored) r
+        WHERE rank <= $Bm25TopK ORDER BY query_id, rank"""
+
   // ------------------------------------------------------------ splitting
 
   /** THE canonical train/test assignment (salt, modulus, fraction) — the

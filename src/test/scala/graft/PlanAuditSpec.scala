@@ -54,7 +54,10 @@ class PlanAuditSpec extends SparkSpec {
       // scalars, the skew audit's (total, n_keys) pair, label balance's
       // (total, entropy) pair, DSIR's feature-mass normalizers
       "q_corpus_card", "q_heavy_hitters", "q_skew_audit",
-      "q_label_balance", "q_importance_weights")
+      "q_label_balance", "q_importance_weights",
+      // the (N, Σlen) scalar row riding the candidate postings (and the
+      // tfidf-derived query workload's own N scalar)
+      "q_text_bm25")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
