@@ -258,4 +258,50 @@ class SimilaritySpec extends SparkSpec {
       assert(members.minBy(_._1)._4, "cluster min id was pruned")
     }
   }
+
+  test("kmeans trainer matches a full driver-side replay of the Lloyd rounds") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def r10(x: Double): Double =
+      JBD.valueOf(x).setScale(10, RoundingMode.HALF_UP).doubleValue
+    // init: the K max-vec_id vectors, cid = 0-based rank in descending order
+    var cents: Array[Array[Double]] =
+      vecs.sortBy(-_._1).take(Similarity.IvfClusters).map(_._2)
+    def assign(): Array[(Long, Int, Double)] = vecs.map { case (id, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      var best = -2.0; var bc = -1
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val cos = dot(v, c) / (nrm * math.sqrt(dot(c, c)))
+        if (cos > best) { best = cos; bc = i } // strict > = lowest cid on ties
+      }
+      (id, bc, r10(best))
+    }
+    for (_ <- 1 to Similarity.KmIters) {
+      val members = assign().groupBy(_._2)
+      val byId = vecs.toMap
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        members.get(cid).fold(old) { ms =>
+          val mv = ms.map(m => byId(m._1))
+          Array.tabulate(old.length) { d =>
+            val s = mv.foldLeft(JBD.ZERO)((acc, v) => acc.add(JBD.valueOf(r10(v(d)))))
+            s.doubleValue / mv.length
+          }
+        }
+      }
+    }
+    val expected = assign().groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, ms) =>
+      val s = ms.foldLeft(JBD.ZERO)((a, m) => a.add(JBD.valueOf(m._3)))
+      (cid, ms.length.toLong, ms.map(_._1).sum,
+        r10(math.sqrt(dot(cents(cid), cents(cid)))), s.doubleValue / ms.length)
+    }
+    val got = Similarity.kmeansTrain(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expected)
+  }
 }
