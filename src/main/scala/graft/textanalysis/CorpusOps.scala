@@ -1299,4 +1299,165 @@ object CorpusOps {
                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
           END AS spearman
         FROM s ORDER BY source"""
+
+  // --------------------------------------------------------- snapshot diff
+
+  /** Hash modulus carving the release-over-release slices out of the
+    * corpus: residue 0 = "added in the new snapshot", 1 = "removed",
+    * 2 = "content changed" (~1/12 of the corpus each).
+    */
+  val DiffMod = 12
+
+  /** Core diff operator: OLD vs NEW corpus snapshots, each a (doc_id,
+    * source, digest) frame, classified per doc_id by a FULL OUTER join —
+    * added (no old row), removed (no new row), changed (both, digests
+    * differ), unchanged — and folded to per-source counts. Only 16-byte
+    * digests and the source string cross the exchange, never text; both
+    * sides shuffle once on doc_id, or zero times when the snapshots are
+    * stored with [[graft.relational.Relational]]'s bucketed-table layout
+    * (same key). This is the release audit run between two crawl
+    * versions before retraining — "how much of each source actually
+    * moved".
+    */
+  def snapshotDiffCounts(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), col("source").as("o_source"),
+      col("digest").as("o_digest"))
+    val n = newSnap.select(col("doc_id"), col("source").as("n_source"),
+      col("digest").as("n_digest"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("n_source"), col("o_source")).as("source"),
+        col("o_digest"), col("n_digest"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("o_digest").isNotNull, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("n_digest").isNotNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("o_digest").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("n_digest").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("o_digest").isNotNull && col("n_digest").isNotNull
+          && col("o_digest") =!= col("n_digest"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("o_digest") === col("n_digest"), 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy("source")
+  }
+
+  /** Declared diff query: both snapshots derive deterministically from
+    * the one documents table via h48("diff-"‖doc_id) mod [[DiffMod]] —
+    * residue 0 missing from OLD (an addition), residue 1 missing from
+    * NEW (a removal), residue 2 rewritten in NEW (a content change, the
+    * digest moves) — so the fixture exists at every SF and the oracle
+    * replays the identical carving. All-integer output.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      coalesce(col("text"), lit("")).as("t"),
+      (Hashing.h48(concat(lit("diff-"), col("doc_id"))) % DiffMod).as("r"))
+    val oldSnap = d.where(col("r") =!= 0)
+      .select(col("doc_id"), col("source"), unhex(md5(col("t"))).as("digest"))
+    val newSnap = d.where(col("r") =!= 1)
+      .select(col("doc_id"), col("source"),
+        unhex(md5(when(col("r") === 2, concat(col("t"), lit(" [rev2]")))
+          .otherwise(col("t")))).as("digest"))
+    snapshotDiffCounts(oldSnap, newSnap)
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH d AS (SELECT doc_id, source, coalesce(text, '') AS t,
+            ${duckH48("concat('diff-', doc_id)")} % $DiffMod AS r
+          FROM documents),
+        o AS (SELECT doc_id, source, md5(t) AS digest FROM d WHERE r <> 0),
+        n AS (SELECT doc_id, source,
+            md5(CASE WHEN r = 2 THEN t || ' [rev2]' ELSE t END) AS digest
+          FROM d WHERE r <> 1),
+        j AS (SELECT coalesce(n.source, o.source) AS source,
+            o.digest AS od, n.digest AS nd
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        SELECT source,
+          CAST(sum(CASE WHEN od IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_old,
+          CAST(sum(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          CAST(sum(CASE WHEN od IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_added,
+          CAST(sum(CASE WHEN nd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_removed,
+          CAST(sum(CASE WHEN od IS NOT NULL AND nd IS NOT NULL
+            AND od <> nd THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          CAST(sum(CASE WHEN od = nd THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unchanged
+        FROM j GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------------- token budget
+
+  /** Budget fraction kept per source: numerator/denominator of an exact
+    * rational (40%), applied in integer arithmetic — no float ever
+    * touches the budget boundary.
+    */
+  val BudgetNum = 2L
+  val BudgetDen = 5L
+
+  /** Data selection under a token budget — the step that turns "we can
+    * only train on 40% of each source's tokens" into a concrete keep
+    * set: docs ranked per source by quality (ties by doc_id), kept
+    * greedily while the running token sum stays within
+    * source_tokens·[[BudgetNum]]/[[BudgetDen]] (integer div — exact).
+    * Output is the full decision table (doc_id, source, n_tok, quality,
+    * cum_tok, budget, kept): "write the budgeted corpus" is one
+    * `where(kept)`, and the cum_tok column is the audit trail showing
+    * WHY each doc fell in or out.
+    *
+    * Scale: one fused scan computes n_tok and quality together (the
+    * [[corpusClean]] fusion argument); per-source totals are a tiny
+    * aggregate broadcast back; the greedy selection is ONE running-sum
+    * window per source — the same per-source parallelism contract as
+    * [[packSequences]], with the explicit ROWS frame on both engines.
+    * Low source cardinality makes the window partitions hot at 100 TB;
+    * the documented swap is the [[qualityGate]] move — a per-source
+    * quality-threshold from a quantile sketch (pick t_s so the expected
+    * token mass under it meets the budget), which replaces the window
+    * with a broadcast threshold filter at sketch precision.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tok"),
+        TextAnalysis.qualityExpr.as("quality"))
+    val budgets = d.groupBy("source").agg(sum("n_tok").as("src_tok"))
+      .select(col("source"),
+        expr(s"src_tok * $BudgetNum div $BudgetDen").as("budget"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(budgets), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("quality"),
+        sum("n_tok").over(w).as("cum_tok"), col("budget"))
+      .withColumn("kept", col("cum_tok") <= col("budget"))
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH q AS (SELECT doc_id, quality
+          FROM (${TextAnalysis.qualityScoreSql}) t),
+        d0 AS (SELECT doc_id, source,
+            CAST(len($duckToks) AS BIGINT) AS n_tok
+          FROM documents),
+        d AS (SELECT d0.doc_id, d0.source, d0.n_tok, q.quality
+          FROM d0 JOIN q ON d0.doc_id = q.doc_id),
+        b AS (SELECT source,
+            CAST(CAST(sum(n_tok) AS BIGINT) * $BudgetNum // $BudgetDen
+              AS BIGINT) AS budget
+          FROM d GROUP BY source),
+        r AS (SELECT d.doc_id, d.source, d.n_tok, d.quality,
+            CAST(sum(d.n_tok) OVER (PARTITION BY d.source
+              ORDER BY d.quality DESC, d.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_tok,
+            b.budget
+          FROM d JOIN b ON d.source = b.source)
+        SELECT doc_id, source, n_tok, quality, cum_tok, budget,
+          cum_tok <= budget AS kept
+        FROM r ORDER BY doc_id"""
 }

@@ -575,4 +575,46 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("snapshot diff: added/removed/changed/unchanged classified per source") {
+    import org.apache.spark.sql.functions.{md5, unhex}
+    def snap(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+        .select(col("doc_id"), col("source"), unhex(md5(col("text"))).as("digest"))
+    // old: docs 1-4 in A, 10-11 in B; new: 2 changed, 3 removed, 5 added,
+    // B untouched
+    val oldSnap = snap(Seq(
+      (1L, "A", "alpha"), (2L, "A", "beta"), (3L, "A", "gamma"),
+      (4L, "A", "delta"), (10L, "B", "epsilon"), (11L, "B", "zeta")))
+    val newSnap = snap(Seq(
+      (1L, "A", "alpha"), (2L, "A", "beta v2"), (4L, "A", "delta"),
+      (5L, "A", "eta"), (10L, "B", "epsilon"), (11L, "B", "zeta")))
+    val got = CorpusOps.snapshotDiffCounts(oldSnap, newSnap)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("A", 4L, 4L, 1L, 1L, 1L, 2L),
+      ("B", 2L, 2L, 0L, 0L, 0L, 2L)))
+  }
+
+  test("token budget: kept set is the exact greedy quality prefix per source") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CorpusOps.tokenBudget(spark, sf)
+      .as[(Long, String, Long, Double, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, ms) =>
+      val ranked = ms.sortBy(m => (-m._4, m._1)) // quality desc, doc_id
+      val total = ms.map(_._3).sum
+      val budget = total * CorpusOps.BudgetNum / CorpusOps.BudgetDen
+      assert(ranked.head._6 == budget, s"$src budget")
+      // cum_tok is the running sum in rank order; kept = prefix under budget
+      var cum = 0L
+      ranked.foreach { m =>
+        cum += m._3
+        assert(m._5 == cum, s"$src cum_tok for doc ${m._1}")
+        assert(m._7 == (cum <= budget), s"$src kept flag for doc ${m._1}")
+      }
+      // the budget actually bites somewhere: some doc dropped, some kept
+      assert(ranked.exists(_._7) && ranked.exists(!_._7), s"$src boundary")
+    }
+  }
 }
