@@ -57,7 +57,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_label_balance", "q_importance_weights",
       // the (N, Σlen) scalar row riding the candidate postings (and the
       // tfidf-derived query workload's own N scalar)
-      "q_text_bm25")
+      "q_text_bm25",
+      // recall eval's ground truth: the bounded KnnQueries-row (=8)
+      // query sample brute-forced over one corpus scan — deliberate,
+      // that's what makes it ground truth
+      "q_knn_recall")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -259,6 +259,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn recall: ppm math matches a driver recompute from knnJoin output") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ann = Similarity.knnJoin(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = vecs.take(Similarity.KnnQueries).map { case (qid, qv) =>
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(Similarity.K).map(_._1)
+      val hits = exact.count(ann.getOrElse(qid, Set.empty)).toLong
+      (qid, exact.length.toLong, hits, hits * 1000000L / Similarity.K)
+    }.toSeq
+    val got = Similarity.knnRecall(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the eval has signal: ground truth is full-K and recall is nontrivial
+    assert(got.forall(_._2 == Similarity.K.toLong))
+    assert(got.exists(_._3 > 0L))
+  }
+
   test("kmeans trainer matches a full driver-side replay of the Lloyd rounds") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
