@@ -259,6 +259,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq encode: codes and reconstruction error match a driver recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val subDim = Similarity.Dim / Similarity.PqM
+    val samples = vecs.sortBy(-_._1).take(Similarity.PqCodes).map(_._2)
+    val expected = vecs.map { case (id, v) =>
+      val perSub = (0 until Similarity.PqM).map { m =>
+        val sv = v.slice(m * subDim, (m + 1) * subDim)
+        val (bestP, bestK) = samples.zipWithIndex.map { case (s, k) =>
+          val c = s.slice(m * subDim, (m + 1) * subDim)
+          (-2.0 * dot(sv, c) + dot(c, c), k)
+        }.minBy(identity) // (partial asc, k asc)
+        (bestK, dot(sv, sv) + bestP)
+      }
+      (id, perSub(0)._1, perSub(1)._1, perSub(2)._1, perSub(3)._1,
+        perSub.map(_._2).reduce(_ + _))
+    }.toSeq
+    val got = Similarity.pqEncode(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Double)].collect().toSeq
+    assert(got == expected)
+    // codes actually vary across the corpus (the codebook has signal)
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("knn recall: ppm math matches a driver recompute from knnJoin output") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
