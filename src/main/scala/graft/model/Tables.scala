@@ -45,17 +45,29 @@ object Tables {
     else df.repartition(spark.sessionState.conf.numShufflePartitions, col(byCol))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw nanosecond long (`spark.sql.legacy.parquet.nanosAsLong=true`, set
-    * in Verify/Bench/tests). Keep the exact nanos as `ts_ns` and expose
-    * `ts` as a TIMESTAMP_NTZ truncated to microseconds (integer `div`, so
-    * the truncation is exact — a double division would lose precision at
-    * 2^53 ns ≈ 104 days).
+  /** Normalize `events.ts` to the engine's two-column contract — exact
+    * integer `ts_ns` (epoch nanos; every session/gap/bucket computation
+    * uses it so arithmetic is exact) plus `ts` as TIMESTAMP_NTZ truncated
+    * to microseconds. Schema-adaptive because the generated parquet has
+    * shipped with two physical types:
+    *   - TIMESTAMP(NANOS): Spark only reads it as a raw nanosecond long
+    *     (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    *     Verify/Bench/tests) → truncation to `ts` is an exact integer
+    *     `div` (a double division would lose precision at 2^53 ns).
+    *   - TIMESTAMP(MICROS) (ntz): read natively → `ts_ns` is exact
+    *     micros×1000 (session tz is UTC, so the NTZ wall clock IS the
+    *     epoch instant; DuckDB's `epoch_ns(ts)` oracle twin agrees).
     */
-  def withEventTime(raw: DataFrame): DataFrame =
-    raw
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def withEventTime(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      raw
+        .withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    case _ => // TimestampNTZType / TimestampType (micros precision)
+      raw
+        .withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
 
   /** Reference review input: line-delimited JSON, only two fields consumed,
     * malformed lines silently dropped (reference `src/wordCountJob.py:62-72`).

@@ -700,9 +700,19 @@ object TextAnalysis {
     * counts by in-row filter over the hashed array. No explode, no
     * shuffle, no vocabulary state; at 100 TB this runs at scan speed and
     * partitions trivially. All-integer output ⇒ engine-exact.
-    * Output: (doc_id, n_tok, vec[HashVecDim] of term counts).
+    * Output: (doc_id, n_tok, vec = comma-joined counts, one per dimension)
+    * — the vector is declared as a joined string because the driver's
+    * oracle comparator sorts/hashes scalar cells; the downstream typed
+    * surface keeps the Array[Long] shape (see `hashVectorsTyped`).
     */
-  def hashVectors(spark: SparkSession, dir: String): DataFrame = {
+  def hashVectors(spark: SparkSession, dir: String): DataFrame =
+    hashVectorsTyped(spark, dir)
+      .select(col("doc_id"), col("n_tok"),
+        concat_ws(",", transform(col("vec"), _.cast("string"))).as("vec"))
+      .orderBy("doc_id")
+
+  /** Typed twin of [[hashVectors]] keeping `vec` as Array[Long]. */
+  def hashVectorsTyped(spark: SparkSession, dir: String): DataFrame = {
     val dims = transform(toks(col("text")),
       w => graft.functions.Hashing.h48(w) % HashVecDim)
     docs(spark, dir)
@@ -711,7 +721,6 @@ object TextAnalysis {
         transform(sequence(lit(0), lit(HashVecDim - 1)),
           i => size(filter(col("dims"), d => d === i.cast("long")))
             .cast("long")).as("vec"))
-      .orderBy("doc_id")
   }
 
   val hashVectorsSql: String =
@@ -720,8 +729,9 @@ object TextAnalysis {
             AS dims
         FROM documents)
         SELECT doc_id, CAST(len(dims) AS BIGINT) AS n_tok,
-          list_transform(range(0, $HashVecDim),
-            i -> CAST(len(list_filter(dims, d -> d = i)) AS BIGINT)) AS vec
+          array_to_string(list_transform(range(0, $HashVecDim),
+            i -> CAST(len(list_filter(dims, d -> d = i)) AS BIGINT)), ',')
+            AS vec
         FROM t ORDER BY doc_id"""
 
   // -------------------------------------------------------- heavy hitters

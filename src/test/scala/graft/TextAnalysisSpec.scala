@@ -88,8 +88,12 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "cat cat dog"),
       (2L, ""),
       (3L, "Mixed CASE mixed")))
-    val out = TextAnalysis.hashVectors(spark, dir).collect()
+    val out = TextAnalysis.hashVectorsTyped(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // declared query serializes vec as comma-joined string (driver-comparable)
+    val ser = TextAnalysis.hashVectors(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ser(1L) == out(1L)._2.mkString(","))
     def dim(w: String): Int =
       (graft.functions.Hashing.h48String(w) % TextAnalysis.HashVecDim).toInt
     val (n1, v1) = out(1L)
