@@ -288,6 +288,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).distinct.length > 1)
   }
 
+  test("pq adc: lookup-table distances match a driver recompute, ranks exact") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val subDim = Similarity.Dim / Similarity.PqM
+    val samples = vecs.sortBy(-_._1).take(Similarity.PqCodes).map(_._2)
+    // corpus codes as pqEncode computes them
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until Similarity.PqM).map { m =>
+        val sv = v.slice(m * subDim, (m + 1) * subDim)
+        samples.zipWithIndex.map { case (s, k) =>
+          val c = s.slice(m * subDim, (m + 1) * subDim)
+          (-2.0 * dot(sv, c) + dot(c, c), k)
+        }.minBy(identity)._2
+      }
+    }.toMap
+    val expected = vecs.take(Similarity.AdcQueries).flatMap { case (qid, qv) =>
+      val lut = (0 until Similarity.PqM).map { m =>
+        val sv = qv.slice(m * subDim, (m + 1) * subDim)
+        samples.map { s =>
+          val c = s.slice(m * subDim, (m + 1) * subDim)
+          dot(sv, sv) - 2.0 * dot(sv, c) + dot(c, c)
+        }
+      }
+      vecs.filter(_._1 != qid).map { case (id, _) =>
+        val d = (0 until Similarity.PqM).map(m => lut(m)(codes(id)(m))).reduce(_ + _)
+        (qid, id, d)
+      }.sortBy { case (_, id, d) => (d, id) }.take(Similarity.K)
+        .zipWithIndex.map { case ((q, id, d), i) => (q, id, d, i + 1) }
+    }.toSeq
+    val got = Similarity.pqAdcTopK(spark, sf)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == expected)
+    // ADC distance is the LUT sum of the vector's own codes: for a corpus
+    // vector that IS a codeword-source sample, error vs exact dist is small
+    assert(got.map(_._3).forall(d => !d.isNaN))
+  }
+
   test("knn recall: ppm math matches a driver recompute from knnJoin output") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
