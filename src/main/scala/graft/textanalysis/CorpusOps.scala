@@ -164,30 +164,45 @@ object CorpusOps {
     * CDC is the dedup-storage standard: shifted copies still dedup
     * chunk-for-chunk). Expected chunk length = mask = 16 tokens.
     *
-    * Everything is built in-row from the token array — window hashes,
+    * Everything is built in-row from the token array — per-token hashes,
     * boundary list, chunk spans — and exploded once (no self-join on
-    * position, no UDF; one narrow pass at any scale). Output:
-    * (doc_id, chunk_idx, start_tok, n_tok, chunk_hash).
+    * position, no UDF; one narrow pass at any scale). The window hash is
+    * a base-31 polynomial over PER-TOKEN h48p values (each token md5'd
+    * exactly once), not an md5 of the re-concatenated window string —
+    * the boundary sweep is then pure integer arithmetic, and the md5
+    * budget drops from O(tokens·window) concat bytes to O(tokens) token
+    * bytes + one chunk-level digest per ~mask tokens. Values stay exact:
+    * h48p < 2^31 and 31^3·2^31 < 2^46, so both engines' 64-bit ints
+    * never overflow. Output: (doc_id, chunk_idx, start_tok, n_tok,
+    * chunk_hash).
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val t = col("t")
     val n = size(t)
+    // rolling window hash ending at token i (1-based), over pre-hashed th
+    def roll(i: Column): Column =
+      (1 until CdcWindow).foldLeft(element_at(col("th"), i - (CdcWindow - 1))) {
+        (acc, j) => acc * 31L + element_at(col("th"), i - (CdcWindow - 1 - j))
+      }
     val bnds = filter(sequence(lit(1), n), i =>
-      i >= lit(CdcWindow) && i < n &&
-        Hashing.h48(concat_ws(" ", slice(t, i - lit(CdcWindow - 1), lit(CdcWindow))))
-          % CdcMask === 0)
-    val starts = concat(array(lit(1)), transform(bnds, x => x + 1))
-    val ends = concat(bnds, array(n))
-    val chunkStructs = transform(sequence(lit(1), size(starts)), j => struct(
+      i >= lit(CdcWindow) && i < n && roll(i) % CdcMask === 0)
+    val chunkStructs = transform(sequence(lit(1), size(col("starts"))), j => struct(
       (j - 1).as("chunk_idx"),
-      element_at(starts, j).as("start_tok"),
-      (element_at(ends, j) - element_at(starts, j) + 1).as("n_tok"),
+      element_at(col("starts"), j).as("start_tok"),
+      (element_at(col("ends"), j) - element_at(col("starts"), j) + 1).as("n_tok"),
       Hashing.h48(concat_ws(" ",
-        slice(t, element_at(starts, j),
-          element_at(ends, j) - element_at(starts, j) + 1))).as("chunk_hash")))
+        slice(t, element_at(col("starts"), j),
+          element_at(col("ends"), j) - element_at(col("starts"), j) + 1)))
+        .as("chunk_hash")))
+    // staged withColumns: each array is computed ONCE per row — inlining
+    // them would re-evaluate the boundary filter for every reference
     docs(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .where(size(t) > 0)
+      .withColumn("th", transform(t, w => Hashing.h48(w) % Hashing.P))
+      .withColumn("bnds", bnds)
+      .withColumn("starts", concat(array(lit(1)), transform(col("bnds"), _ + 1)))
+      .withColumn("ends", concat(col("bnds"), array(n)))
       .select(col("doc_id"), explode(chunkStructs).as("ch"))
       .select(col("doc_id"),
         col("ch.chunk_idx").cast("long").as("chunk_idx"),
@@ -198,13 +213,18 @@ object CorpusOps {
   }
 
   val cdcChunksSql: String = {
-    val winHash = duckH48(s"array_to_string(t[i-${CdcWindow - 1}:i], ' ')")
+    val rollExpr = (1 until CdcWindow)
+      .foldLeft(s"th[i-${CdcWindow - 1}]") { (acc, j) =>
+        s"($acc)*31 + th[i-${CdcWindow - 1 - j}]"
+      }
     val chunkHash = duckH48("array_to_string(t[starts[j]:ends[j]], ' ')")
     s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
-        f2 AS (SELECT doc_id, t, len(t) AS n FROM f WHERE len(t) > 0),
+        f2 AS (SELECT doc_id, t, len(t) AS n,
+            list_transform(t, w -> ${duckH48("w")} % ${Hashing.P}) AS th
+          FROM f WHERE len(t) > 0),
         b AS (SELECT doc_id, t, n,
             list_filter(range(1, n + 1), i -> i >= $CdcWindow AND i < n
-              AND $winHash % $CdcMask = 0) AS bnds
+              AND ($rollExpr) % $CdcMask = 0) AS bnds
           FROM f2),
         s AS (SELECT doc_id, t,
             list_prepend(CAST(1 AS BIGINT),
