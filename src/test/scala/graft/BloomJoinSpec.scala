@@ -43,4 +43,30 @@ class BloomJoinSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("explicit bloom prefilter: no false negatives, rows shed, exact result") {
+    import graft.relational.Relational
+    // the operator's own result equals the plain (bloom-free) semi join agg
+    val got = Relational.bloomPrefilterJoin(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val dim = Tables.load(spark, sf, "part")
+      .where(col("p_size") >= Relational.BloomMinSize).select("p_partkey")
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(dim, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == plain)
+    // the bloom itself: zero false negatives over dim keys, and the
+    // prefilter sheds a meaningful share of the fact scan (fpp 1%,
+    // dim keeps ~6% of parts → survivors well under half the fact)
+    val bf = dim.stat.bloomFilter("p_partkey", 100000L, 0.01)
+    val dimKeys = dim.collect().map(_.getLong(0))
+    assert(dimKeys.forall(bf.mightContain))
+    val fact = Tables.load(spark, sf, "lineitem").select("l_partkey")
+      .collect().map(_.getLong(0))
+    val survivors = fact.count(bf.mightContain)
+    assert(survivors < fact.length / 2,
+      s"bloom shed too little: $survivors of ${fact.length}")
+  }
 }
