@@ -785,4 +785,77 @@ object TextAnalysis {
         ex AS (SELECT w AS word, count(*) AS exact_c FROM tok GROUP BY w)
         SELECT word, exact_c, TRUE AS present_ok, TRUE AS est_ok
         FROM ex ORDER BY exact_c DESC, word LIMIT $HeavyTopN"""
+
+  // ------------------------------------------------------ lexical diversity
+
+  /** Per-source lexical-diversity audit — type-token ratio over words and
+    * over word trigrams, the curation dashboard numbers that catch
+    * template/boilerplate-heavy sources (low trigram diversity at normal
+    * word diversity is the signature of mad-libs spam) before they flood
+    * a training mix. All-integer outputs (counts + ppm ratios via integer
+    * division) ⇒ engine-exact.
+    *
+    * Scale: one explode per granularity into a (source, gram) partial
+    * agg — the distinct counts are two-level hash aggregations (Catalyst
+    * plans count(DISTINCT) as a (source, gram) pre-aggregation, so the
+    * exchange carries unique grams, not token instances). No driver
+    * state; at 100 TB swap countDistinct for approx_count_distinct and
+    * the plan shape is unchanged (the `q_approx_stats` sketch contract).
+    * Output: (source, n_docs, n_tokens, n_types, ttr_ppm, n_trigrams,
+    * n_tri_types, tri_ttr_ppm).
+    */
+  def diversity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("source"), toks(col("text")).as("t"))
+    val words = d.select(col("source"), explode(col("t")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("n_types"))
+    val triArr = when(size(col("t")) >= 3,
+      transform(sequence(lit(1), size(col("t")) - 2), i =>
+        concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val tris = d.select(col("source"), explode(triArr).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_trigrams"), countDistinct("g").as("n_tri_types"))
+    val nDocs = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs
+      .join(words, Seq("source"), "left")
+      .join(tris, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          expr("n_types * 1000000 div n_tokens")).as("ttr_ppm"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_types"), lit(0L)).as("n_tri_types"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          expr("n_tri_types * 1000000 div n_trigrams")).as("tri_ttr_ppm"))
+      .orderBy("source")
+  }
+
+  val diversitySql: String =
+    s"""WITH d AS (SELECT source, $duckToks AS t FROM documents),
+        w AS (SELECT source, unnest(t) AS w FROM d),
+        ws AS (SELECT source, count(*) AS n_tokens,
+                 count(DISTINCT w) AS n_types FROM w GROUP BY source),
+        g AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+              FROM d WHERE len(t) >= 3),
+        gs AS (SELECT source, count(*) AS n_trigrams,
+                 count(DISTINCT g) AS n_tri_types FROM g GROUP BY source),
+        nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        SELECT nd.source, nd.n_docs,
+          coalesce(ws.n_tokens, 0) AS n_tokens,
+          coalesce(ws.n_types, 0) AS n_types,
+          CASE WHEN coalesce(ws.n_tokens, 0) > 0
+            THEN ws.n_types * 1000000 // ws.n_tokens END AS ttr_ppm,
+          coalesce(gs.n_trigrams, 0) AS n_trigrams,
+          coalesce(gs.n_tri_types, 0) AS n_tri_types,
+          CASE WHEN coalesce(gs.n_trigrams, 0) > 0
+            THEN gs.n_tri_types * 1000000 // gs.n_trigrams END AS tri_ttr_ppm
+        FROM nd LEFT JOIN ws ON nd.source = ws.source
+        LEFT JOIN gs ON nd.source = gs.source
+        ORDER BY nd.source"""
 }

@@ -330,6 +330,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).forall(d => !d.isNaN))
   }
 
+  test("matryoshka recall: truncated top-k overlap matches a driver recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topk(q: Long, qv: Array[Double], d: Int): Set[Long] =
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv.take(d), v.take(d))) }
+        .sortBy { case (id, c) => (-c, id) }.take(Similarity.K).map(_._1).toSet
+    val expected = vecs.take(Similarity.KnnQueries).map { case (q, qv) =>
+      val full = topk(q, qv, Similarity.Dim)
+      val hits = (full & topk(q, qv, Similarity.MatDim)).size.toLong
+      (q, Similarity.K.toLong, hits, hits * 1000000L / Similarity.K)
+    }.toSeq
+    val got = Similarity.matryoshkaRecall(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // truncation must lose SOMETHING somewhere or the eval has no signal
+    assert(got.map(_._3).sum < got.map(_._2).sum)
+  }
+
   test("knn recall: ppm math matches a driver recompute from knnJoin output") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))

@@ -106,6 +106,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n3 == 3L && v3(dim("mixed")) >= 2L)
   }
 
+  test("diversity: ttr arithmetic exact on a fixture with short/empty docs") {
+    val dir = writeDocs(Seq(
+      1L -> "a b a b a b",        // 6 tokens, 2 types; 4 trigrams, 2 distinct
+      2L -> "x y",                // adds 2 tokens, 2 types; no trigram (len<3)
+      3L -> ""))                  // counts as a doc, contributes nothing
+    val r = TextAnalysis.diversity(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 3L)                     // n_docs
+    assert(row.getLong(2) == 8L && row.getLong(3) == 4L) // tokens/types
+    assert(row.getLong(4) == 4L * 1000000L / 8L)     // ttr_ppm exact div
+    assert(row.getLong(5) == 4L && row.getLong(6) == 2L) // trigrams: aba/bab x2
+    assert(row.getLong(7) == 2L * 1000000L / 4L)
+  }
+
   test("quality classifier: logit matches driver fold, distills the heuristic") {
     import graft.textanalysis.QualityClassifier
     // exact logit recompute on a crafted doc
