@@ -1165,6 +1165,65 @@ object Dedup {
         FROM t JOIN sv ON t.doc_id = sv.doc_id
         GROUP BY t.source ORDER BY t.source"""
 
+  /** Quality-aware dedup keep policy — within each near-dup cluster keep
+    * the HIGHEST-quality member (ties → lowest doc_id), not the lowest id:
+    * the policy real curation ships, because near-dup clusters routinely
+    * mix a clean original with truncated/boilerplate-wrapped copies and
+    * min-id keeps whichever was crawled first. Composes the
+    * [[nearDupClusters]] labels with the quality score
+    * ([[graft.textanalysis.TextAnalysis.qualityScore]]); docs the scorer
+    * skips (empty token list) rank below every scored doc via a −1
+    * sentinel. Output: full decision table (doc_id, canonical_id,
+    * quality, kept).
+    *
+    * Scale: the argmax window runs over the LABEL table only (clustered
+    * docs ≪ corpus) — never a corpus-wide window; the corpus spine takes
+    * the decisions back via the same guarded broadcast as
+    * [[dedupSurvivors]]. The quality join is one narrow (id, double)
+    * exchange; production fuses the score into the spine scan (it is a
+    * pure projection of the same table).
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.textanalysis.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val labels = nearDupClusters(spark, dir)
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col("qq").desc, col("doc_id"))
+    val dec = labels.join(q, Seq("doc_id"), "left")
+      .withColumn("qq", coalesce(col("quality"), lit(-1.0)))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("canonical_id"), (col("rn") === 1).as("ckept"))
+    val hinted =
+      if (labels.count() <= BroadcastLabelMaxRows) broadcast(dec) else dec
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(hinted, Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+        coalesce(col("quality"), lit(-1.0)).as("quality"),
+        coalesce(col("ckept"), lit(true)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: breaks the Dedup ⇄ TextAnalysis object-init cycle (TextAnalysis
+  // vals already reference nearDupClustersSql)
+  lazy val dedupKeepBestSql: String =
+    s"""WITH cl AS ($nearDupClustersSql),
+        q AS (${graft.textanalysis.TextAnalysis.qualityScoreSql}),
+        dec AS (SELECT cl.doc_id, cl.canonical_id,
+            row_number() OVER (PARTITION BY cl.canonical_id
+              ORDER BY coalesce(q.quality, -1.0) DESC, cl.doc_id) AS rn
+          FROM cl LEFT JOIN q ON q.doc_id = cl.doc_id)
+        SELECT d.doc_id,
+          COALESCE(dec.canonical_id, d.doc_id) AS canonical_id,
+          COALESCE(q.quality, -1.0) AS quality,
+          COALESCE(dec.rn = 1, TRUE) AS kept
+        FROM documents d
+        LEFT JOIN dec ON dec.doc_id = d.doc_id
+        LEFT JOIN q ON q.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
+
   // ------------------------------------------------------------ embedding
 
   val CosineThreshold = 0.4

@@ -376,4 +376,25 @@ class DedupSpec extends SparkSpec {
       .as[(String, String, Long, Boolean)].collect().toList
     assert(out == List(("books", "web", 1L, true), ("web", "web", 1L, false)))
   }
+
+  test("keep-best policy: argmax quality per cluster, singletons kept") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.dedupKeepBest(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().toList
+    // total decision table over the whole spine
+    assert(rows.map(_._1) == rows.map(_._1).sorted && rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (canon, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.size == 1, s"cluster $canon kept ${kept.size}")
+      // the kept member is the (quality desc, doc_id asc) argmax
+      val best = members.sortBy(m => (-m._3, m._1)).head
+      assert(kept.head._1 == best._1)
+      // singleton ⇒ kept must be the doc itself
+      if (members.size == 1) assert(members.head._1 == canon)
+    }
+    // policy differs from min-id somewhere on real data, else no signal
+    val multi = byCluster.filter(_._2.size > 1)
+    assert(multi.nonEmpty)
+  }
 }
