@@ -49,12 +49,24 @@ object Bench {
         Seq("q_dedup_clusters_cold" ->
           timed(graft.dedup.Dedup.nearDupClusters _, "q_dedup_clusters_cold"))
       }
-    val qs = (results ++ cold).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def json(rows: Seq[(String, Double)], total: Double): String = {
+      val qs = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     // total stays the sum over DECLARED queries only — the cold diag
     // row would double-count q_dedup_clusters
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // complete per-query record → file (the full set no longer fits the
+    // round driver's output-tail capture window; the committed artifact
+    // is the official complete record)
+    val full = json(results ++ cold, total)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    // stdout keeps the driver-parseable ONE-LINE contract: top 40 slowest
+    // queries (+ the cold diag row) so the line stays under ~1.2 KB
+    val top = (results ++ cold).sortBy(-_._2).take(40).sortBy(_._1)
+    println(json(top, total))
     spark.stop()
   }
 }

@@ -60,8 +60,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_text_bm25",
       // recall eval's ground truth: the bounded KnnQueries-row (=8)
       // query sample brute-forced over one corpus scan — deliberate,
-      // that's what makes it ground truth
-      "q_knn_recall")
+      // that's what makes it ground truth (matryoshka runs the same
+      // eval twice: full-dim and truncated)
+      "q_knn_recall", "q_embed_matryoshka")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
