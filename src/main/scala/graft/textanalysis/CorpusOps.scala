@@ -1480,4 +1480,95 @@ object CorpusOps {
         SELECT doc_id, source, n_tok, quality, cum_tok, budget,
           cum_tok <= budget AS kept
         FROM r ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- raking
+
+  /** IPF rounds — enough to show marginal convergence on the fixtures;
+    * production runs until a marginal-gap tolerance instead.
+    */
+  val RakeRounds = 3
+
+  /** Corpus mixture raking — iterative proportional fitting (IPF /
+    * Sinkhorn) of the (source × lang) token-mass matrix toward a
+    * LANG-UNIFORM target under the corpus's OWN per-source budgets: each
+    * round scales every cell so lang rows sum to total/L, then rescales
+    * so source columns sum back to their original masses. The answer to
+    * "rebalance my languages without buying more data from any source" —
+    * the multiplier table a weighted sampler ([[corpusMix]] /
+    * `sampleStratified`) then consumes. Neither marginal is exactly
+    * reachable (that is WHY it iterates); [[RakeRounds]] rounds of
+    * alternating projection is the standard practice.
+    *
+    * ALL-INTEGER arithmetic: cells stay BIGINT token masses; each
+    * scaling is one `m · target div marginal` truncating division —
+    * order-independent sums, no float drift, both engines truncate ⇒
+    * engine-exact (the decimal-anchor discipline, taken to integers).
+    * Magnitudes: m ≤ corpus tokens (≤ 2^40 at 100 TB) times a target
+    * ≤ 2^40 overflows; production rescales cells to ppm-of-total first
+    * (same plan), test SFs stay ≪ 2^31 so the direct product is exact.
+    *
+    * Scale: ONE corpus-wide aggregate builds the matrix; the rounds run
+    * over |sources|·|langs| cells — broadcast-sized forever after. Output:
+    * (source, lang, n_tokens, m_rake, w_ppm = rake multiplier in ppm).
+    */
+  def corpusRake(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir)
+      .groupBy("source", "lang")
+      .agg(sum(size(toks(col("text"))).cast("long")).as("m0"))
+    val scalars = broadcast(cells.agg(
+      expr("sum(m0) div count(DISTINCT lang)").as("tl")))
+    val srcTargets = cells.groupBy("source").agg(sum("m0").as("cs0"))
+    val after = (1 to RakeRounds).foldLeft(cells.withColumn("m", col("m0"))) {
+      (d, _) =>
+        val rowScaled = d
+          .withColumn("rs", sum("m").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+          .crossJoin(scalars)
+          .withColumn("m",
+            when(col("rs") > 0, expr("m * tl div rs")).otherwise(col("m")))
+          .drop("rs", "tl")
+        rowScaled
+          .withColumn("ss", sum("m").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .join(srcTargets, "source")
+          .withColumn("m",
+            when(col("ss") > 0, expr("m * cs0 div ss")).otherwise(col("m")))
+          .drop("ss", "cs0")
+    }
+    after.select(col("source"), col("lang"), col("m0").as("n_tokens"),
+        col("m").as("m_rake"),
+        when(col("m0") > 0, expr("m * 1000000 div m0")).as("w_ppm"))
+      .orderBy("source", "lang")
+  }
+
+  val corpusRakeSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""ra$i AS (SELECT c.source, c.lang, c.m0,
+            CAST(CASE WHEN rs.rs > 0 THEN c.m * t.tl // rs.rs
+                 ELSE c.m END AS BIGINT) AS m
+          FROM $prev c
+          JOIN (SELECT lang, sum(m) AS rs FROM $prev GROUP BY lang) rs
+            ON c.lang = rs.lang, t),
+        rb$i AS (SELECT c.source, c.lang, c.m0,
+            CAST(CASE WHEN ss.ss > 0 THEN c.m * s0.cs0 // ss.ss
+                 ELSE c.m END AS BIGINT) AS m
+          FROM ra$i c
+          JOIN (SELECT source, sum(m) AS ss FROM ra$i GROUP BY source) ss
+            ON c.source = ss.source
+          JOIN s0 ON c.source = s0.source)"""
+    val rounds = (1 to RakeRounds)
+      .map(i => round(i, if (i == 1) "c1" else s"rb${i - 1}")).mkString(",\n")
+    s"""WITH c0 AS (SELECT source, lang,
+            CAST(sum(len($duckToks)) AS BIGINT) AS m0
+          FROM documents GROUP BY source, lang),
+        c1 AS (SELECT source, lang, m0, m0 AS m FROM c0),
+        t AS (SELECT CAST(sum(m0) // count(DISTINCT lang) AS BIGINT) AS tl
+              FROM c0),
+        s0 AS (SELECT source, CAST(sum(m0) AS BIGINT) AS cs0
+               FROM c0 GROUP BY source),
+        $rounds
+        SELECT source, lang, m0 AS n_tokens, m AS m_rake,
+          CAST(CASE WHEN m0 > 0 THEN m * 1000000 // m0 END AS BIGINT) AS w_ppm
+        FROM rb$RakeRounds ORDER BY source, lang"""
+  }
 }

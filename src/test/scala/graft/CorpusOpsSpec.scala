@@ -531,6 +531,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byDoc(2L).map(_._5).takeRight(rest.size) == rest)
   }
 
+  test("corpus rake: integer IPF matches driver replay and tightens lang gap") {
+    val sf = "/root/testdata/sf0.001"
+    val got = CorpusOps.corpusRake(spark, sf)
+      .as[(String, String, Long, Long, Option[Long])].collect().toList
+    // driver replay of the exact integer IPF
+    var m = got.map(r => (r._1, r._2) -> r._3).toMap
+    val m0 = m
+    val langs = got.map(_._2).distinct
+    val sources = got.map(_._1).distinct
+    val total = m0.values.sum
+    val tl = total / langs.size
+    val cs0 = sources.map(s => s -> m0.filter(_._1._1 == s).values.sum).toMap
+    for (_ <- 1 to CorpusOps.RakeRounds) {
+      val rs = langs.map(l => l -> m.filter(_._1._2 == l).values.sum).toMap
+      m = m.map { case ((s, l), v) =>
+        (s, l) -> (if (rs(l) > 0) v * tl / rs(l) else v) }
+      val ss = sources.map(s => s -> m.filter(_._1._1 == s).values.sum).toMap
+      m = m.map { case ((s, l), v) =>
+        (s, l) -> (if (ss(s) > 0) v * cs0(s) / ss(s) else v) }
+    }
+    got.foreach { case (s, l, n0, mr, w) =>
+      assert(mr == m((s, l)), s"cell ($s,$l)")
+      assert(n0 == m0((s, l)))
+      assert(w == (if (n0 > 0) Some(mr * 1000000L / n0) else None))
+    }
+    // lang marginals end closer to uniform than they started
+    def gap(cells: Map[(String, String), Long]): Long =
+      langs.map(l => math.abs(cells.filter(_._1._2 == l).values.sum - tl)).max
+    assert(gap(m) < gap(m0), s"raking did not tighten: ${gap(m0)} -> ${gap(m)}")
+    // source budgets respected up to truncation loss (never exceeded much)
+    sources.foreach { s =>
+      val after = m.filter(_._1._1 == s).values.sum
+      assert(after <= cs0(s), s"source $s exceeded budget")
+    }
+  }
+
   test("signal correlation: per-source spearman matches a driver recompute") {
     val sf = "/root/testdata/sf0.001"
     def avgRanks(v: Seq[Double]): Seq[Double] = {

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
       // query sample brute-forced over one corpus scan — deliberate,
       // that's what makes it ground truth (matryoshka runs the same
       // eval twice: full-dim and truncated)
-      "q_knn_recall", "q_embed_matryoshka")
+      "q_knn_recall", "q_embed_matryoshka",
+      // the one-row total/L target scalar riding the |sources|·|langs|
+      // cell matrix each IPF round
+      "q_corpus_rake")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
