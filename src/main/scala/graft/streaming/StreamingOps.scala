@@ -247,6 +247,60 @@ object StreamingOps {
           AND c.cts > v.vts AND c.cts - v.vts <= $AttribWindowUs
         ORDER BY v.user_id, view_id, click_id"""
 
+  /** First-touch attribution WITH the unconverted remainder — each view
+    * paired with its EARLIEST in-window click (ties → lowest click_id),
+    * and views no click followed kept as explicit null rows: the
+    * conversion-funnel table ([[attributionBatch]] is the all-pairs
+    * variant; analytics almost always wants first-touch + the
+    * didn't-convert denominator). Same bucketized range join (bounded
+    * groups under skew), then a per-view min-struct aggregate — the
+    * argmin shape, no window over the full pair list — and one left
+    * join back onto the view spine. Output: (user_id, view_id,
+    * click_id?, dt_us?, converted).
+    */
+  def attributionFirstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr(s"(ts_ns div 1000) div $AttribWindowUs").as("bucket"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_us").as("vts"), col("bucket"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("cts"),
+        explode(array(col("bucket") - 1, col("bucket"))).as("bucket"))
+    val first = v.join(c, Seq("user_id", "bucket"))
+      .where(col("cts") > col("vts") &&
+        col("cts") - col("vts") <= AttribWindowUs)
+      .groupBy("user_id", "view_id")
+      .agg(min(struct((col("cts") - col("vts")).as("dt_us"),
+        col("click_id"))).as("f"))
+    v.select("user_id", "view_id")
+      .join(first, Seq("user_id", "view_id"), "left")
+      .select(col("user_id"), col("view_id"),
+        col("f.click_id").as("click_id"), col("f.dt_us").as("dt_us"),
+        col("f").isNotNull.as("converted"))
+      .orderBy("user_id", "view_id")
+  }
+
+  val attributionFirstTouchSql: String =
+    s"""WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+          FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
+          FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, view_id, click_id, dt_us FROM (
+            SELECT v.user_id, v.view_id, c.click_id, c.cts - v.vts AS dt_us,
+              row_number() OVER (PARTITION BY v.user_id, v.view_id
+                ORDER BY c.cts - v.vts, c.click_id) AS rn
+            FROM v JOIN c ON v.user_id = c.user_id
+              AND c.cts > v.vts AND c.cts - v.vts <= $AttribWindowUs)
+          WHERE rn = 1)
+        SELECT v.user_id, v.view_id, p.click_id, p.dt_us,
+          p.click_id IS NOT NULL AS converted
+        FROM v LEFT JOIN p ON v.user_id = p.user_id AND v.view_id = p.view_id
+        ORDER BY v.user_id, v.view_id"""
+
   // --------------------------------------------------- streaming graphs
 
   /** File-source stream: tail a directory of parquet drops (the batch →
@@ -318,6 +372,24 @@ object StreamingOps {
       .join(c.withWatermark("cts", "2 hours"),
         expr("""v_user = c_user AND
                 cts > vts AND cts <= vts + INTERVAL 1 HOUR"""))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("dt_us"))
+
+  /** LEFT-OUTER stream-stream attribution — [[attributionStream]] plus
+    * the unconverted views as null-click rows. Outer rows cannot emit
+    * eagerly (a matching click may still arrive): Spark holds each view
+    * in state until BOTH watermarks clear its join window, then emits it
+    * with nulls — so the unmatched side arrives exactly once, late by
+    * the watermark delay, the documented cost of outer semantics on
+    * streams. State stays bounded by the same watermark that bounds the
+    * inner join's.
+    */
+  def attributionStreamOuter(v: DataFrame, c: DataFrame): DataFrame =
+    v.withWatermark("vts", "2 hours")
+      .join(c.withWatermark("cts", "2 hours"),
+        expr("""v_user = c_user AND
+                cts > vts AND cts <= vts + INTERVAL 1 HOUR"""),
+        "left_outer")
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
         (unix_micros(col("cts")) - unix_micros(col("vts"))).as("dt_us"))
 

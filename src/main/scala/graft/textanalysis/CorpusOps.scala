@@ -1481,6 +1481,59 @@ object CorpusOps {
           cum_tok <= budget AS kept
         FROM r ORDER BY doc_id"""
 
+  /** CDC storage-dedup audit — what content-defined chunking actually
+    * buys: chunk every document ([[cdcChunks]]), keep the corpus-wide
+    * FIRST instance of each chunk hash (ordered by doc_id, chunk_idx),
+    * and report per source how many chunk instances / tokens the dedup
+    * store would NOT have to keep again. This is the chunk-level twin of
+    * [[graft.dedup.Dedup]]'s document-level operators — it catches
+    * shifted/partial duplication that whole-doc digests miss, at
+    * sub-document granularity paragraph dedup can't reach.
+    *
+    * Scale: the first-instance decision is one window over chunk_hash
+    * (8-byte shuffle key; group size = instances of one chunk, bounded
+    * by true duplication); the per-source rollup is a second narrow agg.
+    * Output: (source, n_chunks, n_dup_chunks, chunk_tokens, dup_tokens,
+    * dup_ppm).
+    */
+  def cdcDedupAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    cdcChunks(spark, dir)
+      .withColumn("inst", row_number().over(w))
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("inst") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_tok")).as("chunk_tokens"),
+        sum(when(col("inst") > 1, col("n_tok")).otherwise(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_chunks"), col("n_dup_chunks"),
+        col("chunk_tokens"), col("dup_tokens"),
+        when(col("chunk_tokens") > 0,
+          expr("dup_tokens * 1000000 div chunk_tokens")).as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  lazy val cdcDedupAuditSql: String =
+    s"""WITH ch AS ($cdcChunksSql),
+        inst AS (SELECT doc_id, chunk_idx, n_tok, chunk_hash,
+            row_number() OVER (PARTITION BY chunk_hash
+              ORDER BY doc_id, chunk_idx) AS inst
+          FROM ch)
+        SELECT d.source,
+          count(*) AS n_chunks,
+          CAST(sum(CASE WHEN inst.inst > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_chunks,
+          CAST(sum(inst.n_tok) AS BIGINT) AS chunk_tokens,
+          CAST(sum(CASE WHEN inst.inst > 1 THEN inst.n_tok ELSE 0 END)
+            AS BIGINT) AS dup_tokens,
+          CAST(CASE WHEN sum(inst.n_tok) > 0
+            THEN sum(CASE WHEN inst.inst > 1 THEN inst.n_tok ELSE 0 END)
+              * 1000000 // sum(inst.n_tok) END AS BIGINT) AS dup_ppm
+        FROM inst JOIN documents d ON inst.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source"""
+
   // --------------------------------------------------------------- raking
 
   /** IPF rounds — enough to show marginal convergence on the fixtures;

@@ -531,6 +531,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byDoc(2L).map(_._5).takeRight(rest.size) == rest)
   }
 
+  test("cdc dedup audit: verbatim copy's chunks all dedup, unique doc's don't") {
+    val base = (0 until 200).map(i => s"w${(i * 7919) % 997}").mkString(" ")
+    val uniq = (0 until 200).map(i => s"u${(i * 104729) % 997}").mkString(" ")
+    val dirA = writeDocs(Seq(1L -> base, 2L -> base, 3L -> uniq))
+    val rows = CorpusOps.cdcDedupAudit(spark, dirA)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toList
+    assert(rows.length == 1)
+    val (_, nChunks, nDup, toks, dupToks, ppm) = rows.head
+    // doc 2 is a byte-copy of doc 1: exactly its chunk instances are dups
+    val perDoc = CorpusOps.cdcChunks(spark, dirA)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(nDup == perDoc(2L))
+    assert(nChunks == perDoc.values.sum)
+    assert(dupToks == 200L)            // all of doc 2's tokens are re-kept
+    assert(toks == 600L && ppm == Some(200L * 1000000L / 600L))
+  }
+
   test("corpus rake: integer IPF matches driver replay and tightens lang gap") {
     val sf = "/root/testdata/sf0.001"
     val got = CorpusOps.corpusRake(spark, sf)

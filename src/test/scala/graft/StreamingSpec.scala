@@ -230,6 +230,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream attribution emits unmatched views after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val views = vMem.toDF().toDF("v_user", "view_id", "vts")
+    val clicks = cMem.toDF().toDF("c_user", "click_id", "cts")
+    val q = StreamingOps.attributionStreamOuter(views, clicks).writeStream
+      .format("memory").queryName("attrib_outer").outputMode("append").start()
+    try {
+      // user 1 converts (click in window); user 3's view has NO click
+      vMem.addData((1L, 10L, ts(120)), (3L, 11L, ts(125)))
+      cMem.addData((1L, 20L, ts(150)))
+      q.processAllAvailable()
+      // push both watermarks far past view 11's join window so the
+      // outer row flushes (2 h delay + 1 h window)
+      vMem.addData((9L, 90L, ts(600)))
+      cMem.addData((9L, 91L, ts(601)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer")
+        .select("user_id", "view_id", "click_id", "dt_us")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(got.contains((1L, 10L, Some(20L), Some(30L * 60000000L))))
+      assert(got.contains((3L, 11L, None, None)),
+        s"unmatched view did not flush: $got")
+    } finally q.stop()
+  }
+
   test("batch attribution matches the streaming join's range semantics") {
     // the bucketized batch plan and a direct range join must agree —
     // pins that bucket-edge pairs (view and click in adjacent cells) and
