@@ -68,6 +68,80 @@ object Multimodal {
     }
   }
 
+  /** Fail-safe decode — a real media decoder THROWS on truncated headers
+    * and codec quirks, and at 100 TB some payloads always are corrupt;
+    * production quarantines them into an error channel instead of
+    * killing the stage. The stub fails deterministically (empty payload,
+    * or md5-hash ≡ 0 mod 17 standing in for "corrupt header", ~6% of
+    * blobs) so the quarantine path is exercised and oracle-checkable.
+    */
+  object StubDecoderSafe {
+    def decodeSafe(b: MediaBlob): Either[String, MediaMeta] =
+      if (b.content.isEmpty) Left("empty_payload")
+      else if (StubDecoder.h48(b.content) % 17 == 0) Left("corrupt_header")
+      else Right(StubDecoder.decode(b))
+  }
+
+  /** Per-blob decode outcome; `reason` is null on success. */
+  final case class DecodeStatus(doc_id: Long, ok: Boolean, reason: String)
+
+  def decodeStatus(blobs: Dataset[MediaBlob]): Dataset[DecodeStatus] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        StubDecoderSafe.decodeSafe(b) match {
+          case Left(r)  => DecodeStatus(b.doc_id, ok = false, r)
+          case Right(_) => DecodeStatus(b.doc_id, ok = true, null)
+        }
+      }
+    }
+  }
+
+  /** Decode-health dashboard: per source, blob counts, failures by
+    * reason, and the failure rate — the quarantine report a media-ingest
+    * run ships next to its output. Status rows carry only (id, flag,
+    * reason); the source label joins on after decode so the decode scan
+    * itself stays two-column. Output: (source, n_blobs, n_failed,
+    * n_empty, n_corrupt, fail_ppm).
+    */
+  def decodeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    decodeStatus(blobs(spark, dir)).toDF()
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_failed"),
+        sum(when(col("reason") === "empty_payload", 1L).otherwise(0L))
+          .as("n_empty"),
+        sum(when(col("reason") === "corrupt_header", 1L).otherwise(0L))
+          .as("n_corrupt"))
+      .select(col("source"), col("n_blobs"), col("n_failed"),
+        col("n_empty"), col("n_corrupt"),
+        expr("n_failed * 1000000 div n_blobs").as("fail_ppm"))
+      .orderBy("source")
+  }
+
+  val decodeAuditSql: String =
+    """WITH b AS (SELECT doc_id, source,
+              octet_length(encode(text)) AS n,
+              ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+            FROM documents),
+        s AS (SELECT source,
+              CASE WHEN n = 0 THEN 'empty_payload'
+                   WHEN h % 17 = 0 THEN 'corrupt_header' END AS reason
+            FROM b)
+        SELECT source, count(*) AS n_blobs,
+          CAST(sum(CASE WHEN reason IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_failed,
+          CAST(sum(CASE WHEN reason = 'empty_payload' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+          CAST(sum(CASE WHEN reason = 'corrupt_header' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrupt,
+          CAST(sum(CASE WHEN reason IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS fail_ppm
+        FROM s GROUP BY source ORDER BY source"""
+
   /** documents → binary payload column (the multimodal schema shape:
     * id + `binary` + metadata columns).
     */

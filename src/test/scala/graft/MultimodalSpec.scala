@@ -51,4 +51,26 @@ class MultimodalSpec extends SparkSpec {
       assert(java.util.Arrays.equals(b.content, docs(b.doc_id).getBytes("UTF-8")))
     }
   }
+
+  test("fail-safe decode: quarantine matches the deterministic failure rule") {
+    val blobs = Multimodal.blobs(spark, sf)
+    val st = Multimodal.decodeStatus(blobs).collect().map(s => s.doc_id -> s).toMap
+    val direct = blobs.collect()
+    assert(st.size == direct.length)
+    direct.foreach { b =>
+      val s = st(b.doc_id)
+      if (b.content.isEmpty)
+        assert(!s.ok && s.reason == "empty_payload")
+      else if (StubDecoder.h48(b.content) % 17 == 0)
+        assert(!s.ok && s.reason == "corrupt_header")
+      else assert(s.ok && s.reason == null)
+    }
+    // the rule actually fires on real data (~6%) but never dominates
+    val failed = st.values.count(!_.ok)
+    assert(failed > 0 && failed < st.size / 4, s"failed=$failed")
+    // audit rollup ties out with the raw statuses
+    val audit = Multimodal.decodeAudit(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(audit == ((st.size.toLong, failed.toLong)))
+  }
 }
