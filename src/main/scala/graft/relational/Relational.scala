@@ -706,6 +706,59 @@ object Relational {
     * gapfill aggregate the whole detector is one narrow pass.
     * Output: anomalous hours only (event_type, hour_sec, n, z).
     */
+  /** Event-time disorder audit — the measurement that SETS a stream's
+    * watermark delay instead of guessing it: per type, how far events
+    * arrive behind the running event-time high-water mark (arrival order
+    * = event_id, the ingest sequence in this table). disorder(i) =
+    * runningMax(ts) − ts(i); its p99 is the watermark delay that loses
+    * <1% of events to lateness, and max is the loss-free bound. The
+    * streaming surface ([[graft.streaming.StreamingOps]]) consumes the
+    * number; this batch audit produces it, re-runnable per source/day.
+    *
+    * One per-type window (running max over arrival order — no global
+    * sort) then a per-type aggregate; interpolated percentiles match
+    * DuckDB's quantile_cont over the same exact integer µs values.
+    * Output: (event_type, n_events, n_late, late_ppm, max_disorder_us,
+    * p50_us, p95_us, p99_us).
+    */
+  def eventsDisorder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("disorder_us", max("ts_us").over(w) - col("ts_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("disorder_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max("disorder_us").as("max_disorder_us"),
+        percentile(col("disorder_us"), lit(0.5)).as("p50_us"),
+        percentile(col("disorder_us"), lit(0.95)).as("p95_us"),
+        percentile(col("disorder_us"), lit(0.99)).as("p99_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        expr("n_late * 1000000 div n_events").as("late_ppm"),
+        col("max_disorder_us"), col("p50_us"), col("p95_us"), col("p99_us"))
+      .orderBy("event_type")
+  }
+
+  val eventsDisorderSql: String =
+    """WITH d AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+          max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - epoch_us(ts) AS disorder_us
+        FROM events)
+       SELECT event_type, count(*) AS n_events,
+         CAST(sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+         CAST(sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) * 1000000
+           // count(*) AS BIGINT) AS late_ppm,
+         max(disorder_us) AS max_disorder_us,
+         quantile_cont(disorder_us, 0.5) AS p50_us,
+         quantile_cont(disorder_us, 0.95) AS p95_us,
+         quantile_cont(disorder_us, 0.99) AS p99_us
+       FROM d GROUP BY event_type ORDER BY event_type"""
+
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val g = eventsGapfill(spark, dir)
     val nDec = col("n").cast("decimal(19,0)")

@@ -26,6 +26,25 @@ class RelationalSpec extends SparkSpec {
       s"(n_users, n_viewed, n_clicked, n_converted) was $got")
   }
 
+  test("events disorder: running-high-water lag and percentiles, hand-checked") {
+    val dir = java.nio.file.Files.createTempDirectory("disorder").toString
+    // arrival order = event_id; ts_us stream 10,20,15,30,5,30 →
+    // disorder 0,0,5,0,25,0
+    Seq((1L, 10L), (2L, 20L), (3L, 15L), (4L, 30L), (5L, 5L), (6L, 30L))
+      .map { case (id, us) => (id, us * 1000L, "a") }
+      .toDF("event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Relational.eventsDisorder(spark, dir).collect().head
+    assert(r.getString(0) == "a")
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L)          // n, n_late
+    assert(r.getLong(3) == 2L * 1000000L / 6L)                // late_ppm
+    assert(r.getLong(4) == 25L)                               // max
+    // sorted disorder [0,0,0,0,5,25]: p50=0, p95=20, p99≈24 (interpolated
+    // as lower + (upper−lower)·frac — assert the same IEEE expression)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 20.0)
+    assert(math.abs(r.getDouble(7) - 24.0) < 1e-9)
+  }
+
   private def writeEvents(rows: Seq[(Long, Long, String, Double)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("relevents").toString
     rows.toDF("ts", "user_id", "event_type", "value")
