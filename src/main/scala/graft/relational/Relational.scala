@@ -706,6 +706,38 @@ object Relational {
     * gapfill aggregate the whole detector is one narrow pass.
     * Output: anomalous hours only (event_type, hour_sec, n, z).
     */
+  /** SCD type-2 interval construction — turn a keyed change stream
+    * (here: each customer's orders as successive "versions") into the
+    * slowly-changing-dimension shape warehouses join against:
+    * [valid_from, valid_to) intervals per key with the open current row
+    * flagged. One lead() window per key — no self-join, no global sort;
+    * at 100 TB the window partitions by the dimension key exactly like
+    * the sessionization family. Output: (o_custkey, o_orderkey,
+    * o_totalprice, valid_from, valid_to, is_current).
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  val scd2IntervalsSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS valid_to,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+       FROM orders
+       ORDER BY o_custkey, valid_from, o_orderkey"""
+
   /** Event-time disorder audit — the measurement that SETS a stream's
     * watermark delay instead of guessing it: per type, how far events
     * arrive behind the running event-time high-water mark (arrival order

@@ -62,7 +62,7 @@ class PlanAuditSpec extends SparkSpec {
       // query sample brute-forced over one corpus scan — deliberate,
       // that's what makes it ground truth (matryoshka runs the same
       // eval twice: full-dim and truncated)
-      "q_knn_recall", "q_embed_matryoshka",
+      "q_knn_recall", "q_embed_matryoshka", "q_hard_negatives",
       // the one-row total/L target scalar riding the |sources|·|langs|
       // cell matrix each IPF round
       "q_corpus_rake")

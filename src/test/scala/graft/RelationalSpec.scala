@@ -1,6 +1,7 @@
 package graft
 
 import graft.relational.Relational
+import org.apache.spark.sql.functions.col
 
 /** Unit fixtures for relational operators whose semantics the oracle gate
   * exercises only statistically — here the funnel's strictly-after
@@ -43,6 +44,25 @@ class RelationalSpec extends SparkSpec {
     // as lower + (upper−lower)·frac — assert the same IEEE expression)
     assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 20.0)
     assert(math.abs(r.getDouble(7) - 24.0) < 1e-9)
+  }
+
+  test("scd2: intervals tile each key's history, exactly one open row") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Relational.scd2Intervals(spark, sf)
+      .select(col("o_custkey"),
+        org.apache.spark.sql.functions.expr("unix_micros(cast(valid_from as timestamp))"),
+        org.apache.spark.sql.functions.expr("unix_micros(cast(valid_to as timestamp))"),
+        col("is_current"))
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (ck, h) =>
+      val hist = h.sortBy(r => (r._2, r._3.getOrElse(Long.MaxValue)))
+      assert(hist.count(_._4) == 1, s"cust $ck open rows != 1")
+      assert(hist.last._3.isEmpty && hist.last._4)
+      hist.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2), s"cust $ck gap")
+        case _ =>
+      }
+    }
   }
 
   private def writeEvents(rows: Seq[(Long, Long, String, Double)]): String = {

@@ -330,6 +330,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).forall(d => !d.isNaN))
   }
 
+  test("hard negatives: banded top-k matches a driver recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.take(Similarity.KnnQueries).flatMap { case (q, qv) =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .filter { case (_, c) =>
+          c >= Similarity.NegBandLo && c < Similarity.NegBandHi }
+        .sortBy { case (id, c) => (-c, id) }.take(Similarity.K)
+        .zipWithIndex.map { case ((id, c), i) => (q, id, i + 1) }
+    }.toSeq
+    val got = Similarity.hardNegatives(spark, sf)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect().toSeq
+    assert(got == expected)
+    // every mined negative is inside the band
+    Similarity.hardNegatives(spark, sf).select("cosine").as[Double].collect()
+      .foreach(c => assert(c >= Similarity.NegBandLo && c < Similarity.NegBandHi))
+  }
+
   test("matryoshka recall: truncated top-k overlap matches a driver recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
