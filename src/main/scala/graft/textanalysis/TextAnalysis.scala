@@ -786,6 +786,43 @@ object TextAnalysis {
         SELECT word, exact_c, TRUE AS present_ok, TRUE AS est_ok
         FROM ex ORDER BY exact_c DESC, word LIMIT $HeavyTopN"""
 
+  /** Per-source quality calibration — map each doc's raw quality score to
+    * its PERCENTILE WITHIN ITS SOURCE (ppm): raw scores are not
+    * comparable across sources (each crawl has its own length/stopword
+    * distribution, so a global threshold over-filters one source and
+    * under-filters another); rank-normalizing per source is the standard
+    * fix before a corpus-wide gate. pr_ppm = (rank−1)·10⁶ div (n−1)
+    * (dense ties broken by doc_id ⇒ deterministic; single-doc sources
+    * pin to 0) — all-integer, engine-exact. One per-source window, no
+    * global sort. Output: (doc_id, source, quality, pr_ppm).
+    */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    val n = Window.partitionBy("source")
+    qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+      .join(src, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .select(col("doc_id"), col("source"), col("quality"),
+        when(col("n") > 1, expr("(rk - 1) * 1000000 div (n - 1)"))
+          .otherwise(lit(0L)).as("pr_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val qualityCalibratedSql: String =
+    s"""WITH q AS ($qualityScoreSql),
+        j AS (SELECT q.doc_id, d.source, q.quality,
+            row_number() OVER (PARTITION BY d.source
+              ORDER BY q.quality, q.doc_id) AS rk,
+            count(*) OVER (PARTITION BY d.source) AS n
+          FROM q JOIN documents d ON q.doc_id = d.doc_id)
+        SELECT doc_id, source, quality,
+          CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+               ELSE 0 END AS BIGINT) AS pr_ppm
+        FROM j ORDER BY doc_id"""
+
   // ------------------------------------------------------ lexical diversity
 
   /** Per-source lexical-diversity audit — type-token ratio over words and

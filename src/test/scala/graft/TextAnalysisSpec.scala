@@ -106,6 +106,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n3 == 3L && v3(dim("mixed")) >= 2L)
   }
 
+  test("quality calibration: per-source percentile ranks, ends pinned") {
+    val rows = TextAnalysis.qualityCalibrated(spark, sf)
+      .as[(Long, String, Double, Long)].collect()
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(d => (d._3, d._1))
+      // rank order follows (quality, doc_id); ends pinned to 0 and 1e6
+      assert(sorted.head._4 == 0L)
+      if (docs.length > 1) assert(sorted.last._4 == 1000000L)
+      sorted.zipWithIndex.foreach { case ((_, _, _, ppm), i) =>
+        val exp = if (docs.length > 1) i.toLong * 1000000L / (docs.length - 1) else 0L
+        assert(ppm == exp)
+      }
+    }
+  }
+
   test("diversity: ttr arithmetic exact on a fixture with short/empty docs") {
     val dir = writeDocs(Seq(
       1L -> "a b a b a b",        // 6 tokens, 2 types; 4 trigrams, 2 distinct
