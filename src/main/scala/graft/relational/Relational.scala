@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 import graft.model.Tables
+import graft.streaming.StreamingOps
 
 /** General relational operator coverage over the TPC-H-ish test tables —
   * the capability delta mandated by SURVEY.md §2 row 22 (the reference has
@@ -706,6 +707,74 @@ object Relational {
     * gapfill aggregate the whole detector is one narrow pass.
     * Output: anomalous hours only (event_type, hour_sec, n, z).
     */
+  /** CEP negation pattern — "view, then purchase within 1 h, with NO
+    * error in between": the complex-event shape funnels don't cover
+    * (funnels count stage sequences; real alerting/attribution needs the
+    * ABSENCE of an interfering event). Computed in ONE window pass per
+    * user — for every event, the earliest following purchase (min-struct
+    * argmin over (ts, id), ties to the lowest id) and earliest following
+    * error ride two running-min-from-the-right windows; view rows then
+    * classify themselves row-locally. No self-join, no per-pattern scan;
+    * at 100 TB this is a per-user-partitioned window like the
+    * sessionization family, and adding pattern steps adds columns, not
+    * passes. "Following" is in strict (ts, event_id) order; an error at
+    * exactly the purchase timestamp does NOT break the pattern (strictly
+    * between). Output: (user_id, view_id, purchase_id?, dt_us?,
+    * converted, clean).
+    */
+  def eventsCep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val conv = col("np").isNotNull &&
+      col("np.ts_us") - col("ts_us") <= StreamingOps.AttribWindowUs
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("np", min(when(col("event_type") === "purchase",
+        struct(col("ts_us"), col("event_id")))).over(w))
+      .withColumn("ne_ts",
+        min(when(col("event_type") === "error", col("ts_us"))).over(w))
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        when(conv, col("np.event_id")).as("purchase_id"),
+        when(conv, col("np.ts_us") - col("ts_us")).as("dt_us"),
+        conv.as("converted"),
+        (conv && (col("ne_ts").isNull || col("ne_ts") >= col("np.ts_us")))
+          .as("clean"))
+      .orderBy("user_id", "view_id")
+  }
+
+  val eventsCepSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        w AS (SELECT user_id, event_id, event_type, ts_us,
+            min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+              OVER nxt AS np_ts,
+            min(CASE WHEN event_type = 'error' THEN ts_us END)
+              OVER nxt AS ne_ts
+          FROM e WINDOW nxt AS (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        v AS (SELECT user_id, event_id AS view_id, ts_us AS vts,
+            np_ts, ne_ts,
+            np_ts IS NOT NULL
+              AND np_ts - ts_us <= ${StreamingOps.AttribWindowUs} AS conv
+          FROM w WHERE event_type = 'view'),
+        pid AS (SELECT v.user_id, v.view_id, min(p.event_id) AS purchase_id
+          FROM v JOIN e p ON p.user_id = v.user_id
+            AND p.event_type = 'purchase' AND p.ts_us = v.np_ts
+            AND (p.ts_us > v.vts OR p.event_id > v.view_id)
+          GROUP BY v.user_id, v.view_id)
+        SELECT v.user_id, v.view_id,
+          CASE WHEN conv THEN pid.purchase_id END AS purchase_id,
+          CASE WHEN conv THEN v.np_ts - v.vts END AS dt_us,
+          conv AS converted,
+          conv AND (ne_ts IS NULL OR ne_ts >= np_ts) AS clean
+        FROM v LEFT JOIN pid ON v.user_id = pid.user_id
+          AND v.view_id = pid.view_id
+        ORDER BY v.user_id, v.view_id"""
+
   /** SCD type-2 interval construction — turn a keyed change stream
     * (here: each customer's orders as successive "versions") into the
     * slowly-changing-dimension shape warehouses join against:

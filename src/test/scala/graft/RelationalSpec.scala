@@ -46,6 +46,33 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - 24.0) < 1e-9)
   }
 
+  test("cep negation: error strictly between view and purchase breaks clean") {
+    val dir = java.nio.file.Files.createTempDirectory("cep").toString
+    val H = graft.streaming.StreamingOps.AttribWindowUs
+    // u1: view→purchase in window, no error → clean
+    // u2: view→ERROR→purchase in window → converted, not clean
+    // u3: view→purchase with error AT purchase ts → clean (strictly between)
+    // u4: error BEFORE view, then purchase → clean (only following errors count)
+    // u5: purchase beyond window → not converted
+    Seq(
+      (1L, 10L, "view", 100L), (1L, 11L, "purchase", 200L),
+      (2L, 20L, "view", 100L), (2L, 21L, "error", 150L), (2L, 22L, "purchase", 200L),
+      (3L, 30L, "view", 100L), (3L, 31L, "error", 200L), (3L, 32L, "purchase", 200L),
+      (4L, 40L, "error", 50L), (4L, 41L, "view", 100L), (4L, 42L, "purchase", 200L),
+      (5L, 50L, "view", 100L), (5L, 51L, "purchase", 100L + H + 1L))
+      .map { case (u, id, t, us) => (id, us * 1000L, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.eventsCep(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10L, Some(11L), Some(100L), true, true)))
+    assert(got(2L) == ((2L, 20L, Some(22L), Some(100L), true, false)))
+    assert(got(3L) == ((3L, 30L, Some(32L), Some(100L), true, true)))
+    assert(got(4L) == ((4L, 41L, Some(42L), Some(100L), true, true)))
+    assert(got(5L) == ((5L, 50L, None, None, false, false)))
+  }
+
   test("scd2: intervals tile each key's history, exactly one open row") {
     val sf = "/root/testdata/sf0.001"
     val rows = Relational.scd2Intervals(spark, sf)
