@@ -149,4 +149,58 @@ class PropertiesSpec extends SparkSpec {
         assert(cont.contains(k), s"$k j=$j missing from containment")
     }
   }
+
+  test("cdc chunks tile arbitrary generated corpora exactly") {
+    val word = Gen.oneOf((1 to 40).map(i => s"w$i"))
+    val docGen = Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = Gen.listOfN(50, docGen).sample.get
+    val dir = writeDocs(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, source = "gen")
+    val lens = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> t.split("\\s+").count(_.nonEmpty) }.toMap
+    val chunks = graft.textanalysis.CorpusOps.cdcChunks(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (d, cs) => d -> cs.sortBy(_._2) }
+    for ((doc, n) <- lens if n > 0) {
+      val cs = chunks(doc)
+      assert(cs.head._3 == 1L, s"doc $doc first chunk start")
+      assert(cs.map(_._4).sum == n, s"doc $doc coverage")
+      assert(cs.map(_._4).forall(_ > 0), s"doc $doc empty chunk")
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + a._4, s"doc $doc spans must abut")
+          assert(b._2 == a._2 + 1, s"doc $doc chunk_idx dense")
+        case _ =>
+      }
+    }
+  }
+
+  test("integer IPF: budgets never exceeded, masses non-negative, on random matrices") {
+    // pure driver-side replay of the corpusRake arithmetic over random
+    // integer matrices — the algebraic invariants must hold for ANY input,
+    // not just the synthetic corpus
+    val cellGen = Gen.chooseNum(0L, 1000000L)
+    for (_ <- 1 to 20) {
+      val nS = Gen.chooseNum(1, 6).sample.get
+      val nL = Gen.chooseNum(1, 5).sample.get
+      val m0 = Array.fill(nS, nL)(cellGen.sample.get)
+      val total = m0.map(_.sum).sum
+      val tl = total / nL
+      val cs0 = m0.map(_.sum)
+      var m = m0.map(_.clone())
+      for (_ <- 1 to graft.textanalysis.CorpusOps.RakeRounds) {
+        val rs = (0 until nL).map(l => (0 until nS).map(s => m(s)(l)).sum)
+        for (s <- 0 until nS; l <- 0 until nL if rs(l) > 0)
+          m(s)(l) = m(s)(l) * tl / rs(l)
+        val ss = m.map(_.sum)
+        for (s <- 0 until nS; l <- 0 until nL if ss(s) > 0)
+          m(s)(l) = m(s)(l) * cs0(s) / ss(s)
+      }
+      for (s <- 0 until nS) {
+        assert(m(s).forall(_ >= 0L))
+        assert(m(s).sum <= cs0(s), s"source $s budget exceeded")
+      }
+    }
+  }
 }
