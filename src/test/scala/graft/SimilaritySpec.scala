@@ -380,6 +380,65 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).sum < got.map(_._2).sum)
   }
 
+  test("ivfpq: probe-pruned adc ranking matches a driver recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val subDim = Similarity.Dim / Similarity.PqM
+    val desc = vecs.sortBy(-_._1)
+    val samples = desc.take(Similarity.PqCodes).map(_._2)
+    val cents = desc.take(Similarity.IvfClusters).map(_._2).zipWithIndex
+      .map { case (v, i) => (i, v, math.sqrt(dot(v, v))) }
+    def cid(v: Array[Double]): Int = {
+      val n = math.sqrt(dot(v, v))
+      cents.map { case (i, cv, cn) => (-(dot(v, cv) / (n * cn)), i) }
+        .minBy(identity)._2
+    }
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until Similarity.PqM).map { m =>
+        val sv = v.slice(m * subDim, (m + 1) * subDim)
+        samples.zipWithIndex.map { case (s, k) =>
+          val c = s.slice(m * subDim, (m + 1) * subDim)
+          (-2.0 * dot(sv, c) + dot(c, c), k)
+        }.minBy(identity)._2
+      }
+    }.toMap
+    val assign = vecs.map { case (id, v) => id -> cid(v) }.toMap
+    val expected = vecs.take(Similarity.AdcQueries).flatMap { case (qid, qv) =>
+      val qn = math.sqrt(dot(qv, qv))
+      val probes = cents.map { case (i, cv, cn) => (-(dot(qv, cv) / (qn * cn)), i) }
+        .sorted.take(Similarity.IvfProbe).map(_._2).toSet
+      val lut = (0 until Similarity.PqM).map { m =>
+        val sv = qv.slice(m * subDim, (m + 1) * subDim)
+        samples.map { s =>
+          val c = s.slice(m * subDim, (m + 1) * subDim)
+          dot(sv, sv) - 2.0 * dot(sv, c) + dot(c, c)
+        }
+      }
+      vecs.filter { case (id, _) => id != qid && probes(assign(id)) }
+        .map { case (id, _) =>
+          (id, (0 until Similarity.PqM).map(m => lut(m)(codes(id)(m))).reduce(_ + _))
+        }
+        .sortBy { case (id, d) => (d, id) }.take(Similarity.K)
+        .zipWithIndex.map { case ((id, d), i) => (qid, id, d, i + 1) }
+    }.toSeq
+    val got = Similarity.ivfPqTopK(spark, sf)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == expected)
+    // pruning is real: every result's cluster is probed by its query
+    got.foreach { case (q, id, _, _) =>
+      val qv = vecs.find(_._1 == q).get._2
+      val qn = math.sqrt(dot(qv, qv))
+      val probes = cents.map { case (i, cv, cn) => (-(dot(qv, cv) / (qn * cn)), i) }
+        .sorted.take(Similarity.IvfProbe).map(_._2).toSet
+      assert(probes(assign(id)))
+    }
+  }
+
   test("knn recall: ppm math matches a driver recompute from knnJoin output") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
