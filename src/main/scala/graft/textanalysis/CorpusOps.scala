@@ -719,6 +719,48 @@ object CorpusOps {
         FROM documents ORDER BY shard, sort_key, doc_id"""
   }
 
+  /** Shard-balance audit — is the hash sharding actually level? Per
+    * shard: docs, tokens, and the token deviation from the ideal
+    * per-shard mean in ppm (signed). Training throughput is gated by the
+    * SLOWEST shard (stragglers), so this is the number to watch before
+    * accepting a layout; the hash-mod assignment keeps it tight and
+    * deterministic, and the audit proves it per corpus. All-integer
+    * (mean = total div NShards; deviation ppm vs that mean).
+    * Output: (shard, n_docs, n_tokens, dev_ppm).
+    */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val key = shardKey(col("doc_id"))
+    val cells = docs(spark, dir)
+      .select((key % NShards).cast("int").as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val mean = broadcast(cells.agg(
+      expr(s"sum(n_tokens) div $NShards").as("mean_tok")))
+    cells.crossJoin(mean)
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        when(col("mean_tok") > 0,
+          expr("(n_tokens - mean_tok) * 1000000 div mean_tok")).as("dev_ppm"))
+      .orderBy("shard")
+  }
+
+  lazy val shardBalanceSql: String = {
+    val key = duckH48("concat('shard-', doc_id)")
+    s"""WITH c AS (SELECT CAST($key % $NShards AS INT) AS shard,
+            CAST(len($duckToks) AS BIGINT) AS n_tok
+          FROM documents),
+        g AS (SELECT shard, count(*) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM c GROUP BY shard),
+        m AS (SELECT CAST(sum(n_tokens) // $NShards AS BIGINT) AS mean_tok
+          FROM g)
+        SELECT shard, n_docs, n_tokens,
+          CAST(CASE WHEN m.mean_tok > 0 THEN
+            (n_tokens - m.mean_tok) * 1000000 // m.mean_tok END AS BIGINT)
+            AS dev_ppm
+        FROM g, m ORDER BY shard"""
+  }
+
   /** Tokens per packed training sequence. Small so the sf fixtures
     * produce many packs per shard; real runs use the model context
     * length (2k-128k).

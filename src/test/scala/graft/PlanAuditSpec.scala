@@ -65,7 +65,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_knn_recall", "q_embed_matryoshka", "q_hard_negatives",
       // the one-row total/L target scalar riding the |sources|·|langs|
       // cell matrix each IPF round
-      "q_corpus_rake")
+      "q_corpus_rake",
+      // the one-row per-shard-mean scalar riding the NShards-row rollup
+      "q_shard_balance")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
