@@ -707,6 +707,44 @@ object Relational {
     * gapfill aggregate the whole detector is one narrow pass.
     * Output: anomalous hours only (event_type, hour_sec, n, z).
     */
+  /** Rate-limit: events allowed per user per rolling window (24 h and
+    * 7 chosen so the synthetic stream's burstiest ~1% of events flag).
+    */
+  val RateLimitN = 7L
+  val RateLimitWindowUs = 24L * 3600L * 1000000L // 24 h
+
+  /** Sliding-window rate limiting — for every event, the count of the
+    * SAME user's events in the trailing 24-hour window (inclusive),
+    * and whether that count exceeds [[RateLimitN]]: the abuse/quota
+    * shape (API throttling, crawl politeness, bot flagging) stated as
+    * one RANGE-frame window over exact integer µs — no self-join, no
+    * bucketing approximation; the frame boundary is the precise
+    * `ts − W ≤ t ≤ ts` semantics a token bucket audits against.
+    * Per-user window partitions scale like the sessionization family.
+    * Output: (user_id, event_id, ts_us, n_in_window, limited).
+    */
+  def eventsRateLimit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-RateLimitWindowUs, 0)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("n_in_window"), (col("n_in_window") > RateLimitN).as("limited"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val eventsRateLimitSql: String =
+    s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN $RateLimitWindowUs PRECEDING AND CURRENT ROW)
+           AS n_in_window,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN $RateLimitWindowUs PRECEDING AND CURRENT ROW)
+           > $RateLimitN AS limited
+       FROM events ORDER BY user_id, ts_us, event_id"""
+
   /** CEP negation pattern — "view, then purchase within 1 h, with NO
     * error in between": the complex-event shape funnels don't cover
     * (funnels count stage sequences; real alerting/attribution needs the

@@ -46,6 +46,21 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - 24.0) < 1e-9)
   }
 
+  test("rate limit: RANGE frame includes the exact window boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("rate").toString
+    val W = Relational.RateLimitWindowUs
+    // u1: events at 0, W (exactly in window of each other), W+1+W (out)
+    Seq((1L, 0L), (2L, W), (3L, W + 1L + W))
+      .map { case (id, us) => (id, us * 1000L, 1L) }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.eventsRateLimit(spark, dir)
+      .select("event_id", "n_in_window").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L)
+    assert(got(2L) == 2L, "event exactly W earlier must be IN the frame")
+    assert(got(3L) == 1L, "event W+1 earlier must be OUT of the frame")
+  }
+
   test("cep negation: error strictly between view and purchase breaks clean") {
     val dir = java.nio.file.Files.createTempDirectory("cep").toString
     val H = graft.streaming.StreamingOps.AttribWindowUs
