@@ -380,6 +380,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).sum < got.map(_._2).sum)
   }
 
+  test("ivf update: old-snapshot centroids, batch carve and counts replay") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def isNew(id: Long): Boolean =
+      graft.functions.Hashing.h48String(s"ivfu-$id") % 5 == 0
+    val cents = vecs.filter(v => !isNew(v._1)).sortBy(-_._1)
+      .take(Similarity.IvfClusters).map(_._2).zipWithIndex
+      .map { case (v, i) => (i, v, math.sqrt(dot(v, v))) }
+    def cid(v: Array[Double]): Int = {
+      val n = math.sqrt(dot(v, v))
+      cents.map { case (i, cv, cn) => (-(dot(v, cv) / (n * cn)), i) }
+        .minBy(identity)._2
+    }
+    val expected = vecs.groupBy(v => cid(v._2)).map { case (c, vs) =>
+      c -> ((vs.count(v => !isNew(v._1)).toLong, vs.count(v => isNew(v._1)).toLong))
+    }
+    val got = Similarity.ivfUpdate(spark, sf)
+      .select("cid", "n_old", "n_new").as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    // the carve produces a real batch and the old side dominates
+    assert(got.values.map(_._2).sum > 0)
+    assert(got.values.map(_._1).sum > got.values.map(_._2).sum)
+  }
+
   test("ivfpq: probe-pruned adc ranking matches a driver recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
