@@ -180,6 +180,66 @@ object Dedup {
             ORDER BY doc_id, para_idx) = 1 AS kept
         FROM p ORDER BY doc_id, para_idx"""
 
+  /** Paragraphs reported by the boilerplate detector. */
+  val TemplateTopN = 15
+
+  /** Boilerplate / template detector — the C4-style pass that finds the
+    * paragraphs REPEATED ACROSS documents (cookie banners, license
+    * headers, nav footers): per paragraph hash, how many distinct docs
+    * and distinct sources carry it, keeping the [[TemplateTopN]] most
+    * widespread (doc count desc, hash asc). Cross-SOURCE spread is the
+    * boilerplate signature — a paragraph repeated within one source is
+    * a site template, across many sources it's ecosystem boilerplate,
+    * and both are exactly what [[paragraphDedup]] should drop and a
+    * quality prompt must never train on verbatim. Reuses the paragraph
+    * split/digest; the rollup groups by the 16-byte hash (bounded by
+    * true repetition, never corpus-wide hot keys) and only the top-N
+    * tiny result sorts globally. All-integer. Output: (para_hash,
+    * n_occurrences, n_docs, n_sources).
+    */
+  def templateParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val kMax = expr(s"(size(t) - 1) div $ParaSize")
+    val paraStructs = transform(
+      sequence(lit(0), kMax),
+      k => struct(k.as("para_idx"),
+        md5(concat_ws(" ", slice(t, k * ParaSize + 1, lit(ParaSize)))).as("h")))
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("source"),
+        filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
+          w => length(w) > 0).as("t"))
+      .where(size(t) > 0)
+      .select(col("doc_id"), col("source"), explode(paraStructs).as("p"))
+      .groupBy(col("p.h").as("para_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("source").as("n_sources"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("para_hash"))
+      .limit(TemplateTopN)
+  }
+
+  lazy val templateParagraphsSql: String =
+    s"""WITH f AS (SELECT doc_id, source,
+          list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> len(x) > 0) AS t FROM documents),
+        f2 AS (SELECT doc_id, source, t FROM f WHERE len(t) > 0),
+        ks AS (SELECT doc_id, source, t,
+                 unnest(range(0, (len(t) - 1) // $ParaSize + 1)) AS k
+               FROM f2),
+        p AS (SELECT doc_id, source,
+                md5(array_to_string(
+                  list_slice(t, k * $ParaSize + 1,
+                    least((k + 1) * $ParaSize, len(t))), ' ')) AS para_hash
+              FROM ks),
+        g AS (SELECT para_hash, count(*) AS n_occurrences,
+                count(DISTINCT doc_id) AS n_docs,
+                count(DISTINCT source) AS n_sources
+              FROM p GROUP BY para_hash)
+        SELECT para_hash, n_occurrences, n_docs, n_sources
+        FROM g WHERE n_docs > 1
+        ORDER BY n_docs DESC, para_hash LIMIT $TemplateTopN"""
+
   // ------------------------------------------------------ duplicated spans
 
   /** Gram length for [[dupSpans]] — the 13-gram memorization convention

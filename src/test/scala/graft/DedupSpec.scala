@@ -377,6 +377,31 @@ class DedupSpec extends SparkSpec {
     assert(out == List(("books", "web", 1L, true), ("web", "web", 1L, false)))
   }
 
+  test("template detector: shared boilerplate paragraph found with source spread") {
+    val dir = java.nio.file.Files.createTempDirectory("tmpl").toString
+    // ParaSize-token boilerplate prefix shared by docs 1-3 (two sources);
+    // doc 4 is all-unique prose
+    val boiler = (0 until graft.dedup.Dedup.ParaSize).map(i => s"b$i").mkString(" ")
+    def uniq(seed: Int) = (0 until graft.dedup.Dedup.ParaSize)
+      .map(i => s"u$seed-$i").mkString(" ")
+    Seq((1L, s"$boiler ${uniq(1)}", "web"), (2L, s"$boiler ${uniq(2)}", "web"),
+      (3L, s"$boiler ${uniq(3)}", "books"), (4L, uniq(4), "web"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.templateParagraphs(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(rows.length == 1, s"only the boilerplate repeats: $rows")
+    val (h, occ, nd, ns) = rows.head
+    assert(occ == 3L && nd == 3L && ns == 2L)
+    // the hash is the md5 of the boilerplate paragraph itself
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(boiler.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h == md)
+  }
+
   test("keep-best policy: argmax quality per cluster, singletons kept") {
     val sf = "/root/testdata/sf0.001"
     val rows = Dedup.dedupKeepBest(spark, sf)
