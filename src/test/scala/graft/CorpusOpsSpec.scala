@@ -531,6 +531,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byDoc(2L).map(_._5).takeRight(rest.size) == rest)
   }
 
+  test("shard balance: rollup ties out with the manifest, deviations sum bound") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CorpusOps.shardBalance(spark, sf)
+      .as[(Int, Long, Long, Option[Long])].collect().toList
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    // doc counts tie out with the shard manifest exactly
+    val manifest = CorpusOps.corpusShards(spark, sf)
+      .groupBy("shard").count()
+      .as[(Int, Long)].collect().toMap
+    rows.foreach { case (s, nd, _, _) => assert(manifest(s) == nd) }
+    // ppm deviation recomputes from the integer mean
+    val mean = rows.map(_._3).sum / graft.textanalysis.CorpusOps.NShards
+    rows.foreach { case (_, _, nt, dev) =>
+      assert(dev == Some((nt - mean) * 1000000L / mean))
+    }
+    // hash sharding is actually level-ish: no shard deviates by >50%
+    rows.foreach { case (s, _, _, dev) =>
+      assert(math.abs(dev.get) < 500000L, s"shard $s dev ${dev.get}")
+    }
+  }
+
   test("cdc dedup audit: verbatim copy's chunks all dedup, unique doc's don't") {
     val base = (0 until 200).map(i => s"w${(i * 7919) % 997}").mkString(" ")
     val uniq = (0 until 200).map(i => s"u${(i * 104729) % 997}").mkString(" ")
