@@ -59,10 +59,14 @@ object Bench {
     val total = results.map(_._2).sum
     // complete per-query record → file (the full set no longer fits the
     // round driver's output-tail capture window; the committed artifact
-    // is the official complete record)
-    val full = json(results ++ cold, total)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
+    // is the official complete record). NEVER written on a filtered dev
+    // run — a SPARK_GRAFT_ONLY subset would clobber the official file
+    // with a partial record.
+    if (only.isEmpty) {
+      val full = json(results ++ cold, total)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+    }
     // stdout keeps the driver-parseable ONE-LINE contract: top 40 slowest
     // queries (+ the cold diag row) so the line stays under ~1.2 KB
     val top = (results ++ cold).sortBy(-_._2).take(40).sortBy(_._1)

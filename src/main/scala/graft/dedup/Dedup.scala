@@ -1240,8 +1240,14 @@ object Dedup {
     * docs ≪ corpus) — never a corpus-wide window; the corpus spine takes
     * the decisions back via the same guarded broadcast as
     * [[dedupSurvivors]]. The quality join is one narrow (id, double)
-    * exchange; production fuses the score into the spine scan (it is a
-    * pure projection of the same table).
+    * exchange. DELIBERATE: the quality projection is evaluated twice in
+    * this plan (once under the label argmax, once on the spine) — the
+    * single-lineage alternative would partition a window by
+    * coalesce(canonical, doc_id) over the WHOLE corpus, trading a second
+    * narrow scan-side projection for a corpus-wide shuffle; at 100 TB
+    * the extra scan is the cheaper side of that trade, and production
+    * fuses the score into the spine scan anyway (it is a pure
+    * projection of the same table).
     */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

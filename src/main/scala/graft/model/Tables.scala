@@ -63,10 +63,16 @@ object Tables {
       raw
         .withColumn("ts_ns", col("ts"))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    case _ => // TimestampNTZType / TimestampType (micros precision)
+    case org.apache.spark.sql.types.TimestampNTZType |
+        org.apache.spark.sql.types.TimestampType =>
       raw
         .withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000"))
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    case other =>
+      // fail FAST: a permissive cast of e.g. STRING would null every
+      // timestamp and every event query would silently return garbage
+      throw new IllegalArgumentException(
+        s"events.ts must be a nanos long or a timestamp, got $other")
   }
 
   /** Reference review input: line-delimited JSON, only two fields consumed,

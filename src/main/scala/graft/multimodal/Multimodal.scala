@@ -124,8 +124,8 @@ object Multimodal {
 
   val decodeAuditSql: String =
     """WITH b AS (SELECT doc_id, source,
-              octet_length(encode(text)) AS n,
-              ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+              octet_length(encode(coalesce(text, ''))) AS n,
+              ('0x' || substr(md5(coalesce(text, '')), 1, 12))::BIGINT AS h
             FROM documents),
         s AS (SELECT source,
               CASE WHEN n = 0 THEN 'empty_payload'
@@ -148,7 +148,10 @@ object Multimodal {
   def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
     Tables.loadSpread(spark, dir, "documents", "doc_id")
-      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      // coalesce: a NULL text must become an EMPTY payload (defined:
+      // quarantined as empty_payload), not a null that NPEs the decoder
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("binary").as("content"))
       .as[MediaBlob]
   }
 
@@ -197,18 +200,18 @@ object Multimodal {
 
   val mediaFramesSql: String =
     """WITH h AS (SELECT doc_id, text,
-              CAST(1 + octet_length(encode(text)) % 30 AS INT) AS n_frames
+              CAST(1 + octet_length(encode(coalesce(text, ''))) % 30 AS INT) AS n_frames
               FROM documents),
         f AS (SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS i FROM h)
         SELECT doc_id, CAST(i AS INT) AS frame_idx,
-          ('0x' || substr(md5(text || '-frame-' || i), 1, 12))::BIGINT
+          ('0x' || substr(md5(coalesce(text, '') || '-frame-' || i), 1, 12))::BIGINT
             AS frame_hash
         FROM f ORDER BY doc_id, frame_idx"""
 
   val mediaMetaSql: String =
     """WITH h AS (SELECT doc_id,
-              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-              ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+              CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes,
+              ('0x' || substr(md5(coalesce(text, '')), 1, 12))::BIGINT AS h
               FROM documents),
         d AS (SELECT doc_id, n_bytes,
               CAST(64 + h % 448 AS INT) AS width,

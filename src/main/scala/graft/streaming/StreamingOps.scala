@@ -217,7 +217,14 @@ object StreamingOps {
     * not per-user totals. Views carry ONE bucket, so no pair can match
     * twice — no dedup pass. Output: (user_id, view_id, click_id, dt_us).
     */
-  def attributionBatch(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared bucketized view/click frames for both attribution variants:
+    * views carry ONE W-sized time cell, clicks probe their own and the
+    * previous cell (a click's look-back window spans ≤ 2 cells) — the
+    * single definition both operators join on, so the bucket convention
+    * can never diverge between them.
+    */
+  private def bucketizedViewsClicks(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val e = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts_ns div 1000").as("ts_us"),
@@ -229,6 +236,11 @@ object StreamingOps {
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts_us").as("cts"),
         explode(array(col("bucket") - 1, col("bucket"))).as("bucket"))
+    (v, c)
+  }
+
+  def attributionBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (v, c) = bucketizedViewsClicks(spark, dir)
     v.join(c, Seq("user_id", "bucket"))
       .where(col("cts") > col("vts") &&
         col("cts") - col("vts") <= AttribWindowUs)
@@ -259,17 +271,7 @@ object StreamingOps {
     * click_id?, dt_us?, converted).
     */
   def attributionFirstTouch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts_ns div 1000").as("ts_us"),
-        expr(s"(ts_ns div 1000) div $AttribWindowUs").as("bucket"))
-    val v = e.where(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"),
-        col("ts_us").as("vts"), col("bucket"))
-    val c = e.where(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts_us").as("cts"),
-        explode(array(col("bucket") - 1, col("bucket"))).as("bucket"))
+    val (v, c) = bucketizedViewsClicks(spark, dir)
     val first = v.join(c, Seq("user_id", "bucket"))
       .where(col("cts") > col("vts") &&
         col("cts") - col("vts") <= AttribWindowUs)

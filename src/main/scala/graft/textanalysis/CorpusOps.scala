@@ -171,10 +171,15 @@ object CorpusOps {
     * exactly once), not an md5 of the re-concatenated window string —
     * the boundary sweep is then pure integer arithmetic, and the md5
     * budget drops from O(tokens·window) concat bytes to O(tokens) token
-    * bytes + one chunk-level digest per ~mask tokens. Values stay exact:
-    * h48p < 2^31 and 31^3·2^31 < 2^46, so both engines' 64-bit ints
-    * never overflow. Output: (doc_id, chunk_idx, start_tok, n_tok,
-    * chunk_hash).
+    * bytes + one chunk-level digest per ~mask tokens. The polynomial is
+    * reduced mod P (2³¹−1, prime) BEFORE the mask test: 31 ≡ −1
+    * (mod 16), so the raw polynomial of a constant window is h·30784 ≡ 0
+    * (mod 16) for EVERY token — an unmixed test would cut a repeated-
+    * token run into one-token chunks at every position; mod-P first
+    * makes a constant window fire with the same ~1/mask probability the
+    * md5-window form had. Values stay exact: h48p < 2^31 and
+    * 31³·2^31 < 2^46, so both engines' 64-bit ints never overflow.
+    * Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_hash).
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val t = col("t")
@@ -185,7 +190,7 @@ object CorpusOps {
         (acc, j) => acc * 31L + element_at(col("th"), i - (CdcWindow - 1 - j))
       }
     val bnds = filter(sequence(lit(1), n), i =>
-      i >= lit(CdcWindow) && i < n && roll(i) % CdcMask === 0)
+      i >= lit(CdcWindow) && i < n && roll(i) % Hashing.P % CdcMask === 0)
     val chunkStructs = transform(sequence(lit(1), size(col("starts"))), j => struct(
       (j - 1).as("chunk_idx"),
       element_at(col("starts"), j).as("start_tok"),
@@ -224,7 +229,7 @@ object CorpusOps {
           FROM f WHERE len(t) > 0),
         b AS (SELECT doc_id, t, n,
             list_filter(range(1, n + 1), i -> i >= $CdcWindow AND i < n
-              AND ($rollExpr) % $CdcMask = 0) AS bnds
+              AND ($rollExpr) % ${Hashing.P} % $CdcMask = 0) AS bnds
           FROM f2),
         s AS (SELECT doc_id, t,
             list_prepend(CAST(1 AS BIGINT),

@@ -552,6 +552,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks: repeated-token runs do not shatter into per-token chunks") {
+    // base 31 ≡ −1 (mod 16): without the mod-P mix, a constant window's
+    // polynomial is ≡ 0 (mod 16) for EVERY token value and a run like
+    // "ha ha ha…" becomes one-token chunks at every position
+    val dirs = (0 until 8).map { s =>
+      s -> writeDocs(Seq(1L -> Seq.fill(160)(s"tok$s").mkString(" ")))
+    }
+    val shattered = dirs.count { case (_, dir) =>
+      val cs = CorpusOps.cdcChunks(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(cs.map(_._4).sum == 160L) // tiling always holds
+      cs.length >= 150                 // pathological: ~1 token per chunk
+    }
+    // a constant run either fires everywhere or nowhere (identical
+    // windows); with the mix the rate is ~1/16 per TOKEN VALUE, so 8
+    // distinct tokens shattering simultaneously is (1/16)^8 — seeing
+    // more than half shattered means the resonance bug is back
+    assert(shattered <= 4, s"$shattered/8 repeated-token docs shattered")
+  }
+
   test("cdc dedup audit: verbatim copy's chunks all dedup, unique doc's don't") {
     val base = (0 until 200).map(i => s"w${(i * 7919) % 997}").mkString(" ")
     val uniq = (0 until 200).map(i => s"u${(i * 104729) % 997}").mkString(" ")

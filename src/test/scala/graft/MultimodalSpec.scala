@@ -52,6 +52,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("null text becomes an empty payload, quarantined not crashed") {
+    val dir = java.nio.file.Files.createTempDirectory("nulltext").toString
+    spark.sql("SELECT 1L AS doc_id, CAST(NULL AS STRING) AS text, " +
+        "'en' AS lang, 'web' AS source, 0L AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val st = Multimodal.decodeStatus(Multimodal.blobs(spark, dir)).collect()
+    assert(st.length == 1 && !st.head.ok && st.head.reason == "empty_payload")
+  }
+
   test("fail-safe decode: quarantine matches the deterministic failure rule") {
     val blobs = Multimodal.blobs(spark, sf)
     val st = Multimodal.decodeStatus(blobs).collect().map(s => s.doc_id -> s).toMap
