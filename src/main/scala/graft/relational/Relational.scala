@@ -845,6 +845,12 @@ object Relational {
        FROM orders
        ORDER BY o_custkey, valid_from, o_orderkey"""
 
+  /** Arrival-order block width for [[eventsDisorder]]'s prefix-max
+    * decomposition: per-(type, block) partitions hold ≤ this many rows,
+    * and the per-type block table is n/B rows.
+    */
+  val DisorderBlock = 1024L
+
   /** Event-time disorder audit — the measurement that SETS a stream's
     * watermark delay instead of guessing it: per type, how far events
     * arrive behind the running event-time high-water mark (arrival order
@@ -854,20 +860,41 @@ object Relational {
     * streaming surface ([[graft.streaming.StreamingOps]]) consumes the
     * number; this batch audit produces it, re-runnable per source/day.
     *
-    * One per-type window (running max over arrival order — no global
-    * sort) then a per-type aggregate; interpolated percentiles match
-    * DuckDB's quantile_cont over the same exact integer µs values.
-    * Output: (event_type, n_events, n_late, late_ppm, max_disorder_us,
-    * p50_us, p95_us, p99_us).
+    * The running max decomposes as a TWO-PASS BLOCK PREFIX-MAX (the
+    * round-7 fix — a window partitioned by event_type alone caps
+    * parallelism at |event_type|, a billions-row sort per partition at
+    * 100 TB): arrival order is carved into [[DisorderBlock]]-row blocks
+    * by `event_id div B`; pass 1 is a plain (type, block) aggregate for
+    * each block's max; the running max OVER BLOCKS runs on that tiny
+    * table (n/B rows — the only per-type window, three orders of
+    * magnitude smaller than the data and itself block-decomposable if
+    * ever needed); pass 2 joins the prior-blocks max back on
+    * (type, block) and takes the within-block running max in a window
+    * whose partition count SCALES WITH DATA. runningMax(i) =
+    * max(prevBlocksMax, withinBlockRunningMax) — identical values to the
+    * one-window form, row for row. Then a per-type aggregate;
+    * interpolated percentiles match DuckDB's quantile_cont over the same
+    * exact integer µs values. Output: (event_type, n_events, n_late,
+    * late_ppm, max_disorder_us, p50_us, p95_us, p99_us).
     */
   def eventsDisorder(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("event_type").orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, dir, "events")
+    val d = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("event_id"),
-        expr("ts_ns div 1000").as("ts_us"))
-      .withColumn("disorder_us", max("ts_us").over(w) - col("ts_us"))
+        expr("ts_ns div 1000").as("ts_us"),
+        expr(s"event_id div $DisorderBlock").as("blk"))
+    val prevBlocks = Window.partitionBy("event_type").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockMax = d.groupBy("event_type", "blk")
+      .agg(max("ts_us").as("bmax"))
+      .select(col("event_type"), col("blk"),
+        max("bmax").over(prevBlocks).as("pmax"))
+    val withinBlock = Window.partitionBy("event_type", "blk")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(blockMax, Seq("event_type", "blk"))
+      .withColumn("disorder_us",
+        greatest(max("ts_us").over(withinBlock), col("pmax")) - col("ts_us"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("disorder_us") > 0, 1L).otherwise(0L)).as("n_late"),

@@ -936,24 +936,27 @@ object CorpusOps {
     * reruns, retries, and engines agree row-for-row.
     *
     * Scale (100 TB): the rate table is one tiny per-source aggregate
-    * (|sources| rows) windowed over itself and broadcast back; the copy
-    * decision is a pure row function; upsampling explodes at most
-    * ceil(rate) rows per doc. No corpus-wide shuffle at any point —
-    * the one exchange is the |sources|-row aggregate.
+    * (|sources| rows); the (T, W) corpus totals collapse to a ONE-ROW
+    * broadcast scalar crossed back onto it (not an empty-partition
+    * window — the PlanAudit rule bans those outright, and the scalar
+    * form stays flat however large |sources| grows); the copy decision
+    * is a pure row function; upsampling explodes at most ceil(rate)
+    * rows per doc. No corpus-wide shuffle at any point — the one
+    * exchange is the |sources|-row aggregate.
     * Output: one row per emitted copy, (doc_id, source, epoch).
     */
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
     // nullif before the cast: ANSI mode hard-errors on CAST('' AS BIGINT)
     val weight = lit(1L) +
       coalesce(nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
         .cast("long"), lit(0L)) % 3
-    val all = Window.partitionBy()
-    val rates = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_s"))
       .withColumn("w_s", weight)
-      .withColumn("a", sum("n_s").over(all) * col("w_s"))
-      .withColumn("b", sum("w_s").over(all) * col("n_s"))
+    val tot = broadcast(counts.agg(sum("n_s").as("t"), sum("w_s").as("w")))
+    val rates = counts.crossJoin(tot)
+      .withColumn("a", col("t") * col("w_s"))
+      .withColumn("b", col("w") * col("n_s"))
       .select(col("source"), expr("a div b").as("base"),
         (col("a") % col("b")).as("rem"), col("b").as("den"))
     d.select("doc_id", "source")
@@ -1210,39 +1213,53 @@ object CorpusOps {
     * easy→hard schedule of curriculum learning), reported as the
     * per-decile manifest (count, id checksum, quality range) a training
     * loop consumes. Scores come from [[TextAnalysis.qualityScore]]
-    * verbatim, so the schedule cannot drift from the declared quality op;
-    * scores are engine-exact, so the (quality desc, doc_id) total order —
-    * and therefore every decile boundary — is identical in both engines.
+    * verbatim, so the schedule cannot drift from the declared quality op.
     *
-    * The exact `ntile` is a single-partition window — fine for the
-    * declared contract, and at 100 TB the decile BOUNDARIES come from the
-    * mergeable quantile sketch broadcast back over the corpus (the
-    * `q_quality_gate` percentile pattern, same output shape within sketch
-    * rank error) while the per-decile aggregate stays partial-aggregated.
+    * Scale shape (the round-7 fix): decile BOUNDARIES are the nine
+    * interior exact percentiles of quality, computed as ONE one-row
+    * aggregate, broadcast, and every row classified against them — no
+    * global window, no single-partition sort; the per-decile rollup
+    * partial-aggregates as usual. At 100 TB the exact `percentile`
+    * swaps for the mergeable quantile sketch ([[qualityGate]]'s
+    * documented move) with the identical broadcast-classify plan.
+    * Boundary parity uses the [[qualityGate]] round(·,10) snap, and the
+    * strictly-between-order-statistics argument makes the per-decile
+    * counts drift-proof. Contract note vs the ntile form: score-TIED
+    * documents share a decile here (splitting a tie by doc_id is an
+    * arbitrary schedule decision the boundary form refuses to make), so
+    * decile populations are equal only up to tie groups.
     */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = TextAnalysis.qualityScore(spark, dir).select("doc_id", "quality")
-    val w = Window.orderBy(col("quality").desc, col("doc_id"))
-    q.select(col("doc_id"), col("quality"),
-        ntile(CurriculumDeciles).over(w).as("decile"))
+    val pcts = ((CurriculumDeciles - 1) to 1 by -1)
+      .map(k => k.toDouble / CurriculumDeciles).toArray
+    val thr = q.agg(transform(percentile(col("quality"), lit(pcts)),
+      b => round(b, 10)).as("bnds"))
+    q.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("quality"),
+        (lit(1) + size(filter(col("bnds"), b => col("quality") < b)))
+          .as("decile"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
         min("quality").as("min_q"), max("quality").as("max_q"))
       .orderBy("decile")
   }
 
-  val curriculumSql: String =
+  val curriculumSql: String = {
+    val pctList = ((CurriculumDeciles - 1) to 1 by -1)
+      .map(k => s"0.$k").mkString("[", ", ", "]")
     s"""WITH q AS (SELECT doc_id, quality
           FROM (${TextAnalysis.qualityScoreSql}) t),
+        b AS (SELECT list_transform(quantile_cont(quality, $pctList),
+                x -> round(x, 10)) AS bnds FROM q),
         d AS (SELECT doc_id, quality,
-          CAST(ntile($CurriculumDeciles)
-            OVER (ORDER BY quality DESC, doc_id) AS INT) AS decile
-        FROM q)
+          CAST(1 + len(list_filter(bnds, x -> quality < x)) AS INT) AS decile
+        FROM q, b)
         SELECT decile, count(*) AS n_docs,
           CAST(sum(doc_id) AS BIGINT) AS id_sum,
           min(quality) AS min_q, max(quality) AS max_q
         FROM d GROUP BY decile ORDER BY decile"""
+  }
 
   // -------------------------------------------------------- inspect sample
 
@@ -1300,9 +1317,16 @@ object CorpusOps {
     * engine drift. Constant-signal sources yield NULL (undefined ρ), the
     * [[graft.relational.Relational!.momentCols momentCols]] convention.
     *
-    * Scale: two per-doc score passes, one join on doc_id, two window
-    * ranks partitioned BY SOURCE (each source ranks independently — no
-    * global sort), one tiny per-source aggregate. Σa² ≤ 4n³ holds in
+    * Scale (the round-7 fix): two per-doc score passes, one join on
+    * doc_id; each per-source rank decomposes over
+    * [[TextAnalysis.rankBlock]] value blocks — per-(source, block)
+    * count, running offset over the tiny per-source block table, rank
+    * within (source, block) — so ranking parallelism scales with data
+    * instead of |sources|, and rank = offset + within-block rank is
+    * EXACTLY the whole-source rank (ties share a block, lower blocks
+    * are strictly smaller). The tie-count window partitions by
+    * (source, value) — cardinality scales with distinct values. One
+    * tiny per-source aggregate closes. Σa² ≤ 4n³ holds in
     * decimal(38,0) to n ≈ 10¹¹ docs per source.
     * Output: (source, n, spearman), sorted.
     */
@@ -1312,12 +1336,33 @@ object CorpusOps {
       .select(col("doc_id"), col("quality"))
     val lp = logProb(spark, dir).select(col("doc_id"), col("logprob"))
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    def rank2(v: String): Column =
-      (rank().over(Window.partitionBy("source").orderBy(v)) * 2 +
+    val j0 = q.join(lp, "doc_id").join(src, "doc_id")
+    val stats = broadcast(j0.groupBy("source").agg(
+      min("quality").as("qlo"), max("quality").as("qhi"),
+      min("logprob").as("llo"), max("logprob").as("lhi")))
+    val withBlk = j0.join(stats, "source")
+      .withColumn("qblk",
+        TextAnalysis.rankBlock(col("quality"), col("qlo"), col("qhi")))
+      .withColumn("lblk",
+        TextAnalysis.rankBlock(col("logprob"), col("llo"), col("lhi")))
+      .drop("qlo", "qhi", "llo", "lhi")
+    def offsets(blkCol: String, offName: String): DataFrame = {
+      val prevBlocks = Window.partitionBy("source").orderBy(blkCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withBlk.groupBy("source", blkCol).agg(count(lit(1)).as("c"))
+        .select(col("source"), col(blkCol),
+          coalesce(sum("c").over(prevBlocks), lit(0L)).as(offName))
+    }
+    def rank2(v: String, blkCol: String, offName: String): Column =
+      ((col(offName) +
+        rank().over(Window.partitionBy("source", blkCol).orderBy(v))) * 2 +
         count(lit(1)).over(Window.partitionBy(col("source"), col(v))) - 1)
         .cast("decimal(19,0)")
-    val joined = q.join(lp, "doc_id").join(src, "doc_id")
-      .select(col("source"), rank2("quality").as("a"), rank2("logprob").as("b"))
+    val joined = withBlk
+      .join(offsets("qblk", "qoff"), Seq("source", "qblk"))
+      .join(offsets("lblk", "loff"), Seq("source", "lblk"))
+      .select(col("source"), rank2("quality", "qblk", "qoff").as("a"),
+        rank2("logprob", "lblk", "loff").as("b"))
     val agg = joined.groupBy("source").agg(
       count(lit(1)).as("n"),
       sum(col("a")).as("sa"), sum(col("b")).as("sb"),

@@ -786,6 +786,27 @@ object TextAnalysis {
         SELECT word, exact_c, TRUE AS present_ok, TRUE AS est_ok
         FROM ex ORDER BY exact_c DESC, word LIMIT $HeavyTopN"""
 
+  /** Value-block count for the distributed exact-rank decomposition
+    * ([[rankBlock]]): per-(source, block) partitions replace whole-source
+    * window partitions, so ranking parallelism scales with data instead
+    * of |sources|.
+    */
+  val RankBlocks = 64
+
+  /** Monotone value→block map over a per-group [lo, hi] range: equal
+    * values share a block, larger values never land in a smaller block —
+    * the two properties that make block-decomposed ranks EXACTLY equal
+    * to the whole-partition window rank (rows in lower blocks are
+    * strictly smaller; ties never straddle a block edge). Any monotone
+    * map works — value skew only unbalances block sizes, never changes a
+    * rank — so the cheap affine-floor map is the right one. Degenerate
+    * single-value groups collapse to block 0.
+    */
+  private[textanalysis] def rankBlock(v: Column, lo: Column, hi: Column): Column =
+    when(hi > lo, least(lit(RankBlocks - 1),
+      floor((v - lo) / (hi - lo) * RankBlocks)).cast("int"))
+      .otherwise(lit(0))
+
   /** Per-source quality calibration — map each doc's raw quality score to
     * its PERCENTILE WITHIN ITS SOURCE (ppm): raw scores are not
     * comparable across sources (each crawl has its own length/stopword
@@ -793,18 +814,39 @@ object TextAnalysis {
     * under-filters another); rank-normalizing per source is the standard
     * fix before a corpus-wide gate. pr_ppm = (rank−1)·10⁶ div (n−1)
     * (dense ties broken by doc_id ⇒ deterministic; single-doc sources
-    * pin to 0) — all-integer, engine-exact. One per-source window, no
-    * global sort. Output: (doc_id, source, quality, pr_ppm).
+    * pin to 0) — all-integer, engine-exact.
+    *
+    * Scale shape (the round-7 fix): the per-source rank decomposes over
+    * [[rankBlock]] value blocks — whole-source window partitions would
+    * cap parallelism at |sources| ≪ cores at 100 TB. Per block: a plain
+    * (source, block) count whose running sum over the tiny per-source
+    * block table (≤ [[RankBlocks]] rows/source) gives each block's rank
+    * offset, joined back; within-block row_number runs in a window whose
+    * partition count scales with data. rank = offset + within-block rank
+    * — identical to the one-window form row for row (ties share a block;
+    * lower blocks are strictly smaller). Output: (doc_id, source,
+    * quality, pr_ppm).
     */
   def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    val w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    val n = Window.partitionBy("source")
-    qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
       .join(src, "doc_id")
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(n))
+    val stats = broadcast(q.groupBy("source").agg(
+      min("quality").as("qlo"), max("quality").as("qhi"),
+      count(lit(1)).as("n")))
+    val b = q.join(stats, "source")
+      .withColumn("blk", rankBlock(col("quality"), col("qlo"), col("qhi")))
+      .drop("qlo", "qhi")
+    val prevBlocks = Window.partitionBy("source").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("source", "blk").agg(count(lit(1)).as("c"))
+      .select(col("source"), col("blk"),
+        coalesce(sum("c").over(prevBlocks), lit(0L)).as("off"))
+    val within = Window.partitionBy("source", "blk")
+      .orderBy("quality", "doc_id")
+    b.join(offsets, Seq("source", "blk"))
+      .withColumn("rk", col("off") + row_number().over(within))
       .select(col("doc_id"), col("source"), col("quality"),
         when(col("n") > 1, expr("(rk - 1) * 1000000 div (n - 1)"))
           .otherwise(lit(0L)).as("pr_ppm"))

@@ -67,7 +67,13 @@ class PlanAuditSpec extends SparkSpec {
       // cell matrix each IPF round
       "q_corpus_rake",
       // the one-row per-shard-mean scalar riding the NShards-row rollup
-      "q_shard_balance")
+      "q_shard_balance",
+      // the one-row decile-boundary array broadcast over the corpus
+      // (the quality-gate percentile-threshold shape)
+      "q_curriculum",
+      // the one-row (T, W) corpus-total scalar riding the |sources|-row
+      // rate table
+      "q_corpus_mix")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -75,6 +81,28 @@ class PlanAuditSpec extends SparkSpec {
       if (!singleRowBroadcastCross(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unjustified nested-loop join")
+    }
+  }
+
+  test("no declared query plans an unbounded partition-less window") {
+    // A Window with an empty partition spec moves its ENTIRE input to one
+    // partition (WindowExec "No Partition Defined") — a driver-shaped
+    // bottleneck at 100 TB. The one legitimate shape is a window over an
+    // explicitly Limit-bounded frame (q_token_coverage's running sum over
+    // the top-100 rows, q_skew_audit's rank over the top-10): bounded by
+    // construction, the single partition holds ≤ k rows forever. So the
+    // rule is: empty partitionSpec ⇒ the window's child subtree must
+    // contain a Limit. Everything else fails the audit.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
+      GlobalLimit, LocalLimit, LogicalPlan}
+    def hasLimit(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.nonEmpty
+    for ((name, fn) <- SparkEntry.queries) {
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !hasLimit(w.child) => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans an unbounded partition-less window:\n${bad.mkString}")
     }
   }
 
