@@ -49,28 +49,51 @@ object Bench {
         Seq("q_dedup_clusters_cold" ->
           timed(graft.dedup.Dedup.nearDupClusters _, "q_dedup_clusters_cold"))
       }
-    def json(rows: Seq[(String, Double)], total: Double): String = {
+    // run metadata baked into every record so contention adjudication is
+    // mechanical: machine load at measurement time, wall timestamp, and
+    // whether the per-query map is the full set or the stdout top-40 cut
+    val loadavg =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "" }
+    val tsMs = System.currentTimeMillis()
+    def json(rows: Seq[(String, Double)], total: Double, nQueries: Int,
+        truncated: Boolean): String = {
       val qs = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$nQueries,"truncated":$truncated,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus}"""
     }
     // total stays the sum over DECLARED queries only — the cold diag
     // row would double-count q_dedup_clusters
     val total = results.map(_._2).sum
     // complete per-query record → file (the full set no longer fits the
     // round driver's output-tail capture window; the committed artifact
-    // is the official complete record). NEVER written on a filtered dev
-    // run — a SPARK_GRAFT_ONLY subset would clobber the official file
-    // with a partial record.
+    // is the official complete record). APPEND-ONLY: the name carries a
+    // tag + timestamp and the write is CREATE_NEW, so two runs — the
+    // driver's and the judge's — can never clobber each other (a plain
+    // BENCH_FULL.json overwrote on every invocation, round-7 finding).
+    // Anchored at SPARK_GRAFT_OUT_DIR when set so a run launched from
+    // outside the repo still lands its record somewhere deliberate.
+    // NEVER written on a filtered dev run — a SPARK_GRAFT_ONLY subset
+    // would masquerade as a complete record.
     if (only.isEmpty) {
-      val full = json(results ++ cold, total)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (full + "\n").getBytes("UTF-8"))
+      val full = json(results ++ cold, total, results.size, truncated = false)
+      val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", ".")
+      val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "run")
+      val path = java.nio.file.Paths.get(outDir, s"BENCH_FULL_${tag}_$tsMs.json")
+      try java.nio.file.Files.write(path, (full + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
     }
     // stdout keeps the driver-parseable ONE-LINE contract: top 40 slowest
-    // queries (+ the cold diag row) so the line stays under ~1.2 KB
+    // queries (+ the cold diag row) so the line stays under ~1.5 KB;
+    // "n_queries" is the FULL declared count and "truncated" flags the
+    // partial map so a consumer reconciling sum(queries) against "value"
+    // knows to read the BENCH_FULL record instead
     val top = (results ++ cold).sortBy(-_._2).take(40).sortBy(_._1)
-    println(json(top, total))
+    println(json(top, total, results.size, truncated = top.size < results.size))
     spark.stop()
   }
 }

@@ -1649,8 +1649,10 @@ object CorpusOps {
     * order-independent sums, no float drift, both engines truncate ⇒
     * engine-exact (the decimal-anchor discipline, taken to integers).
     * Magnitudes: m ≤ corpus tokens (≤ 2^40 at 100 TB) times a target
-    * ≤ 2^40 overflows; production rescales cells to ppm-of-total first
-    * (same plan), test SFs stay ≪ 2^31 so the direct product is exact.
+    * ≤ 2^40 would overflow BIGINT, so the products run WIDENED —
+    * decimal(38,0) here, HUGEINT in the oracle (both exact to 10^38,
+    * comfortably past any corpus) — and only the truncated quotient
+    * returns to BIGINT; no silent wraparound at any scale.
     *
     * Scale: ONE corpus-wide aggregate builds the matrix; the rounds run
     * over |sources|·|langs| cells — broadcast-sized forever after. Output:
@@ -1670,32 +1672,37 @@ object CorpusOps {
             org.apache.spark.sql.expressions.Window.partitionBy("lang")))
           .crossJoin(scalars)
           .withColumn("m",
-            when(col("rs") > 0, expr("m * tl div rs")).otherwise(col("m")))
+            when(col("rs") > 0,
+              expr("cast(m as decimal(38,0)) * tl div rs"))
+              .otherwise(col("m")))
           .drop("rs", "tl")
         rowScaled
           .withColumn("ss", sum("m").over(
             org.apache.spark.sql.expressions.Window.partitionBy("source")))
           .join(srcTargets, "source")
           .withColumn("m",
-            when(col("ss") > 0, expr("m * cs0 div ss")).otherwise(col("m")))
+            when(col("ss") > 0,
+              expr("cast(m as decimal(38,0)) * cs0 div ss"))
+              .otherwise(col("m")))
           .drop("ss", "cs0")
     }
     after.select(col("source"), col("lang"), col("m0").as("n_tokens"),
         col("m").as("m_rake"),
-        when(col("m0") > 0, expr("m * 1000000 div m0")).as("w_ppm"))
+        when(col("m0") > 0,
+          expr("cast(m as decimal(38,0)) * 1000000 div m0")).as("w_ppm"))
       .orderBy("source", "lang")
   }
 
   val corpusRakeSql: String = {
     def round(i: Int, prev: String): String =
       s"""ra$i AS (SELECT c.source, c.lang, c.m0,
-            CAST(CASE WHEN rs.rs > 0 THEN c.m * t.tl // rs.rs
+            CAST(CASE WHEN rs.rs > 0 THEN CAST(c.m AS HUGEINT) * t.tl // rs.rs
                  ELSE c.m END AS BIGINT) AS m
           FROM $prev c
           JOIN (SELECT lang, sum(m) AS rs FROM $prev GROUP BY lang) rs
             ON c.lang = rs.lang, t),
         rb$i AS (SELECT c.source, c.lang, c.m0,
-            CAST(CASE WHEN ss.ss > 0 THEN c.m * s0.cs0 // ss.ss
+            CAST(CASE WHEN ss.ss > 0 THEN CAST(c.m AS HUGEINT) * s0.cs0 // ss.ss
                  ELSE c.m END AS BIGINT) AS m
           FROM ra$i c
           JOIN (SELECT source, sum(m) AS ss FROM ra$i GROUP BY source) ss
@@ -1713,7 +1720,8 @@ object CorpusOps {
                FROM c0 GROUP BY source),
         $rounds
         SELECT source, lang, m0 AS n_tokens, m AS m_rake,
-          CAST(CASE WHEN m0 > 0 THEN m * 1000000 // m0 END AS BIGINT) AS w_ppm
+          CAST(CASE WHEN m0 > 0 THEN CAST(m AS HUGEINT) * 1000000 // m0
+            END AS BIGINT) AS w_ppm
         FROM rb$RakeRounds ORDER BY source, lang"""
   }
 }
