@@ -40,10 +40,11 @@ object Dedup {
     * (The dedup operators use plain whitespace tokenization — shingle
     * identity wants raw word sequence, not the χ² pipeline's char-stripping.)
     */
+  private[graft] def tokensCol(c: Column): Column =
+    filter(split(lower(coalesce(c, lit(""))), "\\s+"), w => length(w) > 0)
+
   private def tokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
-        w => length(w) > 0).as("t"))
+    docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
 
   private val duckTokens =
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -145,14 +146,23 @@ object Dedup {
     * scan, not a blowup (salt + re-merge if even that offends).
     * Output: (doc_id, para_idx, para_hash, kept), one row per block.
     */
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Paragraph-block (para_idx, md5-digest) structs over a token-array
+    * column named "t" — the single source of the block/digest convention,
+    * shared by the batch pass and the streaming twin
+    * ([[graft.streaming.StreamingOps.paragraphDedupStream]]).
+    */
+  private[graft] def paraStructs: Column = {
     val t = col("t")
     val kMax = expr(s"(size(t) - 1) div $ParaSize")
-    val paraStructs = transform(
+    transform(
       sequence(lit(0), kMax),
       k => struct(k.as("para_idx"),
         md5(concat_ws(" ", slice(t, k * ParaSize + 1, lit(ParaSize)))).as("h")))
+  }
+
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("t")
     val paras = tokens(Tables.loadSpread(spark, dir, "documents", "doc_id"))
       .where(size(t) > 0)
       .select(col("doc_id"), explode(paraStructs).as("p"))

@@ -405,6 +405,38 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming C4-style PARAGRAPH dedup — the incremental twin of
+    * [[graft.dedup.Dedup.paragraphDedup]], sharing its exact block/digest
+    * convention ([[graft.dedup.Dedup.paraStructs]]): each arriving doc
+    * flat-maps into [[graft.dedup.Dedup.ParaSize]]-token blocks, each
+    * block md5-digested in-row, and `dropDuplicatesWithinWatermark` on
+    * the digest keeps only the FIRST occurrence seen inside the
+    * watermark horizon — repeated boilerplate (cookie banners, footers)
+    * is suppressed across documents AND within one, unique prose passes.
+    * State is bounded by the watermark exactly like [[dedupStream]]
+    * (per kept digest: 16 bytes + event time); a boilerplate block
+    * recurring past the horizon re-emits once per horizon — the
+    * documented at-least-once boundary of watermark dedup, which the
+    * whole-corpus-horizon [[incrementalIngest]] path trades state size
+    * for. Emitted rows keep (doc_id, para_idx) so a downstream
+    * reassembly join can rebuild cleaned documents.
+    *
+    * @param docs streaming DataFrame with (ts TIMESTAMP, doc_id LONG,
+    *             text STRING)
+    */
+  def paragraphDedupStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("ts"), col("doc_id"),
+        graft.dedup.Dedup.tokensCol(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("ts"), col("doc_id"),
+        explode(graft.dedup.Dedup.paraStructs).as("p"))
+      .select(col("ts"), col("doc_id"),
+        col("p.para_idx").cast("int").as("para_idx"),
+        col("p.h").as("para_hash"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("para_hash")
+
   /** Streaming incremental corpus ingestion via `foreachBatch` — the
     * batch [[graft.dedup.Dedup.incrementalNew]] semantics applied to a
     * live stream: each micro-batch (1) dedups WITHIN itself on the

@@ -937,4 +937,119 @@ object TextAnalysis {
         FROM nd LEFT JOIN ws ON nd.source = ws.source
         LEFT JOIN gs ON nd.source = gs.source
         ORDER BY nd.source"""
+
+  // --------------------------------------------- HTML content extraction
+
+  /** Deterministic markup fixture wrapped around `documents.text` (the
+    * FIXTURES.md pattern — the corpus is plain prose, so the crawl-page
+    * shape is synthesized IN-PLAN, identically in both engines): head
+    * with title/style/script, a nav link bar, a link-list sidebar, the
+    * prose as `<p>` blocks inside `<article>` (newlines become paragraph
+    * breaks), and a link-heavy footer. Every chrome element is the kind a
+    * real page has and a main-content extractor must drop.
+    */
+  private def htmlExpr: Column = {
+    val sec = (col("doc_id") % 7).cast("string")
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{margin:0}</style><script>var v="), sec,
+      lit(";</script></head><body><nav><a href=\"/\">Home</a> | <a href=\"/c"),
+      sec,
+      lit("\">Section</a> | <a href=\"/about\">About</a></nav>" +
+        "<div class=\"side\"><ul>" +
+        "<li><a href=\"/r1\">Related article one</a></li>" +
+        "<li><a href=\"/r2\">Related article two</a></li></ul></div>" +
+        "<article><p>"),
+      regexp_replace(coalesce(col("text"), lit("")), "\n", "</p><p>"),
+      lit("</p></article><footer>© <a href=\"/privacy\">Privacy policy</a>" +
+        " · <a href=\"/terms\">Terms of use</a></footer></body></html>"))
+  }
+
+  private val duckHtml: String =
+    """'<html><head><title>Doc ' || doc_id ||
+       '</title><style>body{margin:0}</style><script>var v=' ||
+       (doc_id % 7) ||
+       ';</script></head><body><nav><a href="/">Home</a> | <a href="/c' ||
+       (doc_id % 7) ||
+       '">Section</a> | <a href="/about">About</a></nav><div class="side"><ul><li><a href="/r1">Related article one</a></li><li><a href="/r2">Related article two</a></li></ul></div><article><p>' ||
+       regexp_replace(coalesce(text, ''), '\n', '</p><p>', 'g') ||
+       '</p></article><footer>© <a href="/privacy">Privacy policy</a> · <a href="/terms">Terms of use</a></footer></body></html>'"""
+
+  /** Closing tags that delimit text BLOCKS for the density filter; one
+    * regex shared verbatim by both engines (RE2/Java-common subset).
+    */
+  val BlockSplitRegex = "</(?:p|li|ul|div|nav|footer|article|body|html)>"
+
+  /** HTML main-content extraction — the curation stage BEFORE quality
+    * filtering (the trafilatura/CCNet step): strip the page chrome, keep
+    * the prose. Algorithm, per document: (1) drop the `<head>` wholesale
+    * (title/style/script are never content); (2) split the remainder
+    * into blocks at closing block-tags ([[BlockSplitRegex]]); (3) per
+    * block, tag-strip + whitespace-collapse to its text, and measure its
+    * LINK DENSITY (chars inside `<a>` anchors vs text chars); (4) keep
+    * non-empty blocks whose anchor text is under half their text — the
+    * boilerplate-removal heuristic: nav bars, link-list sidebars and
+    * link-heavy footers are mostly anchor text, prose is not. The kept
+    * blocks joined by single spaces are the extracted main content.
+    *
+    * Declared output pins the extraction without shipping it: per doc,
+    * the raw page size, kept-block count, extracted length, and the md5
+    * of the extracted text (an exact content checksum both engines
+    * compute from their own extraction — one flipped block anywhere
+    * breaks the hash). Pure per-row projection: no shuffle, no UDF —
+    * split/transform/filter/aggregate higher-order functions end to end;
+    * at 100 TB this is one embarrassingly parallel scan exactly like
+    * [[qualityScore]]. Output: (doc_id, html_chars, n_blocks,
+    * main_chars, main_digest).
+    */
+  def textExtract(spark: SparkSession, dir: String): DataFrame = {
+    val segTxt = (s: Column) =>
+      trim(regexp_replace(regexp_replace(s, "<[^>]*>", " "), "\\s+", " "))
+    val anchorLen = (s: Column) =>
+      aggregate(regexp_extract_all(s, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
+        lit(0), (acc, x) => acc + length(x))
+    docs(spark, dir)
+      .select(col("doc_id"), htmlExpr.as("html"))
+      .withColumn("segs", transform(
+        split(regexp_replace(col("html"), "<head>[\\s\\S]*?</head>", ""),
+          BlockSplitRegex),
+        s => struct(segTxt(s).as("txt"), anchorLen(s).as("alen"))))
+      .withColumn("kept", filter(col("segs"),
+        b => length(b.getField("txt")) > 0 &&
+          b.getField("alen") * 2 < length(b.getField("txt"))))
+      .withColumn("main",
+        concat_ws(" ", transform(col("kept"), b => b.getField("txt"))))
+      .select(col("doc_id"), length(col("html")).as("html_chars"),
+        size(col("kept")).as("n_blocks"),
+        length(col("main")).as("main_chars"),
+        md5(col("main")).as("main_digest"))
+      .orderBy("doc_id")
+  }
+
+  val textExtractSql: String =
+    s"""WITH h AS (SELECT doc_id, $duckHtml AS html FROM documents),
+        b AS (SELECT doc_id, html,
+            list_transform(
+              string_split_regex(
+                regexp_replace(html, '<head>.*?</head>', '', 's'),
+                '$BlockSplitRegex'),
+              s -> struct_pack(
+                txt := trim(regexp_replace(regexp_replace(
+                  s, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+                alen := list_reduce(list_prepend(0, list_transform(
+                  regexp_extract_all(s, '<a[^>]*>([^<]*)</a>', 1),
+                  x -> len(x))), (a, x) -> a + x))) AS segs
+          FROM h),
+        k AS (SELECT doc_id, html,
+            list_filter(segs, s -> len(s.txt) > 0 AND 2 * s.alen < len(s.txt))
+              AS kept
+          FROM b),
+        m AS (SELECT doc_id, html, kept,
+            array_to_string(list_transform(kept, s -> s.txt), ' ') AS main
+          FROM k)
+        SELECT doc_id, CAST(len(html) AS INT) AS html_chars,
+          CAST(len(kept) AS INT) AS n_blocks,
+          CAST(len(main) AS INT) AS main_chars,
+          md5(main) AS main_digest
+        FROM m ORDER BY doc_id"""
 }

@@ -542,4 +542,60 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Long, Double, Double)].collect().toSeq
     assert(got == expected)
   }
+
+  test("ivf retrain: warm-start Lloyd replay from the old-snapshot quantizer") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def r10(x: Double): Double =
+      JBD.valueOf(x).setScale(10, RoundingMode.HALF_UP).doubleValue
+    def isNew(id: Long): Boolean =
+      graft.functions.Hashing.h48String(s"ivfu-$id") % 5 == 0
+    // seed = the OLD snapshot's quantizer (max-vec_id sample over the
+    // not-new carve), trained over ALL vectors — the warm start
+    val seed: Array[Array[Double]] = vecs.filter(v => !isNew(v._1))
+      .sortBy(-_._1).take(Similarity.IvfClusters).map(_._2)
+    var cents: Array[Array[Double]] = seed
+    def assign(): Array[(Long, Int)] = vecs.map { case (id, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      var best = -2.0; var bc = -1
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val cos = dot(v, c) / (nrm * math.sqrt(dot(c, c)))
+        if (cos > best) { best = cos; bc = i }
+      }
+      (id, bc)
+    }
+    val byId = vecs.toMap
+    for (_ <- 1 to Similarity.KmIters) {
+      val members = assign().groupBy(_._2)
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        members.get(cid).fold(old) { ms =>
+          val mv = ms.map(m => byId(m._1))
+          Array.tabulate(old.length) { d =>
+            val s = mv.foldLeft(JBD.ZERO)((acc, v) =>
+              acc.add(JBD.valueOf(r10(v(d)))))
+            s.doubleValue / mv.length
+          }
+        }
+      }
+    }
+    val expected = assign().groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (cid, ms) =>
+        val moved = seed(cid).zip(cents(cid))
+          .exists { case (a, b) => r10(a) != r10(b) }
+        (cid, ms.length.toLong, ms.map(_._1).sum,
+          r10(math.sqrt(dot(seed(cid), seed(cid)))),
+          r10(math.sqrt(dot(cents(cid), cents(cid)))), moved)
+      }
+    val got = Similarity.ivfRetrain(spark, sf)
+      .as[(Int, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == expected)
+    // the retrain has signal: at least one centroid actually moved
+    assert(got.exists(_._6))
+  }
 }

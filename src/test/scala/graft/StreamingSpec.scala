@@ -185,6 +185,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming paragraph dedup: boilerplate suppressed across and within docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    // three distinct 32-token paragraph blocks (ParaSize tokens each)
+    def block(p: String): String =
+      (0 until graft.dedup.Dedup.ParaSize).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, d) = (block("a"), block("b"), block("c"), block("d"))
+    val q = StreamingOps.paragraphDedupStream(docs).writeStream
+      .format("memory").queryName("para_dedup").outputMode("append").start()
+    try {
+      // batch 1: doc1 = A|B, doc2 = B|C|C — B recurs across docs, C
+      // within one; only first occurrences may emit (within-batch order
+      // is (doc_id, para_idx) by the fixture's add order)
+      mem.addData((ts(60), 1L, s"$a $b"), (ts(61), 2L, s"$b $c $c"))
+      q.processAllAvailable()
+      // batch 2: doc3 = A|D — A is boilerplate already seen inside the
+      // watermark horizon, D is fresh prose
+      mem.addData((ts(70), 3L, s"$a $d"))
+      q.processAllAvailable()
+      val got = spark.table("para_dedup")
+        .select("doc_id", "para_idx").as[(Long, Int)].collect().toSet
+      assert(got == Set((1L, 0), (1L, 1), (2L, 1), (3L, 1)),
+        s"A/B from doc1, C from doc2, D from doc3 — got $got")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once, no replays") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString

@@ -121,6 +121,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("textExtract: chrome vanishes, prose survives, digest pins content") {
+    val dir = writeDocs(Seq(
+      1L -> "First paragraph prose here.\nSecond paragraph with more words.",
+      2L -> ""))
+    val out = TextAnalysis.textExtract(spark, dir)
+      .as[(Long, Int, Int, Int, String)].collect().map(r => (r._1, r)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // newline became a paragraph break; the two prose blocks are the ONLY
+    // survivors (nav, sidebar, footer are link-dense; head is dropped
+    // wholesale) and the digest pins the exact extracted string
+    val main = "First paragraph prose here. Second paragraph with more words."
+    val (_, htmlChars, nBlocks, mainChars, digest) = out(1L)
+    assert(nBlocks == 2)
+    assert(mainChars == main.length)
+    assert(digest == md5hex(main))
+    assert(htmlChars > mainChars)
+    // empty doc: every block on the page is chrome → empty extraction,
+    // not a dropped row
+    val (_, _, n2, m2, d2) = out(2L)
+    assert(n2 == 0 && m2 == 0 && d2 == md5hex(""))
+  }
+
   test("diversity: ttr arithmetic exact on a fixture with short/empty docs") {
     val dir = writeDocs(Seq(
       1L -> "a b a b a b",        // 6 tokens, 2 types; 4 trigrams, 2 distinct
