@@ -437,6 +437,29 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("para_hash")
 
+  /** Streaming CONTENT-DEFINED-CHUNK dedup — the incremental twin of
+    * [[graft.textanalysis.CorpusOps.cdcChunks]] +
+    * [[graft.textanalysis.CorpusOps.cdcDedupAudit]], sharing the batch
+    * chunker's exact boundary/digest expressions
+    * ([[graft.textanalysis.CorpusOps.cdcChunked]]): each arriving doc
+    * splits at content-defined boundaries in-row, and
+    * `dropDuplicatesWithinWatermark` on the 48-bit chunk hash passes only
+    * first-seen chunks — because boundaries are content-defined, a
+    * shifted near-copy (insertion at the head) still dedups
+    * chunk-for-chunk, which fixed-stride streaming dedup cannot do.
+    * Same state/watermark contract as [[paragraphDedupStream]].
+    *
+    * @param docs streaming DataFrame with (ts TIMESTAMP, doc_id LONG,
+    *             text STRING)
+    */
+  def cdcDedupStream(docs: DataFrame): DataFrame =
+    graft.textanalysis.CorpusOps.cdcChunked(
+      docs.select(col("ts"), col("doc_id"),
+        graft.dedup.Dedup.tokensCol(col("text")).as("t")),
+      Seq("ts", "doc_id"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("chunk_hash")
+
   /** Streaming incremental corpus ingestion via `foreachBatch` — the
     * batch [[graft.dedup.Dedup.incrementalNew]] semantics applied to a
     * live stream: each micro-batch (1) dedups WITHIN itself on the

@@ -181,7 +181,14 @@ object CorpusOps {
     * 31³·2^31 < 2^46, so both engines' 64-bit ints never overflow.
     * Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_hash).
     */
-  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The CDC chunking pipeline itself over a frame carrying a token-array
+    * column "t" (plus any passthrough columns named in `keep`) — the
+    * single source of the boundary/digest convention, shared by the
+    * batch pass and the streaming twin
+    * ([[graft.streaming.StreamingOps.cdcDedupStream]]). One exploded row
+    * per chunk: keep ++ (chunk_idx, start_tok, n_tok, chunk_hash).
+    */
+  private[graft] def cdcChunked(d: DataFrame, keep: Seq[String]): DataFrame = {
     val t = col("t")
     val n = size(t)
     // rolling window hash ending at token i (1-based), over pre-hashed th
@@ -201,21 +208,24 @@ object CorpusOps {
         .as("chunk_hash")))
     // staged withColumns: each array is computed ONCE per row — inlining
     // them would re-evaluate the boundary filter for every reference
-    docs(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .where(size(t) > 0)
+    d.where(size(t) > 0)
       .withColumn("th", transform(t, w => Hashing.h48(w) % Hashing.P))
       .withColumn("bnds", bnds)
       .withColumn("starts", concat(array(lit(1)), transform(col("bnds"), _ + 1)))
       .withColumn("ends", concat(col("bnds"), array(n)))
-      .select(col("doc_id"), explode(chunkStructs).as("ch"))
-      .select(col("doc_id"),
+      .select(keep.map(col) :+ explode(chunkStructs).as("ch"): _*)
+      .select(keep.map(col) ++ Seq(
         col("ch.chunk_idx").cast("long").as("chunk_idx"),
         col("ch.start_tok").cast("long").as("start_tok"),
         col("ch.n_tok").cast("long").as("n_tok"),
-        col("ch.chunk_hash").as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
+        col("ch.chunk_hash").as("chunk_hash")): _*)
   }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunked(
+      docs(spark, dir).select(col("doc_id"), toks(col("text")).as("t")),
+      Seq("doc_id"))
+      .orderBy("doc_id", "chunk_idx")
 
   val cdcChunksSql: String = {
     val rollExpr = (1 until CdcWindow)
@@ -1317,17 +1327,24 @@ object CorpusOps {
     * engine drift. Constant-signal sources yield NULL (undefined ρ), the
     * [[graft.relational.Relational!.momentCols momentCols]] convention.
     *
-    * Scale (the round-7 fix): two per-doc score passes, one join on
-    * doc_id; each per-source rank decomposes over
-    * [[TextAnalysis.rankBlock]] value blocks — per-(source, block)
-    * count, running offset over the tiny per-source block table, rank
-    * within (source, block) — so ranking parallelism scales with data
-    * instead of |sources|, and rank = offset + within-block rank is
-    * EXACTLY the whole-source rank (ties share a block, lower blocks
-    * are strictly smaller). The tie-count window partitions by
-    * (source, value) — cardinality scales with distinct values. One
-    * tiny per-source aggregate closes. Σa² ≤ 4n³ holds in
-    * decimal(38,0) to n ≈ 10¹¹ docs per source.
+    * Scale (the round-7 fix, re-planned in round 8 after measurement):
+    * each per-source rank decomposes over the FIXED value grids
+    * [[TextAnalysis.qualityBlock]]/[[TextAnalysis.logprobBlock]] — no
+    * data pass to size a grid, and whole-source window partitions
+    * (parallelism capped at |sources|) never appear. EXACTLY TWO heavy
+    * passes: pass 1 aggregates the (source, qblk, lblk) margin table
+    * (≤ [[TextAnalysis.RankBlocks]]² rows/source), over which two tiny
+    * range-frame windows attach BOTH block offsets to every margin row
+    * (offset(qblk) = Σ counts of strictly-lower qblk, any lblk — one
+    * frame, consumed once, no re-execution of the scoring lineage);
+    * pass 2 joins the margin back on (source, qblk, lblk) and takes
+    * within-block ranks in windows whose partition count scales with
+    * data. rank = offset + within-block rank is EXACTLY the
+    * whole-source rank (ties share a block, lower blocks are strictly
+    * smaller). The tie-count window partitions by (source, value) —
+    * cardinality scales with distinct values. One tiny per-source
+    * aggregate closes. Σa² ≤ 4n³ holds in decimal(38,0) to n ≈ 10¹¹
+    * docs per source.
     * Output: (source, n, spearman), sorted.
     */
   def signalCorr(spark: SparkSession, dir: String): DataFrame = {
@@ -1336,31 +1353,25 @@ object CorpusOps {
       .select(col("doc_id"), col("quality"))
     val lp = logProb(spark, dir).select(col("doc_id"), col("logprob"))
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    val j0 = q.join(lp, "doc_id").join(src, "doc_id")
-    val stats = broadcast(j0.groupBy("source").agg(
-      min("quality").as("qlo"), max("quality").as("qhi"),
-      min("logprob").as("llo"), max("logprob").as("lhi")))
-    val withBlk = j0.join(stats, "source")
-      .withColumn("qblk",
-        TextAnalysis.rankBlock(col("quality"), col("qlo"), col("qhi")))
-      .withColumn("lblk",
-        TextAnalysis.rankBlock(col("logprob"), col("llo"), col("lhi")))
-      .drop("qlo", "qhi", "llo", "lhi")
-    def offsets(blkCol: String, offName: String): DataFrame = {
-      val prevBlocks = Window.partitionBy("source").orderBy(blkCol)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      withBlk.groupBy("source", blkCol).agg(count(lit(1)).as("c"))
-        .select(col("source"), col(blkCol),
-          coalesce(sum("c").over(prevBlocks), lit(0L)).as(offName))
-    }
+    val withBlk = q.join(lp, "doc_id").join(src, "doc_id")
+      .withColumn("qblk", TextAnalysis.qualityBlock(col("quality")))
+      .withColumn("lblk", TextAnalysis.logprobBlock(col("logprob")))
+    val wq = Window.partitionBy("source").orderBy("qblk")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wl = Window.partitionBy("source").orderBy("lblk")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val offs = withBlk.groupBy("source", "qblk", "lblk")
+      .agg(count(lit(1)).as("c"))
+      .select(col("source"), col("qblk"), col("lblk"),
+        coalesce(sum("c").over(wq), lit(0L)).as("qoff"),
+        coalesce(sum("c").over(wl), lit(0L)).as("loff"))
     def rank2(v: String, blkCol: String, offName: String): Column =
       ((col(offName) +
         rank().over(Window.partitionBy("source", blkCol).orderBy(v))) * 2 +
         count(lit(1)).over(Window.partitionBy(col("source"), col(v))) - 1)
         .cast("decimal(19,0)")
     val joined = withBlk
-      .join(offsets("qblk", "qoff"), Seq("source", "qblk"))
-      .join(offsets("lblk", "loff"), Seq("source", "lblk"))
+      .join(offs, Seq("source", "qblk", "lblk"))
       .select(col("source"), rank2("quality", "qblk", "qoff").as("a"),
         rank2("logprob", "lblk", "loff").as("b"))
     val agg = joined.groupBy("source").agg(

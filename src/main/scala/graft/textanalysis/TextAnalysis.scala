@@ -793,19 +793,26 @@ object TextAnalysis {
     */
   val RankBlocks = 64
 
-  /** Monotone value→block map over a per-group [lo, hi] range: equal
-    * values share a block, larger values never land in a smaller block —
-    * the two properties that make block-decomposed ranks EXACTLY equal
-    * to the whole-partition window rank (rows in lower blocks are
-    * strictly smaller; ties never straddle a block edge). Any monotone
-    * map works — value skew only unbalances block sizes, never changes a
-    * rank — so the cheap affine-floor map is the right one. Degenerate
-    * single-value groups collapse to block 0.
+  /** Monotone value→block maps for the decomposition. Correctness needs
+    * exactly two properties: equal values share a block, larger values
+    * never land in a smaller block — then rows in lower blocks are
+    * strictly smaller, ties never straddle an edge, and
+    * offset + within-block rank EQUALS the whole-partition window rank
+    * row for row. ANY monotone map qualifies (skew only unbalances block
+    * sizes, never changes a rank), so both maps are FIXED grids needing
+    * no data pass: quality is bounded in [0, 1] by construction
+    * (0.4·ratio + 0.4·ratio + 0.2·capped), log-prob is clamped onto
+    * [−16·[[RankBlocks]], 0] in 16-unit buckets (a 100-token doc at the
+    * corpus's ~−7/token sits mid-grid; outliers clamp into the end
+    * blocks, which costs balance, not correctness). A data-dependent
+    * min/max grid would balance better but costs a FULL extra scoring
+    * pass per query — measured 2–4× the whole query (round 8).
     */
-  private[textanalysis] def rankBlock(v: Column, lo: Column, hi: Column): Column =
-    when(hi > lo, least(lit(RankBlocks - 1),
-      floor((v - lo) / (hi - lo) * RankBlocks)).cast("int"))
-      .otherwise(lit(0))
+  private[textanalysis] def qualityBlock(q: Column): Column =
+    least(lit(RankBlocks - 1), floor(q * RankBlocks)).cast("int")
+  private[textanalysis] def logprobBlock(lp: Column): Column =
+    least(lit(RankBlocks - 1),
+      greatest(lit(0), lit(RankBlocks) + floor(lp / 16))).cast("int")
 
   /** Per-source quality calibration — map each doc's raw quality score to
     * its PERCENTILE WITHIN ITS SOURCE (ppm): raw scores are not
@@ -817,32 +824,30 @@ object TextAnalysis {
     * pin to 0) — all-integer, engine-exact.
     *
     * Scale shape (the round-7 fix): the per-source rank decomposes over
-    * [[rankBlock]] value blocks — whole-source window partitions would
-    * cap parallelism at |sources| ≪ cores at 100 TB. Per block: a plain
-    * (source, block) count whose running sum over the tiny per-source
-    * block table (≤ [[RankBlocks]] rows/source) gives each block's rank
-    * offset, joined back; within-block row_number runs in a window whose
-    * partition count scales with data. rank = offset + within-block rank
-    * — identical to the one-window form row for row (ties share a block;
-    * lower blocks are strictly smaller). Output: (doc_id, source,
-    * quality, pr_ppm).
+    * [[qualityBlock]]'s fixed value grid — whole-source window
+    * partitions would cap parallelism at |sources| ≪ cores at 100 TB.
+    * EXACTLY TWO heavy passes, no matter what: pass 1 aggregates
+    * per-(source, block) counts (tiny output: ≤ [[RankBlocks]]
+    * rows/source), from which ONE frame of windows-over-the-tiny-table
+    * derives both each block's rank offset (range-frame running sum)
+    * and the source total n; pass 2 joins that frame back and takes the
+    * within-block row_number in a window whose partition count scales
+    * with data. rank = offset + within-block rank — identical to the
+    * one-window form row for row (ties share a block; lower blocks are
+    * strictly smaller). Output: (doc_id, source, quality, pr_ppm).
     */
   def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val b = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
       .join(src, "doc_id")
-    val stats = broadcast(q.groupBy("source").agg(
-      min("quality").as("qlo"), max("quality").as("qhi"),
-      count(lit(1)).as("n")))
-    val b = q.join(stats, "source")
-      .withColumn("blk", rankBlock(col("quality"), col("qlo"), col("qhi")))
-      .drop("qlo", "qhi")
+      .withColumn("blk", qualityBlock(col("quality")))
     val prevBlocks = Window.partitionBy("source").orderBy("blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rangeBetween(Window.unboundedPreceding, -1)
     val offsets = b.groupBy("source", "blk").agg(count(lit(1)).as("c"))
       .select(col("source"), col("blk"),
-        coalesce(sum("c").over(prevBlocks), lit(0L)).as("off"))
+        coalesce(sum("c").over(prevBlocks), lit(0L)).as("off"),
+        sum("c").over(Window.partitionBy("source")).as("n"))
     val within = Window.partitionBy("source", "blk")
       .orderBy("quality", "doc_id")
     b.join(offsets, Seq("source", "blk"))

@@ -212,6 +212,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC dedup: shifted near-copy dedups chunk-for-chunk") {
+    implicit val sqlCtx = spark.sqlContext
+    def chunksOf(id: Long, text: String): Seq[(Long, Long)] =
+      graft.textanalysis.CorpusOps.cdcChunked(
+        Seq((id, text)).toDF("doc_id", "text")
+          .select(col("doc_id"),
+            graft.dedup.Dedup.tokensCol(col("text")).as("t")),
+        Seq("doc_id")).select("chunk_idx", "chunk_hash")
+        .as[(Long, Long)].collect().toSeq
+    val base = (0 until 120).map(i => s"w${i % 37}x$i").mkString(" ")
+    val shifted = s"inserted words here $base"
+    val c1 = chunksOf(1L, base)
+    val c2 = chunksOf(2L, shifted)
+    val h1 = c1.map(_._2).toSet
+    val fresh2 = c2.filterNot(c => h1(c._2))
+    // the fixture really exercises realignment: multiple chunks, and the
+    // head-shifted copy re-syncs so only a prefix of its chunks is fresh
+    assert(c1.size >= 3 && fresh2.nonEmpty && fresh2.size < c2.size)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.cdcDedupStream(docs).writeStream
+      .format("memory").queryName("cdc_dedup").outputMode("append").start()
+    try {
+      mem.addData((ts(60), 1L, base))
+      q.processAllAvailable()
+      // batch 2: the shifted near-copy + an exact duplicate
+      mem.addData((ts(61), 2L, shifted), (ts(62), 3L, base))
+      q.processAllAvailable()
+      val got = spark.table("cdc_dedup")
+        .select("doc_id", "chunk_idx", "chunk_hash")
+        .as[(Long, Long, Long)].collect().toSeq
+      // doc1 emits every chunk; the shifted copy emits ONLY its fresh
+      // (insertion-bearing) chunks — content-defined boundaries realign
+      // the tail onto doc1's hashes; the exact duplicate emits nothing
+      assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)).sortBy(_._1) == c1)
+      assert(got.filter(_._1 == 2L).map(r => (r._2, r._3)).sortBy(_._1) ==
+        fresh2.sortBy(_._1))
+      assert(!got.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once, no replays") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
