@@ -1644,6 +1644,74 @@ object Relational {
          RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
        FROM orders ORDER BY o_custkey, o_orderkey"""
 
+  // ---- Z-order layout: table config (bucket widths/offsets are layout
+  // ---- parameters a production table declares once, like Delta's
+  // ---- OPTIMIZE ZORDER BY column list)
+  val ZBits = 8
+  val ZCustWidth = 8L
+  val ZDayWidth = 16L
+  val ZDayOffset = 8035L // 1992-01-01, the synthetic corpus's first date
+  val ZRangeDiv = 64L
+
+  /** Bit-interleave of two [[ZBits]]-wide bucket ids — the Morton/Z
+    * value — as pure div/mod integer arithmetic so the identical formula
+    * runs in both engines (`div` here, `//` in DuckDB).
+    */
+  private def zInterleave(a: String, b: String, div: String): String =
+    (0 until ZBits).map(i =>
+      s"(($a $div ${1L << i}) %% 2) * ${1L << (2 * i)}" +
+        s" + (($b $div ${1L << i}) %% 2) * ${1L << (2 * i + 1)}")
+      .mkString(" + ").replace("%%", "%")
+
+  /** Z-ORDER clustering audit — the math behind multi-dimensional data
+    * skipping (Delta/Iceberg `OPTIMIZE ZORDER`): orders mapped onto a
+    * Morton curve over (customer, order-date) buckets, then rolled up
+    * per curve RANGE to its bounding box in BOTH dimensions. The point
+    * the numbers make: consecutive z-values stay inside a bounded
+    * (custkey × day) box, so files laid out in z-ranges serve min/max
+    * pruning for predicates on EITHER column — a single-column sort
+    * bounds one dimension and leaves the other at full table width
+    * (`ZOrderSpec` proves exactly that on real written files). The
+    * interleave is [[zInterleave]]'s shared integer formula; bucket
+    * widths clamp at the grid edge (layout balance, never correctness).
+    * Output: (zrange, n_orders, min_cust, max_cust, min_day, max_day).
+    */
+  def zOrderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val top = (1L << ZBits) - 1
+    Tables.load(spark, dir, "orders")
+      .withColumn("epoch_day",
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+      .withColumn("cb", least(lit(top), expr(s"o_custkey div $ZCustWidth")))
+      .withColumn("db", least(lit(top), greatest(lit(0L),
+        expr(s"(epoch_day - $ZDayOffset) div $ZDayWidth"))))
+      .withColumn("zval", expr(zInterleave("cb", "db", "div")))
+      .groupBy(expr(s"zval div $ZRangeDiv").as("zrange"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("epoch_day").as("min_day"), max("epoch_day").as("max_day"))
+      .orderBy("zrange")
+  }
+
+  val zOrderAuditSql: String = {
+    val top = (1L << ZBits) - 1
+    s"""WITH o AS (SELECT o_custkey,
+          CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+            AS epoch_day
+        FROM orders),
+        b AS (SELECT o_custkey, epoch_day,
+          least($top, o_custkey // $ZCustWidth) AS cb,
+          least($top, greatest(0, (epoch_day - $ZDayOffset) // $ZDayWidth))
+            AS db
+        FROM o),
+        z AS (SELECT o_custkey, epoch_day,
+          ${zInterleave("cb", "db", "//")} AS zval
+        FROM b)
+        SELECT zval // $ZRangeDiv AS zrange, count(*) AS n_orders,
+          min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+          min(epoch_day) AS min_day, max(epoch_day) AS max_day
+        FROM z GROUP BY 1 ORDER BY zrange"""
+  }
+
   /** Collection aggregation: the distinct order priorities per customer
     * as a sorted, comma-joined string (sorted + distinct makes the
     * nondeterministic collection order irrelevant; string form keeps the

@@ -365,6 +365,97 @@ object TextAnalysis {
           FROM scored) r
         WHERE rank <= $Bm25TopK ORDER BY query_id, rank"""
 
+  // ----------------------------------------------------- retrieval eval
+
+  /** Graded-relevance retrieval evaluation — the quality loop run on a
+    * retrieval index before it feeds a RAG/data-selection pipeline:
+    * nDCG@[[Bm25TopK]] and reciprocal rank per query over the [[bm25]]
+    * retriever. Relevance is a deterministic function of the corpus
+    * (rel 2 = retrieved doc shares the query doc's source, rel 1 =
+    * shares its lang, else 0 — the "same crawl / same language" proxy
+    * labels an unlabeled corpus supports at any scale), so the eval
+    * needs no external judgment fixture and both engines derive
+    * identical labels.
+    *
+    * Exactness: gains are the small integers 2^rel−1 ∈ {0,1,3}; each
+    * DCG term gain/log2(rank+1) is the one transcendental — rounded to
+    * 10 decimals both sides, then decimal(28,12)-summed (fold-order
+    * proof); ideal DCG re-ranks the SAME gains by (rel desc, rank asc)
+    * in a per-query window over ≤ k rows (partition count scales with
+    * queries); ndcg/rr are single double divisions of identically
+    * rounded operands. Scale: everything downstream of [[bm25]] is
+    * per-(query, hit) arithmetic over k·|queries| rows plus two
+    * broadcast-sized metadata joins.
+    * Output: (query_id, n_rel, rr, dcg, idcg, ndcg), sorted.
+    */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = docs(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+    val hits = bm25(spark, dir).select("query_id", "doc_id", "rank")
+      .join(broadcast(meta.select(col("doc_id").as("query_id"),
+        col("source").as("q_source"), col("lang").as("q_lang"))), "query_id")
+      .join(meta, "doc_id")
+      .withColumn("rel",
+        when(col("source") === col("q_source"), 2)
+          .when(col("lang") === col("q_lang"), 1).otherwise(0))
+      .withColumn("gain", (pow(lit(2.0), col("rel")) - 1.0).cast("long"))
+    val ideal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("rank").asc)
+    val terms = hits
+      .withColumn("irank", row_number().over(ideal))
+      .select(col("query_id"), col("rel"), col("rank"),
+        round(col("gain").cast("double") / log2(col("rank") + 1.0), 10)
+          .cast("decimal(28,12)").as("dt"),
+        round(col("gain").cast("double") / log2(col("irank") + 1.0), 10)
+          .cast("decimal(28,12)").as("it"))
+    terms.groupBy("query_id")
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("rel") > 0, col("rank"))).as("fr"),
+        sum("dt").as("dcg_d"), sum("it").as("idcg_d"))
+      .select(col("query_id"), col("n_rel"),
+        when(col("fr").isNotNull, lit(1.0) / col("fr"))
+          .otherwise(lit(0.0)).as("rr"),
+        col("dcg_d").cast("double").as("dcg"),
+        col("idcg_d").cast("double").as("idcg"),
+        when(col("idcg_d") > 0,
+          col("dcg_d").cast("double") / col("idcg_d").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  val retrievalEvalSql: String =
+    s"""WITH r AS ($bm25Sql),
+        m AS (SELECT doc_id, source, lang FROM documents),
+        h AS (SELECT r.query_id, r.doc_id, r.rank,
+            CASE WHEN dm.source = qm.source THEN 2
+                 WHEN dm.lang = qm.lang THEN 1 ELSE 0 END AS rel
+          FROM r JOIN m qm ON r.query_id = qm.doc_id
+          JOIN m dm ON r.doc_id = dm.doc_id),
+        g AS (SELECT query_id, rel, rank,
+            CAST(2 ** rel - 1 AS BIGINT) AS gain,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, rank ASC) AS irank
+          FROM h),
+        t AS (SELECT query_id, rel, rank,
+            CAST(round(CAST(gain AS DOUBLE) / log2(rank + 1), 10)
+              AS DECIMAL(28,12)) AS dt,
+            CAST(round(CAST(gain AS DOUBLE) / log2(irank + 1), 10)
+              AS DECIMAL(28,12)) AS it
+          FROM g),
+        a AS (SELECT query_id,
+            CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+            min(CASE WHEN rel > 0 THEN rank END) AS fr,
+            sum(dt) AS dcg_d, sum(it) AS idcg_d
+          FROM t GROUP BY query_id)
+        SELECT query_id, n_rel,
+          CASE WHEN fr IS NOT NULL THEN CAST(1.0 AS DOUBLE) / fr
+            ELSE CAST(0.0 AS DOUBLE) END AS rr,
+          CAST(dcg_d AS DOUBLE) AS dcg,
+          CAST(idcg_d AS DOUBLE) AS idcg,
+          CASE WHEN idcg_d > 0 THEN CAST(dcg_d AS DOUBLE)
+            / CAST(idcg_d AS DOUBLE) ELSE 0.0 END AS ndcg
+        FROM a ORDER BY query_id"""
+
   // ------------------------------------------------------------ splitting
 
   /** THE canonical train/test assignment (salt, modulus, fraction) — the
@@ -785,6 +876,60 @@ object TextAnalysis {
         ex AS (SELECT w AS word, count(*) AS exact_c FROM tok GROUP BY w)
         SELECT word, exact_c, TRUE AS present_ok, TRUE AS est_ok
         FROM ex ORDER BY exact_c DESC, word LIMIT $HeavyTopN"""
+
+  /** ±bound for [[sketchShards]]' HLL estimates: DataSketches HLL at the
+    * default lgK=12 has RSE ≈ 1.04/√4096 ≈ 1.6%; 5% is ≈3σ, plus a
+    * small-count floor.
+    */
+  val SketchRelErr = 0.05
+
+  /** MERGEABLE per-shard sketch statistics — the incremental form of a
+    * corpus-wide distinct count: each source (shard) builds a DataSketches
+    * HLL sketch of its token vocabulary ONCE; corpus-wide vocabulary then
+    * comes from `hll_union_agg` over the stored sketch bytes — merge,
+    * never rescan (the monoid the `q_dedup_incremental` index applies to
+    * membership, applied to cardinality). The declared output carries the
+    * exact per-source distinct counts (hash-checkable) plus `est_ok`
+    * booleans asserting every sketch estimate — per shard AND the unioned
+    * "(ALL)" row — lands within [[SketchRelErr]] of exact (the
+    * `q_approx_stats` error-bound contract: DuckDB cannot reproduce
+    * sketch bytes, but it can verify the claim). The union row is the
+    * point: its estimate is computed FROM THE PER-SOURCE SKETCHES, so a
+    * new shard updates corpus stats by one sketch build + a 4 KB-per-row
+    * merge. `SketchSpec` proves the bytes survive a parquet round trip
+    * and merge to the same estimate.
+    * Output: (source, n_exact, est_ok); "(ALL)" sorts first.
+    */
+  def sketchShards(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+    val per = t.groupBy("source").agg(
+      hll_sketch_agg(col("w")).as("sk"),
+      countDistinct(col("w")).as("n_exact"))
+    def ok(est: Column, exact: Column): Column =
+      abs(est.cast("double") - exact.cast("double")) <=
+        greatest(lit(10.0), lit(SketchRelErr) * exact.cast("double"))
+    val globalExact = t.agg(countDistinct(col("w")).as("n_exact"))
+    val merged = per.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val all = globalExact.crossJoin(broadcast(merged))
+      .select(lit("(ALL)").as("source"), col("n_exact"),
+        ok(col("est"), col("n_exact")).as("est_ok"))
+    per.select(col("source"), col("n_exact"),
+        ok(hll_sketch_estimate(col("sk")), col("n_exact")).as("est_ok"))
+      .unionByName(all)
+      .orderBy("source")
+  }
+
+  val sketchShardsSql: String =
+    s"""WITH tok AS (SELECT source, unnest($duckToks) AS w FROM documents),
+        per AS (SELECT source, count(DISTINCT w) AS n_exact
+                FROM tok GROUP BY source),
+        g AS (SELECT '(ALL)' AS source, count(DISTINCT w) AS n_exact
+              FROM tok)
+        SELECT source, n_exact, TRUE AS est_ok FROM per
+        UNION ALL SELECT source, n_exact, TRUE AS est_ok FROM g
+        ORDER BY source"""
 
   /** Value-block count for the distributed exact-rank decomposition
     * ([[rankBlock]]): per-(source, block) partitions replace whole-source

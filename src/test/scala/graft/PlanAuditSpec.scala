@@ -58,6 +58,8 @@ class PlanAuditSpec extends SparkSpec {
       // the (N, Σlen) scalar row riding the candidate postings (and the
       // tfidf-derived query workload's own N scalar)
       "q_text_bm25",
+      // inherits q_text_bm25's scalar rows through composition
+      "q_retrieval_eval",
       // recall eval's ground truth: the bounded KnnQueries-row (=8)
       // query sample brute-forced over one corpus scan — deliberate,
       // that's what makes it ground truth (matryoshka runs the same
@@ -73,7 +75,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_curriculum",
       // the one-row (T, W) corpus-total scalar riding the |sources|-row
       // rate table
-      "q_corpus_mix")
+      "q_corpus_mix",
+      // the one-row merged-sketch estimate riding the one-row exact
+      // global count
+      "q_sketch_shards")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -121,6 +121,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("retrieval eval: ndcg/rr invariants hold and the proxy labels have signal") {
+    val rows = TextAnalysis.retrievalEval(spark, sf)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nRel, rr, dcg, idcg, ndcg) =>
+      assert(nRel >= 0 && nRel <= TextAnalysis.Bm25TopK)
+      assert(rr == 0.0 || (rr >= 1.0 / TextAnalysis.Bm25TopK && rr <= 1.0))
+      assert(idcg + 1e-9 >= dcg, "ideal ordering must dominate the actual")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert((nRel == 0L) == (ndcg == 0.0))
+    }
+    assert(rows.exists(_._2 > 0), "no query found any relevant doc")
+    assert(rows.exists(r => r._6 > 0.0 && r._6 < 1.0),
+      "some query should be imperfectly ordered")
+  }
+
   test("textExtract: chrome vanishes, prose survives, digest pins content") {
     val dir = writeDocs(Seq(
       1L -> "First paragraph prose here.\nSecond paragraph with more words.",
