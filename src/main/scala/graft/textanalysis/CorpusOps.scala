@@ -303,6 +303,140 @@ object CorpusOps {
         FROM documents ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------- URL curation
+
+  /** Domain denylist for [[urlNormalize]] — the robots/spam-list a web
+    * curation pass consults (a table in production; a literal here).
+    */
+  val UrlBlocklist = Seq("src7.example.com", "src13.example.com",
+    "src19.example.com")
+
+  /** Deterministic raw-URL fixture per document (the FIXTURES.md
+    * pattern, like the markup fixture): scheme/`WWW.`/host-case/default-
+    * port/tracking-param/fragment noise varies with doc_id so every
+    * normalization rule fires on a known subset.
+    */
+  private def rawUrlExpr: Column = {
+    val http = col("doc_id") % 3 === 0
+    concat(
+      when(http, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(http, lit(":80")).otherwise(lit(":443")),
+      lit("/Articles/"), col("doc_id").cast("string"),
+      lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+      lit("&utm_campaign=spring&ref=kept#section-2"))
+  }
+
+  private val duckRawUrl: String =
+    """CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+       || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+       || source || '.Example.COM'
+       || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END
+       || '/Articles/' || doc_id
+       || '?utm_source=feed&id=' || doc_id
+       || '&utm_campaign=spring&ref=kept#section-2'"""
+
+  /** URL canonicalization + denylist gate — the first stage of a web
+    * curation pipeline (CCNet/RefinedWeb shape): lowercase scheme and
+    * host (path case is preserved — it is significant), strip the
+    * scheme-default port and the `www.` prefix, drop `utm_*` tracking
+    * parameters (array filter over the query string — other params
+    * survive in order), drop the fragment, and flag domains on
+    * [[UrlBlocklist]]. Everything is regex + array ops from the
+    * RE2/Java-common subset, shared with the oracle; pure narrow
+    * projection at any scale. Output: (doc_id, domain, norm_url,
+    * is_blocked), sorted.
+    */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val u = col("url")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)),
+      ":(80|443)$", ""), "^www\\.", "")
+    val path = regexp_extract(u, "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+    val qKeep = array_join(
+      filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+        p => !p.startsWith("utm_")), "&")
+    docs(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("url", rawUrlExpr)
+      .select(col("doc_id"), host.as("domain"),
+        concat(scheme, lit("://"), host, path,
+          when(qKeep =!= "", concat(lit("?"), qKeep)).otherwise(lit("")))
+          .as("norm_url"))
+      .withColumn("is_blocked", col("domain").isin(UrlBlocklist: _*))
+      .orderBy("doc_id")
+  }
+
+  val urlNormalizeSql: String = {
+    val bl = UrlBlocklist.map(d => s"'$d'").mkString("(", ", ", ")")
+    s"""WITH r AS (SELECT doc_id, $duckRawUrl AS url FROM documents),
+        p AS (SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+              ':(80|443)$$', ''), '^www\\.', '') AS host,
+            regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+            array_to_string(list_filter(
+              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+              x -> NOT starts_with(x, 'utm_')), '&') AS q
+          FROM r)
+        SELECT doc_id, host AS domain,
+          scheme || '://' || host || path ||
+            CASE WHEN q <> '' THEN '?' || q ELSE '' END AS norm_url,
+          host IN $bl AS is_blocked
+        FROM p ORDER BY doc_id"""
+  }
+
+  /** Per-domain quota for [[domainCaps]] — below the fixtures' 25
+    * docs/source so the drop branch is exercised.
+    */
+  val DomainCap = 20
+
+  /** Per-domain document caps — the anti-flooding stage after
+    * normalization (a handful of template-heavy domains would otherwise
+    * dominate a crawl's token budget): keep at most [[DomainCap]] docs
+    * per domain, best [[TextAnalysis.qualityScore]] first (doc_id
+    * tiebreak), report the per-domain manifest with the kept set pinned
+    * by an exact id checksum. The rank window partitions by DOMAIN —
+    * real-web domain cardinality scales with the data (millions), so
+    * this is the sessionization shape, not the |sources| trap; one
+    * pathological mega-domain caps the window sort at its own size, and
+    * the bounded-buffer [[graft.functions.TopK]] aggregator form
+    * (`q_topk_agg` precedent) applies unchanged if even that offends.
+    * Output: (domain, n_docs, n_kept, kept_id_sum), sorted.
+    */
+  def domainCaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = docs(spark, dir).select(col("doc_id"),
+      concat(col("source"), lit(".example.com")).as("domain"))
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("domain")
+      .orderBy(col("quality").desc, col("doc_id"))
+    dom.join(q, "doc_id")
+      .withColumn("kept", row_number().over(w) <= DomainCap)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy("domain")
+  }
+
+  val domainCapsSql: String =
+    s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+        d AS (SELECT q.doc_id, doc.source || '.example.com' AS domain,
+            q.quality
+          FROM q JOIN documents doc ON q.doc_id = doc.doc_id),
+        r AS (SELECT doc_id, domain,
+            row_number() OVER (PARTITION BY domain
+              ORDER BY quality DESC, doc_id) <= $DomainCap AS kept
+          FROM d)
+        SELECT domain, count(*) AS n_docs,
+          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
+        FROM r GROUP BY domain ORDER BY domain"""
+
   // ------------------------------------------------------------------ OOV
 
   /** Vocabulary size for the OOV gate — below the synthetic corpus's 31

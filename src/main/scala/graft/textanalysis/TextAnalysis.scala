@@ -953,9 +953,9 @@ object TextAnalysis {
     * min/max grid would balance better but costs a FULL extra scoring
     * pass per query — measured 2–4× the whole query (round 8).
     */
-  private[textanalysis] def qualityBlock(q: Column): Column =
+  private[graft] def qualityBlock(q: Column): Column =
     least(lit(RankBlocks - 1), floor(q * RankBlocks)).cast("int")
-  private[textanalysis] def logprobBlock(lp: Column): Column =
+  private[graft] def logprobBlock(lp: Column): Column =
     least(lit(RankBlocks - 1),
       greatest(lit(0), lit(RankBlocks) + floor(lp / 16))).cast("int")
 

@@ -12,6 +12,35 @@ import graft.dedup.Dedup
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("url normalization: every rule fires; the denylist gates by domain") {
+    val rows = CorpusOps.urlNormalize(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, String, Boolean)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, domain, norm, blocked) =>
+      // canonical shape: scheme+host lowercased, www./default port/utm_*
+      // params/fragment all gone, path case and surviving params intact
+      assert(norm.matches(
+        s"https?://src\\d+\\.example\\.com/Articles/$id\\?id=$id&ref=kept"),
+        norm)
+      assert((id % 3 == 0) == norm.startsWith("http://"), norm)
+      assert(domain == norm.replaceAll("^https?://", "").takeWhile(_ != '/'))
+      assert(blocked == CorpusOps.UrlBlocklist.contains(domain))
+    }
+    assert(rows.exists(_._4) && rows.count(_._4) < rows.length)
+  }
+
+  test("domain caps: quota binds exactly, kept set is the quality top-K") {
+    val rows = CorpusOps.domainCaps(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, nKept, keptSum) =>
+      assert(nKept == math.min(nDocs, CorpusOps.DomainCap.toLong))
+      assert(keptSum >= 0L)
+    }
+    // the cap actually bites: the fixtures carry ~25 docs/source
+    assert(rows.exists(r => r._2 > CorpusOps.DomainCap))
+  }
+
   test("pii: emails, IPs and phones are counted and redacted") {
     val dir = writeDocs(Seq(
       1L -> "reach John.Doe@Example.COM or +4915112345678 via 192.168.0.1 today",

@@ -203,4 +203,86 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("block-rank decomposition equals whole-partition window ranks") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.textanalysis.TextAnalysis
+    // random (source, value) pairs with GUARANTEED heavy ties (values on
+    // a 41-point grid) and degenerate single-value sources mixed in
+    val gen = Gen.listOfN(400, for {
+      src <- Gen.oneOf("s1", "s2", "s3", "one")
+      v <- Gen.chooseNum(0, 40)
+    } yield (src, if (src == "one") 0.5 else v / 40.0))
+    val rows = gen.sample.get.zipWithIndex
+      .map { case ((s, v), i) => (i.toLong, s, v) }
+    val df = rows.toDF("doc_id", "source", "quality")
+    // reference: the whole-partition windows the decomposition replaces
+    val wRow = Window.partitionBy("source").orderBy("quality", "doc_id")
+    val wRank = Window.partitionBy("source").orderBy("quality")
+    val ref = df
+      .select(col("doc_id"), row_number().over(wRow).as("rn"),
+        rank().over(wRank).as("rk"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // decomposition: production grid map + offsets + within-block windows
+    val b = df.withColumn("blk", TextAnalysis.qualityBlock(col("quality")))
+    val prev = Window.partitionBy("source").orderBy("blk")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("source", "blk").agg(count(lit(1)).as("c"))
+      .select(col("source"), col("blk"),
+        coalesce(sum("c").over(prev), lit(0L)).as("off"))
+    val wRowB = Window.partitionBy("source", "blk").orderBy("quality", "doc_id")
+    val wRankB = Window.partitionBy("source", "blk").orderBy("quality")
+    val got = b.join(offs, Seq("source", "blk"))
+      .select(col("doc_id"),
+        (col("off") + row_number().over(wRowB)).as("rn"),
+        (col("off") + rank().over(wRankB)).as("rk"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2.toInt, r._3.toInt))).toMap
+    assert(got == ref)
+  }
+
+  test("versioned table: random op sequences match an in-memory model") {
+    import graft.sources.VersionedTable
+    val opsGen = Gen.listOfN(8, Gen.frequency(
+      4 -> Gen.listOfN(3, Gen.chooseNum(0L, 30L)).map(ids => ("append", ids)),
+      3 -> Gen.listOfN(3, Gen.chooseNum(0L, 30L)).map(ids => ("merge", ids)),
+      1 -> Gen.const(("compact", Nil))))
+    for (ops <- Seq(opsGen.sample.get)) {
+      val dir = java.nio.file.Files.createTempDirectory("vtabp").toString
+      var model = Map.empty[Long, String]
+      var version = -1
+      for (((op, ids0), step) <- ops.zipWithIndex) {
+        val ids = ids0.distinct
+        val payload = ids.map(id => (id, s"v$step-$id"))
+        op match {
+          case "append" if model.isEmpty || version < 0 =>
+            VersionedTable.append(payload.toDF("id", "v"), dir)
+            // append semantics: duplicate ids are allowed (a log of
+            // rows); model as last-write for ids never seen, but to
+            // keep the model a map, route repeat ids through merge
+            model = model ++ payload.filterNot(p => model.contains(p._1))
+            version += 1
+          case "append" =>
+            val fresh = payload.filterNot(p => model.contains(p._1))
+            if (fresh.nonEmpty) {
+              VersionedTable.append(fresh.toDF("id", "v"), dir)
+              model = model ++ fresh; version += 1
+            }
+          case "merge" if version >= 0 =>
+            VersionedTable.merge(spark, dir, payload.toDF("id", "v"), Seq("id"))
+            model = model ++ payload; version += 1
+          case "compact" if version >= 0 =>
+            VersionedTable.compact(spark, dir)
+            version += 1
+          case _ => // merge/compact on an empty table: skip
+        }
+        if (version >= 0) {
+          val got = VersionedTable.read(spark, dir)
+            .as[(Long, String)].collect().toSet
+          assert(got == model.toSet, s"divergence after step $step ($op)")
+          assert(VersionedTable.currentVersion(dir) == version)
+        }
+      }
+    }
+  }
 }
