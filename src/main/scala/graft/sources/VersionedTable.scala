@@ -146,6 +146,32 @@ object VersionedTable {
     v
   }
 
+  /** Idempotent append keyed to an external transaction id — the
+    * exactly-once STREAMING SINK contract (Delta's txn appId/version
+    * idea): the commit's version slot IS `txnId`, so a replayed
+    * micro-batch (restart after a crash between sink write and
+    * checkpoint advance) loses the CREATE_NEW race against its own
+    * earlier commit and becomes a no-op instead of a duplicate. Returns
+    * true when this call committed, false when the txn was already in.
+    * Requires callers to feed a gapless txn sequence (a streaming
+    * query's batchId is exactly that).
+    */
+  def idempotentAppend(df: DataFrame, dir: String, txnId: Long): Boolean = {
+    Files.createDirectories(Paths.get(dir))
+    val v = txnId.toInt
+    if (Files.exists(entryPath(dir, v))) return false
+    val adds = stageIn(df, dir, v)
+    try {
+      commit(dir, Entry(v, "append", System.currentTimeMillis(), adds, Nil))
+      true
+    } catch { case _: ConflictException =>
+      // the replayed batch's staged files are orphans: never referenced
+      // by any log entry, invisible to readers, reclaimed by [[vacuum]]
+      adds.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+      false
+    }
+  }
+
   /** MERGE (upsert): rows of `updates` replace same-key rows, unmatched
     * updates insert. Only data files CONTAINING a matched key are
     * rewritten — the rest of the table is untouched metadata. One

@@ -460,6 +460,25 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("chunk_hash")
 
+  /** EXACTLY-ONCE streaming ingestion into a
+    * [[graft.sources.VersionedTable]]: each micro-batch commits via
+    * `idempotentAppend` with the batchId as the transaction id, so a
+    * replayed batch (restart after a crash between the sink write and
+    * the checkpoint advance — the window where plain file sinks
+    * duplicate) loses the commit race against its own earlier version
+    * and lands zero rows. The table's snapshot isolation means readers
+    * never see a partial batch, and every committed version is a
+    * consistent prefix of the stream — version pinning gives
+    * reproducible training runs over a live ingest. `StreamingSpec`
+    * replays a batch and proves the no-duplicate claim.
+    */
+  def versionedIngest(docs: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.sources.VersionedTable.idempotentAppend(batch, dir, batchId)
+      ()
+    }.start()
+
   /** Streaming incremental corpus ingestion via `foreachBatch` — the
     * batch [[graft.dedup.Dedup.incrementalNew]] semantics applied to a
     * live stream: each micro-batch (1) dedups WITHIN itself on the

@@ -253,6 +253,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versioned ingest: a replayed micro-batch commits zero rows") {
+    import graft.sources.VersionedTable
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("vingest").toString
+    val q = StreamingOps.versionedIngest(docs, dir)
+    try {
+      mem.addData((ts(60), 1L, "a"), (ts(61), 2L, "b"))
+      q.processAllAvailable()
+      assert(VersionedTable.currentVersion(dir) == 0)
+      assert(VersionedTable.read(spark, dir).count() == 2)
+      // the crash-replay of batch 0: same txn id, same payload — the
+      // idempotent commit loses to its own earlier version, no dupes
+      assert(!VersionedTable.idempotentAppend(
+        Seq((ts(60), 1L, "a"), (ts(61), 2L, "b")).toDF("ts", "doc_id", "text"),
+        dir, 0L))
+      assert(VersionedTable.read(spark, dir).count() == 2)
+      // the stream moves on normally afterwards
+      mem.addData((ts(62), 3L, "c"))
+      q.processAllAvailable()
+      assert(VersionedTable.currentVersion(dir) == 1)
+      assert(VersionedTable.read(spark, dir).count() == 3)
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once, no replays") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
