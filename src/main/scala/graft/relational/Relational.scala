@@ -1674,6 +1674,11 @@ object Relational {
     * (`ZOrderSpec` proves exactly that on real written files). The
     * interleave is [[zInterleave]]'s shared integer formula; bucket
     * widths clamp at the grid edge (layout balance, never correctness).
+    * The WRITER half — magic-mask `zorder2` + the min/max-normalized
+    * [[graft.sources.Sources.writeZOrdered]] layout — lives in
+    * `graft.sources` with its own file-level range proof in
+    * `SourcesSpec`; this audit is its oracle-checkable twin (div/mod
+    * arithmetic both engines share, since DuckDB has no bit-spread).
     * Output: (zrange, n_orders, min_cust, max_cust, min_day, max_day).
     */
   def zOrderAudit(spark: SparkSession, dir: String): DataFrame = {
