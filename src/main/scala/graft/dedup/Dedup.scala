@@ -407,9 +407,9 @@ object Dedup {
     */
   def minhashEstimates(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(Tables.loadSpread(spark, dir, "documents", "doc_id"))
-    val sa = sig.toDF(sig.columns.map(c =>
+    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c =>
       if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c =>
+    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c =>
       if (c == "doc_id") "doc_b" else s"b_$c"): _*)
     val agree = (0 until NumPerms)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
@@ -889,9 +889,9 @@ object Dedup {
       .join(nb, Seq("bidx", "bkey"))
       .select(col("new_id"), col("doc_id").as("stored_id"))
       .distinct()
-    val sa = newSig.toDF(newSig.columns.map(c =>
+    val sa = newSig.toDF(newSig.columns.toIndexedSeq.map(c =>
       if (c == "doc_id") "new_id" else s"a_$c"): _*)
-    val sb = storedSig.toDF(storedSig.columns.map(c =>
+    val sb = storedSig.toDF(storedSig.columns.toIndexedSeq.map(c =>
       if (c == "doc_id") "stored_id" else s"b_$c"): _*)
     val agree = (0 until NumPerms)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
@@ -1091,7 +1091,7 @@ object Dedup {
     var labels = e.select(col("u").as("doc")).distinct()
       .select(col("doc"), col("doc").as("root")).persist()
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("root").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("root").cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = prevSum.isEmpty // no edges → nothing to do
