@@ -1,0 +1,62 @@
+package graft
+
+import graft.graph.Graph
+
+/** PageRank over the synthetic link graph: the declared integer
+  * arithmetic replayed by an independent driver-side reimplementation on
+  * a tiny corpus, plus structural invariants of the edge derivation.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(n: Int): String =
+    writeDocs((0L until n.toLong).map(i => (i, s"doc $i text")))
+
+  test("linkEdges: deterministic fanout, no self loops, deduped") {
+    val dir = fixture(7)
+    val edges = Graph.linkEdges(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val expected = (for {
+      src <- 0L until 7L
+      j <- 0 until Graph.Fanout
+      dst = (src * 31 + j * 1009 + 7) % 7
+      if dst != src
+    } yield (src, dst)).toSet
+    assert(edges == expected)
+    assert(edges.forall { case (s, d) => s != d })
+  }
+
+  test("pageRank matches an independent integer reimplementation") {
+    val n = 9
+    val dir = fixture(n)
+    // driver-side replay of the declared arithmetic, from scratch
+    val edges = (for {
+      src <- 0L until n.toLong
+      j <- 0 until Graph.Fanout
+      dst = (src * 31 + j * 1009 + 7) % n
+      if dst != src
+    } yield (src, dst)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = (0L until n.toLong).map(i => i -> Graph.Scale).toMap
+    for (_ <- 1 to Graph.Iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = rank.keys.map(i =>
+        i -> (15L * Graph.Scale / 100 + 85L * in.getOrElse(i, 0L) / 100))
+        .toMap
+    }
+    val expected = rank.toSeq.sortBy { case (id, r) => (-r, id) }
+    val got = Graph.pageRank(spark, dir).as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("pageRank invariants: base mass floor, bounded total") {
+    val dir = fixture(20)
+    val ranks = Graph.pageRank(spark, dir).as[(Long, Long)].collect()
+    assert(ranks.length == 20)
+    // every node keeps at least the damping base
+    assert(ranks.forall(_._2 >= 15L * Graph.Scale / 100))
+    // integer floors only ever DROP mass: total never exceeds n·scale
+    assert(ranks.map(_._2).sum <= 20L * Graph.Scale)
+  }
+}

@@ -78,7 +78,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_corpus_mix",
       // the one-row merged-sketch estimate riding the one-row exact
       // global count
-      "q_sketch_shards")
+      "q_sketch_shards",
+      // the one-row corpus-size N riding the doc_id spine to derive the
+      // modular link graph (the q_text_tfidf scalar shape; appears once
+      // per unrolled PageRank round)
+      "q_graph_pagerank")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.relational.Temporal
+import graft.sources.TableQueries
+
+/** Interval join, incremental-MV maintenance, and the versioned-table
+  * time-travel audit, each checked against a driver-side brute-force
+  * replay over the sf0.001 fixtures (1k events / 50 docs — small enough
+  * to recompute exactly in Scala, independent of the declared plans).
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventsUs(): Array[(Long, Long)] =
+    Tables.load(spark, sf, "events")
+      .select(expr("ts_ns div 1000"), col("user_id"))
+      .as[(Long, Long)].collect()
+
+  test("intervalJoin: bucketized equi-join equals the brute-force range match") {
+    val ev = eventsUs()
+    val got = Temporal.intervalJoin(spark, sf)
+      .select("w_id", "n_events", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq
+    val expected = (0L until Temporal.NWindows.toLong).map { k =>
+      val lo = Temporal.GridOriginUs + k * Temporal.WindowEveryUs
+      val hit = ev.filter { case (ts, _) => ts >= lo && ts < lo + Temporal.WindowLenUs }
+      (k, hit.length.toLong, hit.map(_._2).distinct.length.toLong)
+    }
+    assert(got == expected)
+    // the fixture grid really exercises both branches
+    assert(got.exists(_._2 > 0) && got.exists(_._2 == 0))
+  }
+
+  test("intervalJoin: windows are disjoint so every event matches at most once") {
+    val total = Temporal.intervalJoin(spark, sf)
+      .agg(sum("n_events")).as[Long].head()
+    val ev = eventsUs()
+    val inAny = ev.count { case (ts, _) =>
+      val k = (ts - Temporal.GridOriginUs) / Temporal.WindowEveryUs
+      ts >= Temporal.GridOriginUs + k * Temporal.WindowEveryUs &&
+        ts < Temporal.GridOriginUs + k * Temporal.WindowEveryUs + Temporal.WindowLenUs &&
+        k >= 0 && k < Temporal.NWindows
+    }
+    assert(total == inAny.toLong)
+  }
+
+  test("mvIncremental: base ⊕ delta merge equals a full recompute") {
+    val full = Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+        col("user_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .as[(String, Long, Long, Long)].collect()
+    val expected = full.groupBy { case (t, ts, _, _) => (t, ts / 86400000000L) }
+      .map { case ((t, day), rows) =>
+        (t, day, rows.length.toLong, rows.map(_._3).distinct.length.toLong,
+          rows.map(_._4).sum)
+      }.toSeq.sortBy(r => (r._1, r._2))
+    val got = Temporal.mvIncremental(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the cutoff splits the fixture non-trivially (both legs non-empty)
+    val n = Tables.load(spark, sf, "events")
+      .select(expr("ts_ns div 1000").as("ts_us"))
+      .agg(sum(when(col("ts_us") < Temporal.MvCutoffUs, 1L).otherwise(0L)),
+        sum(when(col("ts_us") >= Temporal.MvCutoffUs, 1L).otherwise(0L)))
+      .as[(Long, Long)].head()
+    assert(n._1 > 0 && n._2 > 0)
+  }
+
+  test("timeTravel: every lifecycle snapshot reads as committed") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    def stats(rows: Seq[(Long, Long)]): (Long, Long, Long) =
+      (rows.length.toLong, rows.map(_._1).sum, rows.map(_._2).sum)
+    val a = docs.filter(_._1 % 3 == 0).toSeq
+    val ab = docs.filter(r => r._1 % 3 == 0 || r._1 % 3 == 1).toSeq
+    val merged = ab.map { case (id, c) =>
+      (id, if (id % 6 == 0) c + 1000L else c) }
+    val expected = Seq(
+      (0L, "append") -> stats(a),
+      (1L, "append") -> stats(ab),
+      (2L, "merge") -> stats(merged),
+      (3L, "compact") -> stats(merged),
+      (4L, "vacuum") -> stats(merged))
+    val got = TableQueries.timeTravel(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5)))
+    assert(got == expected)
+  }
+}
