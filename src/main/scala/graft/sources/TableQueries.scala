@@ -76,6 +76,61 @@ object TableQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** Data-skipping audit — the per-file min/max statistics path
+    * ([[VersionedTable.appendChunked]] + [[VersionedTable.readPruned]])
+    * exercised end-to-end and hash-gated: documents are range-carved into
+    * 8 files on doc_id with exact per-file [min, max] recorded in the
+    * commit log, then a mid-range predicate (≈ chunks 3–4) reads through
+    * the pruned path. Output is one row: live vs scanned file counts
+    * (the metadata-only skip decision — the oracle RE-DERIVES both from
+    * the same chunk arithmetic over the raw table, so file-level pruning
+    * itself is value-checked, not just spec'd) plus the result aggregate
+    * over the surviving rows (proving pruning lost nothing). 100 TB:
+    * this is why a point/range query on a PB table costs two files, not
+    * a scan — stats live in the log, the skip decision touches no data.
+    */
+  def skipping(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_skip").toString
+    try {
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      VersionedTable.appendChunked(spark, d, tmp, "doc_id", nChunks = 8)
+      val maxId = d.agg(max("doc_id")).head().getLong(0)
+      val step = (maxId + 8) / 8
+      val (lo, hi) = (3 * step + step / 2, 5 * step - 1)
+      val pr = VersionedTable.readPruned(spark, tmp, lo, hi)
+      val r = pr.df.where(col("doc_id").between(lo, hi))
+        .agg(count(lit(1)), sum("doc_id"), sum("n_chars")).head()
+      val schema = StructType(Seq(
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_scanned", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("id_sum", LongType, nullable = false),
+        StructField("chars_sum", LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(pr.nLive.toLong,
+          pr.nScanned.toLong, r.getLong(0), r.getLong(1), r.getLong(2))), 1),
+        schema)
+    } finally deleteRecursively(tmp)
+  }
+
+  val skippingSql: String =
+    """WITH s AS (SELECT (max(doc_id) + 8) // 8 AS step FROM documents),
+        b AS (SELECT 3 * step + step // 2 AS lo, 5 * step - 1 AS hi FROM s),
+        c AS (SELECT doc_id // (SELECT step FROM s) AS chunk,
+               min(doc_id) AS mn, max(doc_id) AS mx
+              FROM documents GROUP BY 1)
+       SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_files,
+         (SELECT CAST(count(*) AS BIGINT) FROM c, b
+           WHERE c.mx >= b.lo AND c.mn <= b.hi) AS n_scanned,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents, b
+           WHERE doc_id BETWEEN b.lo AND b.hi) AS n_rows,
+         (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents, b
+           WHERE doc_id BETWEEN b.lo AND b.hi) AS id_sum,
+         (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, b
+           WHERE doc_id BETWEEN b.lo AND b.hi) AS chars_sum"""
+
   private def opOf(dir: String, v: Int): String =
     VersionedTable.entries(dir).find(_.version == v).map(_.op).getOrElse("?")
 

@@ -26,12 +26,18 @@ import org.apache.spark.sql.functions._
   *   - OPTIMIZE/COMPACT: rewrite live files into fewer, value-identical
   *     — a pure metadata swap for readers.
   *
+  *   - DATA SKIPPING: commits may record per-file [min, max] stats of a
+  *     key column ([[appendChunked]]); [[readPruned]] then answers range
+  *     predicates opening only intersecting files — metadata-only skip.
+  *   - RETENTION VACUUM: [[vacuum]] takes a retain-from version; time
+  *     travel inside the window survives physical cleanup.
+  *
   * Production notes, stated honestly: the log is line-JSON on a shared
   * filesystem whose rename/CREATE_NEW is atomic (object stores need a
-  * coordination layer, as Delta's S3 LogStore does); per-file min/max
-  * column stats (data skipping) and checkpoint compaction of the log are
-  * the two standard extensions this mini-format omits; schema is
-  * append-time-checked by `unionByName` only. The operator surface —
+  * coordination layer, as Delta's S3 LogStore does); checkpoint
+  * compaction of the log is the one standard extension this mini-format
+  * still omits (a fold of the entry list into a parquet snapshot — pure
+  * mechanics); schema is append-time-checked by `unionByName` only. The operator surface —
   * snapshot isolation for readers during a merge, pruned rewrite scope,
   * version pinning for reproducible training runs — is the part that
   * matters for the corpus pipeline and is covered by
@@ -40,7 +46,17 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   final case class Entry(version: Int, op: String, tsMs: Long,
-      adds: Seq[String], removes: Seq[String])
+      adds: Seq[String], removes: Seq[String],
+      mins: Seq[Long] = Nil, maxs: Seq[Long] = Nil) {
+    /** Per-added-file [min, max] of the table's stats column, parallel to
+      * `adds` — the Delta/Iceberg data-skipping idea. Empty = no stats
+      * collected for this commit (readers must scan its files).
+      */
+    def statsFor(file: String): Option[(Long, Long)] = {
+      val i = adds.indexOf(file)
+      if (i >= 0 && i < mins.length) Some((mins(i), maxs(i))) else None
+    }
+  }
 
   /** Thrown when a commit loses the race for its version slot. */
   final class ConflictException(v: Int)
@@ -55,8 +71,10 @@ object VersionedTable {
   // ---- version prefix — no escaping can ever be needed
   private def render(e: Entry): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def num(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     s"""{"version":${e.version},"op":"${e.op}","ts_ms":${e.tsMs},""" +
-      s""""adds":${arr(e.adds)},"removes":${arr(e.removes)}}"""
+      s""""adds":${arr(e.adds)},"removes":${arr(e.removes)},""" +
+      s""""mins":${num(e.mins)},"maxs":${num(e.maxs)}}"""
   }
 
   private def field(s: String, name: String): String = {
@@ -74,10 +92,19 @@ object VersionedTable {
     else body.split(',').toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
   }
 
+  private def numArr(s: String, name: String): Seq[Long] = {
+    val i = s.indexOf("\"" + name + "\":[")
+    if (i < 0) return Nil // entries written before stats existed
+    val from = i + name.length + 4
+    val body = s.substring(from, s.indexOf(']', from))
+    if (body.isEmpty) Nil else body.split(',').toSeq.map(_.toLong)
+  }
+
   private def parse(s: String): Entry =
     Entry(field(s, "version").toInt,
       field(s, "op").stripPrefix("\"").stripSuffix("\""),
-      field(s, "ts_ms").toLong, strArr(s, "adds"), strArr(s, "removes"))
+      field(s, "ts_ms").toLong, strArr(s, "adds"), strArr(s, "removes"),
+      numArr(s, "mins"), numArr(s, "maxs"))
 
   /** All committed entries in version order (empty for a fresh dir). */
   def entries(dir: String): Seq[Entry] = {
@@ -146,6 +173,73 @@ object VersionedTable {
     v
   }
 
+  /** Append `df` laid out for DATA SKIPPING on `statsCol` (a BIGINT
+    * column): rows are range-carved into `nChunks` contiguous chunks
+    * (`statsCol div step`, step = ceil((max+1)/nChunks)), each chunk
+    * written as its own data file, and the commit records each file's
+    * exact [min, max] of `statsCol` — the per-file column statistics
+    * Delta/Iceberg keep, enabling [[readPruned]] to skip files from
+    * metadata alone. Writer cost: one aggregate for the chunk bounds +
+    * one write job per chunk (bounded by `nChunks` — this is a layout
+    * op, the z-order/partition-by-range shape, run at ingest or
+    * compaction time, not per query). Production form: stats come free
+    * from the parquet footers the writer already produces; the explicit
+    * aggregate here keeps the sandbox honest and engine-exact.
+    */
+  def appendChunked(spark: SparkSession, df: DataFrame, dir: String,
+      statsCol: String, nChunks: Int): Int = {
+    Files.createDirectories(Paths.get(dir))
+    val v = currentVersion(dir) + 1
+    val hi = df.agg(max(col(statsCol))).head().getLong(0)
+    val step = (hi + nChunks.toLong) / nChunks
+    // integer div, not float /: exact at any id magnitude
+    val stats = df.groupBy(expr(s"$statsCol div $step").as("chunk"))
+      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val staged = stats.map { case (c, mn, mx) =>
+      val adds = stageIn(
+        df.where(col(statsCol) >= mn && col(statsCol) <= mx).coalesce(1),
+        dir, v)
+      (adds, mn, mx)
+    }
+    commit(dir, Entry(v, "append", System.currentTimeMillis(),
+      staged.flatMap(_._1).toSeq,
+      Nil,
+      staged.flatMap(s => s._1.map(_ => s._2)).toSeq,
+      staged.flatMap(s => s._1.map(_ => s._3)).toSeq))
+    v
+  }
+
+  /** Result of a stats-pruned read: the DataFrame over the surviving
+    * files plus the live/scanned file counts (the skip ratio a 100 TB
+    * reader banks on).
+    */
+  final case class Pruned(df: DataFrame, nLive: Int, nScanned: Int)
+
+  /** Snapshot read that consults per-file [min, max] stats and opens
+    * ONLY files whose range intersects [lo, hi] — partition pruning from
+    * commit-log metadata, no data I/O for skipped files. Files committed
+    * without stats are conservatively scanned. The residual predicate is
+    * NOT applied here (stats prune at file granularity); callers filter,
+    * exactly as an engine applies the original predicate above a pruned
+    * scan.
+    */
+  def readPruned(spark: SparkSession, dir: String, lo: Long, hi: Long,
+      asOf: Option[Int] = None): Pruned = {
+    val live = liveFiles(dir, asOf)
+    val es = entries(dir)
+    val keep = live.filter { f =>
+      es.flatMap(_.statsFor(f)).headOption match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+    require(keep.nonEmpty, "predicate prunes every file — empty scan")
+    Pruned(spark.read.parquet(keep.map(f => s"$dir/$f"): _*),
+      live.size, keep.size)
+  }
+
   /** Idempotent append keyed to an external transaction id — the
     * exactly-once STREAMING SINK contract (Delta's txn appId/version
     * idea): the commit's version slot IS `txnId`, so a replayed
@@ -210,16 +304,20 @@ object VersionedTable {
     v
   }
 
-  /** Physically delete data files no longer live at the CURRENT version
-    * (removed by past merges/compactions), giving up time travel to the
-    * versions that referenced them. Returns the deleted names. The
-    * retention-window refinement (keep files for versions newer than a
-    * cutoff) is policy on top of the same walk.
+  /** Physically delete data files not live at ANY version ≥ `retainFrom`
+    * (default: current only) — the retention-window vacuum: time travel
+    * to versions inside the window survives intact, versions before it
+    * are given up. `retainFrom = currentVersion` is the aggressive form;
+    * a production policy maps a wall-clock retention period to the
+    * oldest version committed inside it and passes that.
+    * Returns the deleted names.
     */
-  def vacuum(dir: String): Seq[String] = {
-    val live = liveFiles(dir).toSet
+  def vacuum(dir: String, retainFrom: Int = Int.MaxValue): Seq[String] = {
+    val cur = currentVersion(dir)
+    val from = math.min(retainFrom, cur)
+    val retained = (from to cur).flatMap(v => liveFiles(dir, Some(v))).toSet
     val everAdded = entries(dir).flatMap(_.adds).toSet
-    val dead = (everAdded -- live).toSeq.sorted
+    val dead = (everAdded -- retained).toSeq.sorted
     dead.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
     dead
   }

@@ -71,6 +71,50 @@ class TemporalSpec extends SparkSpec {
     assert(n._1 > 0 && n._2 > 0)
   }
 
+  test("appendChunked + readPruned: stats skip files, result is lossless") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("skipfix").toString
+    val d = spark.range(0, 100).select(col("id").as("k"), (col("id") * 7).as("v"))
+    VersionedTable.appendChunked(spark, d, dir, "k", nChunks = 4)
+    val e = VersionedTable.entries(dir).head
+    // one file per chunk, stats parallel to adds and exact
+    assert(e.adds.size == 4 && e.mins.size == 4 && e.maxs.size == 4)
+    assert(e.mins.sorted == Seq(0L, 25L, 50L, 75L))
+    assert(e.maxs.sorted == Seq(24L, 49L, 74L, 99L))
+    // [30, 60] intersects chunks 1 and 2 only
+    val pr = VersionedTable.readPruned(spark, dir, 30L, 60L)
+    assert(pr.nLive == 4 && pr.nScanned == 2)
+    val got = pr.df.where(col("k").between(30, 60))
+      .as[(Long, Long)].collect().toSet
+    assert(got == (30L to 60L).map(k => (k, k * 7)).toSet)
+    // a file committed WITHOUT stats is conservatively scanned
+    VersionedTable.append(Seq((200L, 1400L)).toDF("k", "v"), dir)
+    val pr2 = VersionedTable.readPruned(spark, dir, 30L, 60L)
+    assert(pr2.nLive == 5 && pr2.nScanned == 3)
+  }
+
+  test("retention-window vacuum preserves time travel inside the window") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("retfix").toString
+    VersionedTable.append(Seq((1L, "a")).toDF("k", "v"), dir)          // v0
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), dir)          // v1
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "A!")).toDF("k", "v"), Seq("k"))                        // v2
+    VersionedTable.compact(spark, dir)                                 // v3
+    val dead = VersionedTable.vacuum(dir, retainFrom = 2)
+    assert(dead.nonEmpty)
+    // v2 and v3 still read exactly; v0/v1 files may be gone
+    val at2 = VersionedTable.read(spark, dir, Some(2))
+      .as[(Long, String)].collect().toSet
+    val at3 = VersionedTable.read(spark, dir, Some(3))
+      .as[(Long, String)].collect().toSet
+    assert(at2 == Set(1L -> "A!", 2L -> "b") && at3 == at2)
+    // v2's rewrite kept v1's untouched file alive, so only v0's original
+    // (rewritten by the merge) is reclaimable at retainFrom=2
+    assert(VersionedTable.liveFiles(dir, Some(2)).forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f))))
+  }
+
   test("timeTravel: every lifecycle snapshot reads as committed") {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "n_chars").as[(Long, Long)].collect()
