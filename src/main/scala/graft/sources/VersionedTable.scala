@@ -32,12 +32,15 @@ import org.apache.spark.sql.functions._
   *   - RETENTION VACUUM: [[vacuum]] takes a retain-from version; time
   *     travel inside the window survives physical cleanup.
   *
+  *   - LOG CHECKPOINTS: [[checkpoint]] folds history into one synthetic
+  *     entry so snapshot resolution reads O(commits since checkpoint),
+  *     not O(all history); older time travel falls back to the retained
+  *     JSON entries.
+  *
   * Production notes, stated honestly: the log is line-JSON on a shared
   * filesystem whose rename/CREATE_NEW is atomic (object stores need a
-  * coordination layer, as Delta's S3 LogStore does); checkpoint
-  * compaction of the log is the one standard extension this mini-format
-  * still omits (a fold of the entry list into a parquet snapshot — pure
-  * mechanics); schema is append-time-checked by `unionByName` only. The operator surface —
+  * coordination layer, as Delta's S3 LogStore does); schema is
+  * append-time-checked by `unionByName` only. The operator surface —
   * snapshot isolation for readers during a merge, pruned rewrite scope,
   * version pinning for reproducible training runs — is the part that
   * matters for the corpus pipeline and is covered by
@@ -106,8 +109,71 @@ object VersionedTable {
       field(s, "ts_ms").toLong, strArr(s, "adds"), strArr(s, "removes"),
       numArr(s, "mins"), numArr(s, "maxs"))
 
-  /** All committed entries in version order (empty for a fresh dir). */
+  private def checkpointPath(dir: String, v: Int): Path =
+    logDir(dir).resolve(f"$v%08d.checkpoint")
+
+  /** Latest checkpoint version in the log, or -1. */
+  private def latestCheckpoint(dir: String): Int = {
+    val ld = logDir(dir)
+    if (!Files.isDirectory(ld)) -1
+    else Files.list(ld).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toInt)
+      .foldLeft(-1)(math.max)
+  }
+
+  /** All committed entries in version order (empty for a fresh dir).
+    * When a checkpoint exists, the fold starts from it: the checkpoint
+    * file holds ONE synthetic entry equal to the fold of versions
+    * 0..v (live files + their stats as adds), so a reader lists and
+    * parses O(entries since checkpoint) instead of O(all history) — the
+    * property that keeps snapshot resolution constant-time on a table
+    * with millions of commits (Delta's parquet checkpoint, minus the
+    * parquet).
+    */
   def entries(dir: String): Seq[Entry] = {
+    val ld = logDir(dir)
+    if (!Files.isDirectory(ld)) return Nil
+    val cp = latestCheckpoint(dir)
+    val tail = Files.list(ld).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => parse(Files.readString(p)))
+      .filter(_.version > cp)
+      .sortBy(_.version)
+    if (cp < 0) tail
+    else parse(Files.readString(checkpointPath(dir, cp))) +: tail
+  }
+
+  /** Write a checkpoint at the current version: the folded state
+    * (live files + stats) as one synthetic "checkpoint" entry. Readers
+    * pick it up on their next [[entries]] call; the per-version JSON
+    * entries it subsumes stay on disk for audit/history but are no
+    * longer read on the hot path. Time travel to versions at or after
+    * the checkpoint is exact; travel BEFORE it falls back to the full
+    * JSON history (still present), so nothing is lost — only the
+    * default read path shortens.
+    */
+  def checkpoint(dir: String): Int = {
+    val v = currentVersion(dir)
+    require(v >= 0, "cannot checkpoint an empty table")
+    val es = allJsonEntries(dir)
+    val live = es.filter(_.version <= v)
+      .foldLeft(Vector.empty[String]) { (acc, e) =>
+        acc.filterNot(e.removes.contains) ++ e.adds
+      }
+    val stats = live.map(f => es.flatMap(_.statsFor(f)).headOption)
+    val folded = Entry(v, "checkpoint", System.currentTimeMillis(),
+      live, Nil,
+      if (stats.forall(_.isDefined)) stats.map(_.get._1) else Nil,
+      if (stats.forall(_.isDefined)) stats.map(_.get._2) else Nil)
+    Files.write(checkpointPath(dir, v),
+      (render(folded) + "\n").getBytes("UTF-8"))
+    v
+  }
+
+  // the raw per-version JSON history, ignoring checkpoints (audit path)
+  private def allJsonEntries(dir: String): Seq[Entry] = {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) Nil
     else Files.list(ld).iterator.asScala.toSeq
@@ -119,9 +185,16 @@ object VersionedTable {
   def currentVersion(dir: String): Int =
     entries(dir).lastOption.map(_.version).getOrElse(-1)
 
-  /** Data files live at `asOf` (default: latest) — the log fold. */
+  /** Data files live at `asOf` (default: latest) — the log fold. Reads
+    * through the checkpoint when the target version is at/after it, and
+    * falls back to the full JSON history for older targets.
+    */
   def liveFiles(dir: String, asOf: Option[Int] = None): Seq[String] = {
-    val upTo = entries(dir)
+    val es = asOf match {
+      case Some(v) if v < latestCheckpoint(dir) => allJsonEntries(dir)
+      case _                                    => entries(dir)
+    }
+    val upTo = es
       .filter(e => asOf.forall(e.version <= _))
     upTo.foldLeft(Vector.empty[String]) { (live, e) =>
       live.filterNot(e.removes.contains) ++ e.adds
@@ -316,7 +389,9 @@ object VersionedTable {
     val cur = currentVersion(dir)
     val from = math.min(retainFrom, cur)
     val retained = (from to cur).flatMap(v => liveFiles(dir, Some(v))).toSet
-    val everAdded = entries(dir).flatMap(_.adds).toSet
+    // the FULL history, not the checkpointed view: files removed before
+    // a checkpoint must still be discoverable for deletion
+    val everAdded = allJsonEntries(dir).flatMap(_.adds).toSet
     val dead = (everAdded -- retained).toSeq.sorted
     dead.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
     dead
@@ -327,7 +402,9 @@ object VersionedTable {
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    entries(dir).map(e =>
+    // audit view: the full per-version history, never the checkpointed
+    // shortcut
+    allJsonEntries(dir).map(e =>
         (e.version, e.op, e.tsMs, e.adds.size, e.removes.size))
       .toDF("version", "op", "ts_ms", "n_adds", "n_removes")
   }

@@ -115,6 +115,37 @@ class TemporalSpec extends SparkSpec {
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f))))
   }
 
+  test("log checkpoint: folded reads match, pre-checkpoint travel falls back") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("cpfix").toString
+    VersionedTable.append(Seq((1L, "a")).toDF("k", "v"), dir)          // v0
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), dir)          // v1
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "A!")).toDF("k", "v"), Seq("k"))                        // v2
+    val before = VersionedTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(VersionedTable.checkpoint(dir) == 2)
+    // the checkpointed view resolves from ONE synthetic entry + tail
+    assert(VersionedTable.entries(dir).head.op == "checkpoint")
+    assert(VersionedTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet == before)
+    // commits after the checkpoint fold on top of it
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), dir)          // v3
+    assert(VersionedTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet == before + (3L -> "c"))
+    // time travel BEFORE the checkpoint uses the retained JSON history
+    assert(VersionedTable.read(spark, dir, Some(0))
+      .as[(Long, String)].collect().toSet == Set(1L -> "a"))
+    // stats survive the fold: a chunked table checkpoints then prunes
+    val dir2 = java.nio.file.Files.createTempDirectory("cpfix2").toString
+    VersionedTable.appendChunked(spark,
+      spark.range(0, 100).select(col("id").as("k"), col("id").as("v")),
+      dir2, "k", nChunks = 4)
+    VersionedTable.checkpoint(dir2)
+    val pr = VersionedTable.readPruned(spark, dir2, 30L, 60L)
+    assert(pr.nLive == 4 && pr.nScanned == 2)
+  }
+
   test("timeTravel: every lifecycle snapshot reads as committed") {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "n_chars").as[(Long, Long)].collect()
