@@ -237,12 +237,16 @@ object VersionedTable {
     }
   }
 
-  /** Append `df` as a new version. */
-  def append(df: DataFrame, dir: String): Int = {
+  /** Append `df` as a new version. `op` labels the commit in the log —
+    * callers implementing external transaction semantics (the streaming
+    * MV maintainer) stamp their txn id here and skip replays by looking
+    * it up.
+    */
+  def append(df: DataFrame, dir: String, op: String = "append"): Int = {
     Files.createDirectories(Paths.get(dir))
     val v = currentVersion(dir) + 1
     val adds = stageIn(df, dir, v)
-    commit(dir, Entry(v, "append", System.currentTimeMillis(), adds, Nil))
+    commit(dir, Entry(v, op, System.currentTimeMillis(), adds, Nil))
     v
   }
 
@@ -345,7 +349,7 @@ object VersionedTable {
     * left-semi file-discovery pass, one rewrite of the touched subset.
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
-      keys: Seq[String]): Int = {
+      keys: Seq[String], op: String = "merge"): Int = {
     val v = currentVersion(dir) + 1
     val cur = read(spark, dir).withColumn("_file", input_file_name())
     val touched = cur.join(broadcast(updates.select(keys.map(col): _*)
@@ -361,7 +365,7 @@ object VersionedTable {
       .join(updates, keys, "left_anti")
       .unionByName(updates)
     val adds = stageIn(rewritten, dir, v)
-    commit(dir, Entry(v, "merge", System.currentTimeMillis(), adds, touched))
+    commit(dir, Entry(v, op, System.currentTimeMillis(), adds, touched))
     v
   }
 

@@ -479,6 +479,70 @@ object StreamingOps {
       ()
     }.start()
 
+  /** One micro-batch of streaming MV maintenance — the
+    * [[graft.relational.Temporal.mvIncremental]] algebra applied at
+    * micro-batch cadence with EXACTLY-ONCE semantics: the level-1 MV
+    * (event_type, day, user_id → n, cents) lives in a
+    * [[graft.sources.VersionedTable]]; each batch aggregates its own
+    * delta (view-cardinality rows, never history) and ADDITIVELY merges
+    * it — existing key rows are summed, new keys insert — via the
+    * table's keyed MERGE, whose file pruning rewrites only files holding
+    * touched keys. Replay safety: the commit is stamped `mv-<batchId>`;
+    * a replayed batch finds its own stamp in the log and no-ops (the
+    * Delta txn-appId idea; replay-horizon caveat: a log [[graft.sources.VersionedTable.checkpoint]]
+    * folds old stamps away, so production checkpoints carry txn
+    * watermarks forward — here stamps live in the retained JSON
+    * history). Returns true when this call committed.
+    *
+    * @param batch (event_type STRING, ts_us LONG, user_id LONG,
+    *              cents LONG) micro-batch
+    */
+  def mvApplyBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
+    import graft.sources.VersionedTable
+    val label = s"mv-$batchId"
+    if (VersionedTable.entries(dir).exists(_.op == label)) return false
+    val keys = Seq("event_type", "day", "user_id")
+    val delta = batch
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        col("user_id"), col("cents"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+    val spark = batch.sparkSession
+    if (VersionedTable.currentVersion(dir) < 0) {
+      VersionedTable.append(delta, dir, op = label)
+    } else {
+      val cur = VersionedTable.read(spark, dir)
+      val updates = delta.as("d").join(cur.as("m"), keys, "left")
+        .select(col("event_type"), col("day"), col("user_id"),
+          (col("d.n") + coalesce(col("m.n"), lit(0L))).as("n"),
+          (col("d.c") + coalesce(col("m.c"), lit(0L))).as("c"))
+      VersionedTable.merge(spark, dir, updates, keys, op = label)
+    }
+    true
+  }
+
+  /** The maintained stream: micro-batches of events flow through
+    * [[mvApplyBatch]]. Pair with [[mvServe]] for the reader side.
+    */
+  def mvMaintainStream(events: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mvApplyBatch(batch, dir, batchId)
+      ()
+    }.start()
+
+  /** Serve the maintained view: roll the level-1 MV up to the published
+    * (event_type, day, n_events, n_users, cents) shape — view-cardinality
+    * input, so this is the cheap read-side query the maintenance exists
+    * to make possible.
+    */
+  def mvServe(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.VersionedTable.read(spark, dir)
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_users"),
+        sum("c").as("cents"))
+      .orderBy("event_type", "day")
+
   /** Streaming incremental corpus ingestion via `foreachBatch` — the
     * batch [[graft.dedup.Dedup.incrementalNew]] semantics applied to a
     * live stream: each micro-batch (1) dedups WITHIN itself on the
