@@ -99,6 +99,75 @@ object Graph {
     rank.orderBy(col("rank").desc, col("doc_id")).limit(100)
   }
 
+  /** HITS hubs & authorities over the same link graph — the
+    * complementary authority signal to PageRank (Kleinberg 1999): an
+    * authority is pointed at by good hubs, a hub points at good
+    * authorities. [[Iters]] unrolled mutual-reinforcement rounds, each
+    * TWO 8-byte-key hash aggregates (auth from in-edges' hub mass, then
+    * hub from out-edges' fresh auth mass). All-BIGINT with NO
+    * normalization: scores only feed ranking and thresholds, scale
+    * factors cancel in the order, and skipping the global normalizer
+    * removes the one all-reduce the float formulation needs per round —
+    * growth is bounded by (max degree)^(2·Iters) ≪ 2^63 here (a
+    * production run renormalizes by a power-of-two shift every few
+    * rounds: one broadcast scalar, exact in integers, same order).
+    * Output: top-100 by (authority desc, hub desc, doc_id).
+    */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val edges = linkEdges(spark, dir)
+    var scores = ids.select(col("doc_id"), lit(1L).as("hub"),
+      lit(1L).as("auth"))
+    for (_ <- 1 to Iters) {
+      val auth = edges
+        .join(scores.select(col("doc_id").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(sum("hub").as("a"))
+      val withAuth = ids.join(auth, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("a"), lit(0L)).as("auth"))
+      val hub = edges
+        .join(withAuth.select(col("doc_id").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(sum("auth").as("h"))
+      scores = ids.join(withAuth, Seq("doc_id"), "left")
+        .join(hub, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("hub"),
+          col("auth"))
+    }
+    scores.orderBy(col("auth").desc, col("hub").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val hitsSql: String = {
+    def round(prev: String, a: String, out: String): String =
+      s"""$a AS (SELECT i.doc_id,
+            CAST(coalesce(s.a, 0) AS BIGINT) AS auth
+          FROM ids i LEFT JOIN (
+            SELECT e.dst AS doc_id, CAST(sum(r.hub) AS BIGINT) AS a
+            FROM e JOIN $prev r ON e.src = r.doc_id
+            GROUP BY e.dst) s USING (doc_id)),
+        $out AS (SELECT i.doc_id,
+            CAST(coalesce(h.h, 0) AS BIGINT) AS hub, a.auth
+          FROM ids i
+          JOIN $a a USING (doc_id)
+          LEFT JOIN (
+            SELECT e.src AS doc_id, CAST(sum(w.auth) AS BIGINT) AS h
+            FROM e JOIN $a w ON e.dst = w.doc_id
+            GROUP BY e.src) h USING (doc_id))"""
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+        n AS (SELECT count(*) AS n FROM ids),
+        e AS (SELECT DISTINCT doc_id AS src,
+                (doc_id * 31 + j * 1009 + 7) % (SELECT n FROM n) AS dst
+              FROM ids, (VALUES (0), (1), (2)) t(j)
+              WHERE (doc_id * 31 + j * 1009 + 7) % (SELECT n FROM n)
+                    <> doc_id),
+        r0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS hub,
+                 CAST(1 AS BIGINT) AS auth FROM ids),
+        ${round("r0", "a1", "r1")},
+        ${round("r1", "a2", "r2")},
+        ${round("r2", "a3", "r3")}
+        SELECT doc_id, hub, auth FROM r3
+        ORDER BY auth DESC, hub DESC, doc_id LIMIT 100"""
+  }
+
   val pageRankSql: String = {
     val base = (15L * Scale / 100).toString
     def round(prev: String, out: String): String =

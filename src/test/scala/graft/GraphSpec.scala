@@ -50,6 +50,29 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hits matches an independent integer reimplementation") {
+    val n = 9
+    val dir = fixture(n)
+    val edges = (for {
+      src <- 0L until n.toLong
+      j <- 0 until Graph.Fanout
+      dst = (src * 31 + j * 1009 + 7) % n
+      if dst != src
+    } yield (src, dst)).distinct
+    var hub = (0L until n.toLong).map(i => i -> 1L).toMap
+    var auth = hub
+    for (_ <- 1 to Graph.Iters) {
+      auth = hub.keys.map(i =>
+        i -> edges.filter(_._2 == i).map(e => hub(e._1)).sum).toMap
+      hub = hub.keys.map(i =>
+        i -> edges.filter(_._1 == i).map(e => auth(e._2)).sum).toMap
+    }
+    val expected = (0L until n.toLong).map(i => (i, hub(i), auth(i)))
+      .sortBy { case (id, h, a) => (-a, -h, id) }
+    val got = Graph.hits(spark, dir).as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("pageRank invariants: base mass floor, bounded total") {
     val dir = fixture(20)
     val ranks = Graph.pageRank(spark, dir).as[(Long, Long)].collect()
