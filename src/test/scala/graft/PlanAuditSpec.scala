@@ -81,8 +81,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_sketch_shards",
       // the one-row corpus-size N riding the doc_id spine to derive the
       // modular link graph (the q_text_tfidf scalar shape; appears once
-      // per unrolled PageRank round)
-      "q_graph_pagerank")
+      // per unrolled power-iteration round)
+      "q_graph_pagerank", "q_graph_hits")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
