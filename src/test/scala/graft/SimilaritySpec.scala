@@ -28,6 +28,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("shard-merge topk is lossless: equals the global exact scan") {
+    val brute = Similarity.cosineTopK(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    val merged = Similarity.shardMergeTopK(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(merged.map(r => (r._1, r._3)) == brute)
+    // shard provenance is the hash layout
+    assert(merged.forall(r => r._2 == r._1 % Similarity.AnnShards))
+  }
+
   test("ann topk returns vectors from the query's LSH buckets with sane recall") {
     val ann = Similarity.annTopK(spark, sf).as[(Long, Double)].collect()
     assert(ann.nonEmpty)
