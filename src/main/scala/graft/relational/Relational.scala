@@ -723,6 +723,63 @@ object Relational {
     * Per-user window partitions scale like the sessionization family.
     * Output: (user_id, event_id, ts_us, n_in_window, limited).
     */
+  /** A/B experiment readout — deterministic hash-salted variant
+    * assignment (h48 of "exp1-"+user_id mod 2, the industry-standard
+    * per-experiment salt so concurrent experiments randomize
+    * independently) and the per-variant scorecard: users, events,
+    * converted users (≥1 purchase), conversion ppm (all-integer), exact
+    * purchase revenue cents. Two-level aggregate: user-level rollup
+    * first (shuffle key = user_id, cardinality scales with data), then
+    * the 2-row variant rollup — the same shape the funnel/retention
+    * family uses, one pass over events at any scale. Output: (variant,
+    * n_users, n_events, n_converted, conv_ppm, revenue_cents).
+    */
+  def eventsAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("variant",
+        when(Hashing.h48(concat(lit("exp1-"), col("user_id"))) % 2 === 0,
+          lit("control")).otherwise(lit("treatment")))
+    val perUser = e.groupBy("variant", "user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("purch_cents"))
+    perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("n_ev").as("n_events"),
+        sum(when(col("n_purch") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum("purch_cents").as("revenue_cents"))
+      .select(col("variant"), col("n_users"), col("n_events"),
+        col("n_converted"),
+        expr("n_converted * 1000000 div n_users").as("conv_ppm"),
+        col("revenue_cents"))
+      .orderBy("variant")
+  }
+
+  val eventsAbTestSql: String = {
+    val h = graft.functions.Hashing.duckH48("'exp1-' || user_id")
+    s"""WITH e AS (SELECT user_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          CASE WHEN $h % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+        FROM events),
+        u AS (SELECT variant, user_id, count(*) AS n_ev,
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS n_purch,
+            sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+              AS purch_cents
+          FROM e GROUP BY 1, 2)
+        SELECT variant, count(*) AS n_users,
+          CAST(sum(n_ev) AS BIGINT) AS n_events,
+          CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_converted,
+          CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS conv_ppm,
+          CAST(sum(purch_cents) AS BIGINT) AS revenue_cents
+        FROM u GROUP BY variant ORDER BY variant"""
+  }
+
   def eventsRateLimit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_us")

@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions.col
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("abtest: salted assignment and scorecard match a driver replay") {
+    import graft.model.Tables
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 100, 0) AS BIGINT)"))
+      .as[(Long, String, Long)].collect()
+    def variant(u: Long): String =
+      if (graft.functions.Hashing.h48String(s"exp1-$u") % 2 == 0) "control"
+      else "treatment"
+    val byVariant = rows.groupBy(r => variant(r._1))
+    val expected = byVariant.toSeq.map { case (v, rs) =>
+      val users = rs.groupBy(_._1)
+      val converted = users.count(_._2.exists(_._2 == "purchase"))
+      (v, users.size.toLong, rs.length.toLong, converted.toLong,
+        converted.toLong * 1000000L / users.size,
+        rs.filter(_._2 == "purchase").map(_._3).sum)
+    }.sortBy(_._1)
+    val got = graft.relational.Relational.eventsAbTest(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the salt splits the population non-degenerately
+    assert(got.size == 2 && got.forall(_._2 > 0))
+  }
+
   test("funnel counts only strictly-after stage sequences") {
     val events = Seq(
       // user 1: clean view → click → purchase
