@@ -206,11 +206,17 @@ object VersionedTable {
     * the whole job even if a merge commits mid-read (the files it lists
     * are immutable and never deleted by a commit).
     */
-  def read(spark: SparkSession, dir: String, asOf: Option[Int] = None)
-      : DataFrame = {
+  def read(spark: SparkSession, dir: String, asOf: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(dir, asOf)
     require(files.nonEmpty, s"no data at version ${asOf.getOrElse("latest")}")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    // mergeSchema = schema EVOLUTION reads (a later append added columns):
+    // the union schema with nulls for files written before the column
+    // existed. Costs a footer read per file — production formats keep the
+    // current schema in the log and skip that; opt-in here keeps the
+    // default read metadata-cheap.
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   // stage df as parquet, move its part files in as v<version>-<i>-<uuid>

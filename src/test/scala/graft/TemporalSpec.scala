@@ -146,6 +146,19 @@ class TemporalSpec extends SparkSpec {
     assert(pr.nLive == 4 && pr.nScanned == 2)
   }
 
+  test("schema evolution: merged reads surface late columns as nulls") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("evofix").toString
+    VersionedTable.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    VersionedTable.append(
+      Seq((2L, "b", 9L)).toDF("k", "v", "extra"), dir)
+    val merged = VersionedTable.read(spark, dir, mergeSchema = true)
+    assert(merged.columns.toSet == Set("k", "v", "extra"))
+    assert(merged.orderBy("k").select("k", "extra")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq(1L -> None, 2L -> Some(9L)))
+  }
+
   test("timeTravel: every lifecycle snapshot reads as committed") {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "n_chars").as[(Long, Long)].collect()
