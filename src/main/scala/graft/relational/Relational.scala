@@ -780,6 +780,51 @@ object Relational {
         FROM u GROUP BY variant ORDER BY variant"""
   }
 
+  /** Sample-ratio-mismatch guard for [[eventsAbTest]] — the FIRST check
+    * any experiment readout must pass (a biased assignment invalidates
+    * every downstream metric): χ² goodness-of-fit of the observed
+    * variant user counts against the designed 50/50 split. For two cells
+    * with equal expectation the statistic collapses to
+    * (o₁−o₂)²/(o₁+o₂), computed here as an exact integer micro-unit
+    * value ((o₁−o₂)²·10⁶ div n — no floats, engine-exact), flagged
+    * against the χ²₁ 95th percentile (3.841459 → 3 841 459 micro-units).
+    * One 2-row aggregate over the assignment rollup; cost is the same
+    * user-level pass the readout already does. Output: one row
+    * (n_control, n_treatment, chi2_x1e6, srm_detected).
+    */
+  def eventsSrm(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.load(spark, dir, "events")
+      .select(col("user_id"))
+      .distinct()
+      .withColumn("variant",
+        when(Hashing.h48(concat(lit("exp1-"), col("user_id"))) % 2 === 0,
+          lit("control")).otherwise(lit("treatment")))
+    users.agg(
+        sum(when(col("variant") === "control", 1L).otherwise(0L))
+          .as("n_control"),
+        sum(when(col("variant") === "treatment", 1L).otherwise(0L))
+          .as("n_treatment"))
+      .select(col("n_control"), col("n_treatment"),
+        expr("(n_control - n_treatment) * (n_control - n_treatment)" +
+          " * 1000000 div (n_control + n_treatment)").as("chi2_x1e6"))
+      .withColumn("srm_detected", col("chi2_x1e6") > 3841459L)
+  }
+
+  val eventsSrmSql: String = {
+    val h = graft.functions.Hashing.duckH48("'exp1-' || user_id")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+        a AS (SELECT CASE WHEN $h % 2 = 0 THEN 1 ELSE 0 END AS is_c FROM u),
+        t AS (SELECT CAST(sum(is_c) AS BIGINT) AS n_control,
+                CAST(sum(1 - is_c) AS BIGINT) AS n_treatment
+              FROM a)
+        SELECT n_control, n_treatment,
+          CAST((n_control - n_treatment) * (n_control - n_treatment)
+            * 1000000 // (n_control + n_treatment) AS BIGINT) AS chi2_x1e6,
+          (n_control - n_treatment) * (n_control - n_treatment)
+            * 1000000 // (n_control + n_treatment) > 3841459 AS srm_detected
+        FROM t"""
+  }
+
   def eventsRateLimit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_us")

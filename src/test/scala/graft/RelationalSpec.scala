@@ -36,6 +36,18 @@ class RelationalSpec extends SparkSpec {
     assert(got.size == 2 && got.forall(_._2 > 0))
   }
 
+  test("srm guard: exact chi-square micro-units, hand-checked threshold") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.relational.Relational.eventsSrm(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.size == 1)
+    val (c, t, chi2, flag) = got.head
+    assert(chi2 == (c - t) * (c - t) * 1000000L / (c + t))
+    assert(flag == (chi2 > 3841459L))
+    // a healthy 50/50 hash split on the fixture must NOT trip the guard
+    assert(!flag)
+  }
+
   test("funnel counts only strictly-after stage sequences") {
     val events = Seq(
       // user 1: clean view → click → purchase
