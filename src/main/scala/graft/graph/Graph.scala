@@ -168,6 +168,57 @@ object Graph {
         ORDER BY auth DESC, hub DESC, doc_id LIMIT 100"""
   }
 
+  /** Component-block width for [[componentEdges]]. */
+  val CcBlock = 16L
+
+  /** Second, SPARSER link fixture for connected components (the modular
+    * [[linkEdges]] graph is near-strongly-connected — one giant
+    * component, a degenerate CC input): chain edges i→i+1 inside each
+    * [[CcBlock]]-wide doc_id block plus a hash-free shortcut from each
+    * block's second half back to its head. Components are exactly the
+    * blocks BY CONSTRUCTION — which is what makes the oracle honest: it
+    * derives the expected labeling from the fixture arithmetic while the
+    * engine runs the real fixpoint (no shared shortcut). The generic CC
+    * correctness proof against arbitrary graphs is `DedupSpec`'s
+    * union-find replay over [[graft.dedup.Dedup.clustersFromPairs]].
+    */
+  def componentEdges(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val n = ids.agg(count(lit(1)).as("n"))
+    val chain = ids.crossJoin(broadcast(n))
+      .where(col("doc_id") % CcBlock =!= CcBlock - 1 &&
+        col("doc_id") + 1 < col("n"))
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+    val shortcut = ids
+      .where(col("doc_id") % CcBlock >= CcBlock / 2)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") - col("doc_id") % CcBlock).as("doc_b"))
+    chain.unionByName(shortcut)
+  }
+
+  /** Connected components over the sparse link graph — THE grouping
+    * primitive of every dedup/community stage, declared here as a
+    * first-class graph operator: labels from the engine's adaptive
+    * pointer-jumping fixpoint ([[graft.dedup.Dedup.clustersFromPairs]] —
+    * O(log n) rounds, checkpoint-truncated lineage, min-label roots),
+    * rolled up to one row per component (root id, size, exact member-id
+    * checksum). Same 100 TB shape as the near-dup clusters: per-round
+    * one 8-byte-key shuffle, at most two rounds of labels resident.
+    * Output: (component, size, id_sum) ordered by component.
+    */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.dedup.Dedup.clustersFromPairs(
+      componentEdges(spark, dir))
+    labels.groupBy(col("canonical_id").as("component"))
+      .agg(count(lit(1)).as("size"), sum("doc_id").as("id_sum"))
+      .orderBy("component")
+  }
+
+  val componentsSql: String =
+    s"""SELECT (doc_id // $CcBlock) * $CcBlock AS component,
+        count(*) AS size, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents GROUP BY 1 ORDER BY 1"""
+
   val pageRankSql: String = {
     val base = (15L * Scale / 100).toString
     def round(prev: String, out: String): String =

@@ -73,6 +73,31 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("components: fixpoint labels equal a driver union-find replay") {
+    val n = 41 // deliberately not a multiple of the block width
+    val dir = fixture(n)
+    // independent union-find over the same fixture edges
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val B = Graph.CcBlock.toInt
+    for (i <- 0 until n) {
+      if (i % B != B - 1 && i + 1 < n) union(i, i + 1)
+      if (i % B >= B / 2) union(i, i - i % B)
+    }
+    val expected = (0 until n).groupBy(find)
+      .map { case (r, ms) => (r.toLong, ms.size.toLong, ms.map(_.toLong).sum) }
+      .toSeq.sortBy(_._1)
+    val got = Graph.components(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // block structure: every component root is a block head
+    assert(got.forall(_._1 % Graph.CcBlock == 0))
+  }
+
   test("pageRank invariants: base mass floor, bounded total") {
     val dir = fixture(20)
     val ranks = Graph.pageRank(spark, dir).as[(Long, Long)].collect()

@@ -82,7 +82,7 @@ class PlanAuditSpec extends SparkSpec {
       // the one-row corpus-size N riding the doc_id spine to derive the
       // modular link graph (the q_text_tfidf scalar shape; appears once
       // per unrolled power-iteration round)
-      "q_graph_pagerank", "q_graph_hits",
+      "q_graph_pagerank", "q_graph_hits", "q_graph_components",
       // the q_sim_topk one-row query vector, scored per serving shard
       "q_ann_shard_merge")
     for ((name, fn) <- SparkEntry.queries) {
