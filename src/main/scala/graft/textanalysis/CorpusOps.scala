@@ -1869,4 +1869,70 @@ object CorpusOps {
             END AS BIGINT) AS w_ppm
         FROM rb$RakeRounds ORDER BY source, lang"""
   }
+
+  // ------------------------------------------------------ preference pairs
+
+  /** Preference-pair construction — within every (source, lang) stratum,
+    * pair the HIGHEST-quality document (chosen) with the LOWEST
+    * (rejected), margin attached: the DPO/RLHF-reward-data shape (a
+    * preference pair needs two comparable completions from the SAME
+    * distribution — cross-source pairs teach source ID, not quality, so
+    * the stratum IS the prompt surrogate). Quality quantizes to integer
+    * ppm (same double arithmetic both engines ⇒ floor engine-exact);
+    * ties break deterministically toward the larger doc_id for chosen
+    * and the smaller for rejected (the struct-max/min convention), and
+    * zero-margin strata drop — a pair that cannot teach a gradient is
+    * not emitted. Strata count only docs the scorer scores (non-empty
+    * token arrays), mirroring [[TextAnalysis.qualityScore]]'s domain.
+    *
+    * Scale: ONE groupBy over ~|sources|·|langs| keys where each extreme
+    * is a `max(struct(q, id))` — partial-aggregated map-side, no window,
+    * no sort, the whole corpus reduced in a single 16-byte-key exchange.
+    * (The oracle takes the same extremes via per-stratum row_number —
+    * fine at oracle scale, windows-over-strata at 100 TB is exactly
+    * what the aggregate form avoids.) Output: (source, lang, n_docs,
+    * chosen_id, rejected_id, chosen_ppm, rejected_ppm, margin_ppm).
+    */
+  def prefPairs(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"),
+        floor(col("quality") * 1000000).cast("long").as("q_ppm"))
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+    d.join(q, "doc_id")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("q_ppm"), col("doc_id"))).as("best"),
+        min(struct(col("q_ppm"), col("doc_id"))).as("worst"))
+      .where(col("n_docs") >= 2)
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("best.doc_id").as("chosen_id"),
+        col("worst.doc_id").as("rejected_id"),
+        col("best.q_ppm").as("chosen_ppm"),
+        col("worst.q_ppm").as("rejected_ppm"),
+        (col("best.q_ppm") - col("worst.q_ppm")).as("margin_ppm"))
+      .where(col("margin_ppm") > 0)
+      .orderBy("source", "lang")
+  }
+
+  val prefPairsSql: String =
+    s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+        j AS (SELECT d.source, d.lang, q.doc_id,
+                CAST(floor(q.quality * 1000000) AS BIGINT) AS q_ppm
+              FROM q JOIN documents d ON q.doc_id = d.doc_id),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY source, lang
+                  ORDER BY q_ppm DESC, doc_id DESC) AS rb,
+                row_number() OVER (PARTITION BY source, lang
+                  ORDER BY q_ppm ASC, doc_id ASC) AS rw,
+                count(*) OVER (PARTITION BY source, lang) AS n_docs
+              FROM j)
+        SELECT b.source, b.lang, CAST(b.n_docs AS BIGINT) AS n_docs,
+          b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+          b.q_ppm AS chosen_ppm, w.q_ppm AS rejected_ppm,
+          b.q_ppm - w.q_ppm AS margin_ppm
+        FROM r b JOIN r w
+          ON b.source = w.source AND b.lang = w.lang
+          AND b.rb = 1 AND w.rw = 1
+        WHERE b.n_docs >= 2 AND b.q_ppm - w.q_ppm > 0
+        ORDER BY b.source, b.lang"""
 }

@@ -1207,4 +1207,84 @@ object TextAnalysis {
           CAST(len(main) AS INT) AS main_chars,
           md5(main) AS main_digest
         FROM m ORDER BY doc_id"""
+
+  // ------------------------------------------------------------ score AUC
+
+  /** Classifier-score AUC — the ROC area of the quality score at
+    * separating English documents from the rest (the GPT-3 / CCNet
+    * quality-filter eval shape: the heuristic's stopword list is
+    * English, so `lang = 'en'` is the positive class its score should
+    * rank above everything else; AUC is THE threshold-free answer to
+    * "is this filter worth deploying"). EXACT, ties handled by the
+    * Mann–Whitney midrank convention: AUC·n₊·n₋ = #{pairs s₊ > s₋} +
+    * ½·#{ties}, computed as U2 = Σ_s c₊(s)·(2·neg_below(s) + c₋(s))
+    * over the distinct-score table, auc_ppm = U2·10⁶ div (2·n₊·n₋).
+    *
+    * Scale shape: scores quantize to integer ppm (same double arithmetic
+    * both engines ⇒ floor is engine-exact), so the distinct-score table
+    * is BOUNDED at 10⁶+1 rows at any corpus size — but even that never
+    * meets a partition-less window: `neg_below` decomposes over the
+    * fixed [[RankBlocks]] value grid exactly like [[qualityCalibrated]]
+    * (within-block running sums in blk-partitioned windows + a
+    * triangular join over the ≤[[RankBlocks]]-row per-block totals for
+    * the cross-block mass). One corpus scan, one bounded aggregate,
+    * then broadcast-sized arithmetic; U2 runs widened to decimal(38,0)
+    * (HUGEINT in the oracle) so 2^40-row classes cannot overflow.
+    * Output: one row (n_pos, n_neg, auc_ppm).
+    */
+  def scoreAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = docs(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("pos"))
+    val scored = qualityScore(spark, dir)
+      .select(col("doc_id"),
+        floor(col("quality") * 1000000).cast("long").as("s"))
+      .join(lab, "doc_id")
+    val blkWidth = 1000000 / RankBlocks + 1
+    val g = scored
+      .withColumn("blk",
+        least(lit(RankBlocks - 1), expr(s"s div $blkWidth")).cast("int"))
+      .groupBy("blk", "s")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+    val within = Window.partitionBy("blk").orderBy("s")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val w = g.withColumn("nb_in", coalesce(sum("cn").over(within), lit(0L)))
+    val blkTot = g.groupBy("blk").agg(sum("cn").as("bn"))
+    val lower = blkTot.as("a")
+      .join(broadcast(blkTot.as("b")), col("a.blk") > col("b.blk"), "left")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("nb_lower"))
+    w.join(broadcast(lower), "blk")
+      .withColumn("nb", col("nb_in") + col("nb_lower"))
+      .agg(sum("cp").as("n_pos"), sum("cn").as("n_neg"),
+        sum(expr("cast(cp as decimal(38,0)) * (2 * nb + cn)")).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""cast(u2 * 1000000
+                     div (2 * cast(n_pos as decimal(38,0)) * n_neg)
+                as bigint)""").as("auc_ppm"))
+  }
+
+  val scoreAucSql: String =
+    s"""WITH q AS ($qualityScoreSql),
+        sc AS (SELECT CAST(floor(q.quality * 1000000) AS BIGINT) AS s,
+                 (d.lang = 'en') AS pos
+               FROM q JOIN documents d ON q.doc_id = d.doc_id),
+        g AS (SELECT s,
+                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+              FROM sc GROUP BY s),
+        w AS (SELECT s, cp, cn,
+                CAST(coalesce(sum(cn) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS HUGEINT) AS nb
+              FROM g),
+        t AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                CAST(sum(cn) AS BIGINT) AS n_neg,
+                sum(CAST(cp AS HUGEINT) * (2 * nb + cn)) AS u2
+              FROM w)
+        SELECT n_pos, n_neg,
+          CAST(u2 * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+            AS BIGINT) AS auc_ppm
+        FROM t"""
 }

@@ -1,0 +1,161 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, floor}
+import graft.graph.Graph
+import graft.relational.Expectations
+import graft.textanalysis.{CorpusOps, TextAnalysis}
+
+/** Round-8 additions: data-contract audit, triangle census, score AUC and
+  * preference pairs — each verified against an independent driver-side
+  * replay on a controlled fixture (never against the engine's own plan).
+  */
+class ContractsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** documents fixture with caller-controlled lang/source. */
+  private def writeDocsFull(
+      rows: Seq[(Long, String, String, String)]): String = {
+    import org.apache.spark.sql.functions.length
+    val dir = java.nio.file.Files.createTempDirectory("docsfull").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ----------------------------------------------------------- expectations
+
+  test("expectations: seeded violations are counted, clean checks pass") {
+    val dir = java.nio.file.Files.createTempDirectory("contract").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 5 lineitem rows: one duplicate PK, one quantity out of range, one
+    // dangling orderkey; everything else clean.
+    Seq(
+      (1L, 10L, 100L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts),
+      (1L, 11L, 101L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts), // dup PK
+      (1L, 12L, 102L, 2, 99.0, 1000.0, 0.05, 0.02, "A", "F", ts), // qty
+      (2L, 13L, 103L, 1, 5.0, 1000.0, 0.05, 0.02, "R", "F", ts),
+      (9L, 14L, 104L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts)) // dangling
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // 3 orders, one with a dangling custkey.
+    Seq((1L, 1L, "O", 100.0, ts, "1-URGENT"),
+        (2L, 2L, "F", 100.0, ts, "2-HIGH"),
+        (3L, 7L, "O", 100.0, ts, "2-HIGH")) // custkey 7 dangles
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val got = Expectations.expectations(spark, dir)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    val exp = Seq(
+      ("fk_lineitem_orders", 5L, 1L, false),
+      ("fk_orders_customer", 3L, 1L, false),
+      ("li_discount_range", 5L, 0L, true),
+      ("li_extendedprice_pos", 5L, 0L, true),
+      ("li_linestatus_domain", 5L, 0L, true),
+      ("li_orderkey_not_null", 5L, 0L, true),
+      ("li_pk_unique", 5L, 1L, false),
+      ("li_quantity_range", 5L, 1L, false),
+      ("li_returnflag_domain", 5L, 0L, true),
+      ("li_shipdate_not_null", 5L, 0L, true))
+    assert(got == exp)
+  }
+
+  // -------------------------------------------------------------- triangles
+
+  test("triangles matches a brute-force census of the derived graph") {
+    val n = 23
+    val dir = writeDocs((0L until n.toLong).map(i => (i, s"doc $i")))
+    // independent driver-side derivation + brute-force count
+    val sym = (for {
+      src <- 0L until n.toLong
+      j <- 0 until Graph.Fanout
+      dst = (src * 31 + j * 1009 + 7) % n
+      if dst != src
+      e <- Seq((src, dst), (dst, src))
+    } yield e).toSet
+    val canon = sym.filter { case (u, v) => u < v }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keySet
+    val tri = (for {
+      u <- nodes; v <- nodes if u < v && canon((u, v))
+      w <- nodes if v < w && canon((v, w)) && canon((u, w))
+    } yield (u, v, w)).size.toLong
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val got = Graph.triangles(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((nodes.size.toLong, canon.size.toLong, tri, wedges,
+      3L * tri * 1000000L / wedges)))
+  }
+
+  // -------------------------------------------------------------- score AUC
+
+  test("scoreAuc: perfectly separated classes score exactly 1.0") {
+    // en docs are natural prose (stopwords, diverse types); zz docs are
+    // degenerate repetition — quality strictly separates the classes.
+    val dir = writeDocsFull(
+      (0L until 6L).map(i =>
+        (i, "the quick brown fox jumps of the lazy dog", "en", "s0")) ++
+      (6L until 12L).map(i => (i, "zz zz zz zz zz zz", "zz", "s0")))
+    val Seq((np, nn, auc)) = TextAnalysis.scoreAuc(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert((np, nn) == (6L, 6L))
+    assert(auc == 1000000L)
+  }
+
+  test("scoreAuc matches a driver-side pairwise replay with ties") {
+    // overlapping classes incl. exact score ties across labels
+    val texts = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "a dog ran to a tree", "en"),
+      (2L, "der hund lief zum baum heute", "de"),
+      (3L, "the cat sat on the mat", "de"), // tie with doc 0
+      (4L, "la casa es muy bonita hoy", "es"),
+      (5L, "of mice and men and more", "en"))
+    val dir = writeDocsFull(texts.map { case (i, t, l) => (i, t, l, "s0") })
+    val scored = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), floor(col("quality") * 1000000).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val pos = texts.filter(_._3 == "en").map(t => scored(t._1))
+    val neg = texts.filter(_._3 != "en").map(t => scored(t._1))
+    val u2 = (for { p <- pos; q <- neg } yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val expAuc = u2 * 1000000L / (2L * pos.size * neg.size)
+    val Seq((np, nn, auc)) = TextAnalysis.scoreAuc(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert((np, nn, auc) == (pos.size.toLong, neg.size.toLong, expAuc))
+  }
+
+  // ------------------------------------------------------- preference pairs
+
+  test("prefPairs picks per-stratum extremes with deterministic ties") {
+    val texts = Seq(
+      // stratum (s0, en): clear best/worst
+      (0L, "the quick brown fox jumps of the lazy dog", "en", "s0"),
+      (1L, "zz zz zz zz zz zz", "en", "s0"),
+      (2L, "a plain middling sentence here", "en", "s0"),
+      // stratum (s0, de): all same text — zero margin, must drop
+      (3L, "gleicher text", "de", "s0"),
+      (4L, "gleicher text", "de", "s0"),
+      // stratum (s1, en): single doc, must drop
+      (5L, "only one document", "en", "s1"))
+    val dir = writeDocsFull(texts)
+    val scored = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), floor(col("quality") * 1000000).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val s0en = Seq(0L, 1L, 2L).map(i => (scored(i), i))
+    val best = s0en.max
+    val worst = s0en.min
+    val got = CorpusOps.prefPairs(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("s0", "en", 3L, best._2, worst._2, best._1, worst._1,
+      best._1 - worst._1)))
+  }
+}

@@ -84,7 +84,18 @@ class PlanAuditSpec extends SparkSpec {
       // per unrolled power-iteration round)
       "q_graph_pagerank", "q_graph_hits", "q_graph_components",
       // the q_sim_topk one-row query vector, scored per serving shard
-      "q_ann_shard_merge")
+      "q_ann_shard_merge",
+      // one-row audit scalars (FK violation counts, table totals)
+      // crossed onto the one-row conditional-aggregate result before
+      // `stack` fans them out to constraint rows
+      "q_expectations",
+      // one-row census scalars (n_nodes/n_edges/triangles/wedges)
+      // crossed into the single output row
+      "q_graph_triangles",
+      // the triangular blk-total join (≤RankBlocks rows per side) that
+      // assembles cross-block negative mass, plus the one-row n_pos/n_neg
+      // totals
+      "q_score_auc")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
