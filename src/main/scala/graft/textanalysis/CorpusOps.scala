@@ -1935,4 +1935,63 @@ object CorpusOps {
           AND b.rb = 1 AND w.rw = 1
         WHERE b.n_docs >= 2 AND b.q_ppm - w.q_ppm > 0
         ORDER BY b.source, b.lang"""
+
+  // --------------------------------------------------- temperature mixture
+
+  /** Temperature exponent for [[langTemperature]] — α = 0.3, the
+    * mC4/XLM-R convention (α = 1 is proportional sampling that drowns
+    * low-resource languages; α = 0 is uniform; 0.3 is the published
+    * compromise that upsamples the tail without flattening the head).
+    */
+  val TempAlpha = 0.3
+
+  /** Temperature-scaled multilingual sampling weights — the standard
+    * multilingual-pretraining mixture: per-language natural token share
+    * p_l, raw weight p_l^α, renormalized to a sampling distribution.
+    * [[corpusMix]] balances SOURCES under explicit targets; this derives
+    * the LANGUAGE targets themselves from the corpus, the way mC4/XLM-R
+    * set theirs. The power is the module's one transcendental beyond
+    * ln/log2 and gets the same treatment (JVM pow vs libm may differ in
+    * the last ulp): round to 10 decimals on both engines BEFORE any
+    * downstream arithmetic, then the normalized weight rounds again and
+    * quantizes to ppm by floor — every divergence point pinned.
+    *
+    * Scale: ONE corpus aggregate to |langs| cells, then broadcast-sized
+    * arithmetic (the total and the raw-weight sum are one-row frames
+    * crossed onto the tiny lang table — the established scalar shape).
+    * share_ppm stays ALL-INTEGER (m·10⁶ div M); only the α-power runs
+    * in doubles. Output: (lang, n_tokens, share_ppm, w_ppm) ordered by
+    * lang; Σ w_ppm ≈ 10⁶ (floor truncation, documented not hidden).
+    */
+  def langTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir)
+      .groupBy("lang")
+      .agg(sum(size(toks(col("text"))).cast("long")).as("m"))
+    val total = cells.agg(sum("m").as("tot"))
+    val raw = cells.crossJoin(broadcast(total))
+      .withColumn("p", col("m").cast("double") / col("tot").cast("double"))
+      .withColumn("r", round(pow(col("p"), lit(TempAlpha)), 10))
+    val sumRaw = raw.agg(sum("r").as("sr"))
+    raw.crossJoin(broadcast(sumRaw))
+      .select(col("lang"), col("m").as("n_tokens"),
+        expr("m * 1000000 div tot").as("share_ppm"),
+        floor(round(col("r") / col("sr"), 10) * 1000000)
+          .cast("long").as("w_ppm"))
+      .orderBy("lang")
+  }
+
+  val langTemperatureSql: String =
+    s"""WITH c AS (SELECT lang, CAST(sum(len($duckToks)) AS BIGINT) AS m
+               FROM documents GROUP BY lang),
+        t AS (SELECT CAST(sum(m) AS BIGINT) AS tot FROM c),
+        r AS (SELECT lang, m,
+                round(pow(CAST(m AS DOUBLE) / CAST(tot AS DOUBLE),
+                  $TempAlpha), 10) AS r,
+                tot
+              FROM c, t),
+        s AS (SELECT sum(r) AS sr FROM r)
+        SELECT lang, m AS n_tokens,
+          CAST(m * 1000000 // tot AS BIGINT) AS share_ppm,
+          CAST(floor(round(r / sr, 10) * 1000000) AS BIGINT) AS w_ppm
+        FROM r, s ORDER BY lang"""
 }

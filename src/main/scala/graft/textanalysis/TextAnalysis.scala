@@ -1287,4 +1287,54 @@ object TextAnalysis {
           CAST(u2 * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
             AS BIGINT) AS auc_ppm
         FROM t"""
+
+  // ---------------------------------------------------- global percentile
+
+  /** Corpus-GLOBAL quality percentile per document — the companion to
+    * [[qualityCalibrated]] (which ranks within each source): a single
+    * corpus-wide gate ("drop the bottom 20% of the whole corpus") needs
+    * every doc's rank against ALL docs, not its source cohort.
+    * pr_ppm = (rank−1)·10⁶ div (n−1), ties broken by doc_id — the same
+    * all-integer contract as the per-source form.
+    *
+    * Scale shape: a global rank is the textbook partition-less window —
+    * banned here. Instead the [[qualityBlock]] fixed-grid decomposition
+    * runs WITHOUT the source key: per-block counts (≤[[RankBlocks]]
+    * rows total) feed a triangular block join for each block's global
+    * offset, the corpus total rides along as a broadcast one-row frame,
+    * and the within-block row_number runs in blk-partitioned windows
+    * whose partition count scales with data. rank = offset +
+    * within-block rank, row-for-row identical to the one-window form.
+    * Output: (doc_id, quality, pr_ppm) ordered by doc_id.
+    */
+  def qualityGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+      .withColumn("blk", qualityBlock(col("quality")))
+    val blkTot = b.groupBy("blk").agg(count(lit(1)).as("c"))
+    val offsets = blkTot.as("a")
+      .join(broadcast(blkTot.as("b")), col("a.blk") > col("b.blk"), "left")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    val n = blkTot.agg(sum("c").as("n"))
+    val within = Window.partitionBy("blk").orderBy("quality", "doc_id")
+    b.join(broadcast(offsets), "blk")
+      .withColumn("rk", col("off") + row_number().over(within))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("quality"),
+        when(col("n") > 1, expr("(rk - 1) * 1000000 div (n - 1)"))
+          .otherwise(lit(0L)).as("pr_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val qualityGlobalSql: String =
+    s"""WITH q AS ($qualityScoreSql),
+        r AS (SELECT doc_id, quality,
+                row_number() OVER (ORDER BY quality, doc_id) AS rk,
+                count(*) OVER () AS n
+              FROM q)
+        SELECT doc_id, quality,
+          CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+               ELSE 0 END AS BIGINT) AS pr_ppm
+        FROM r ORDER BY doc_id"""
 }

@@ -158,4 +158,55 @@ class ContractsSpec extends SparkSpec {
     assert(got == Seq(("s0", "en", 3L, best._2, worst._2, best._1, worst._1,
       best._1 - worst._1)))
   }
+
+  // ------------------------------------------------------ global percentile
+
+  test("qualityGlobal: block-decomposed rank equals the one-window rank") {
+    val texts = Seq(
+      (0L, "the quick brown fox jumps of the lazy dog"),
+      (1L, "zz zz zz zz zz zz"),
+      (2L, "a plain middling sentence here"),
+      (3L, "zz zz zz zz zz zz"), // exact tie with doc 1 → doc_id order
+      (4L, "of mice and men and more and more"),
+      (5L, "the the the the the"))
+    val dir = writeDocs(texts)
+    val scored = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .as[(Long, Double)].collect().toMap
+    val n = texts.size
+    val expected = texts.map(_._1).sortBy(i => (scored(i), i)).zipWithIndex
+      .map { case (i, rk) => i -> rk.toLong * 1000000L / (n - 1) }.toMap
+    val got = TextAnalysis.qualityGlobal(spark, dir)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.map(r => r._1 -> r._3).toMap == expected)
+    assert(got.map(_._1) == texts.map(_._1)) // doc_id order
+  }
+
+  // ----------------------------------------------------- temperature mixture
+
+  test("langTemperature: α-weights upsample the tail, ppm sums hold") {
+    // one dominant language, two tails
+    val texts =
+      (0L until 16L).map(i => (i, "the big corpus language text", "en", "s")) ++
+      Seq((16L, "kleine sprache hier", "de", "s"),
+          (17L, "idioma pequeno aqui", "es", "s"))
+    val dir = writeDocsFull(texts.map { case (i, t, l, s) => (i, t, l, s) })
+    val got = CorpusOps.langTemperature(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // shares are exact integers of the token masses
+    val masses = Map("en" -> 16L * 5, "de" -> 3L, "es" -> 3L)
+    val tot = masses.values.sum
+    for ((l, m) <- masses) {
+      assert(got(l)._2 == m)
+      assert(got(l)._3 == m * 1000000L / tot)
+      // temperature compresses: weight share sits between uniform and
+      // natural share for the head, above natural for the tail
+      if (l == "en") assert(got(l)._4 < got(l)._3)
+      else assert(got(l)._4 > got(l)._3)
+    }
+    // floor-truncated ppm distribution still sums to ~1e6
+    val s = got.values.map(_._4).sum
+    assert(s <= 1000000L && s > 999990L)
+  }
 }

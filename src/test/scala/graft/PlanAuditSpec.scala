@@ -95,7 +95,13 @@ class PlanAuditSpec extends SparkSpec {
       // the triangular blk-total join (≤RankBlocks rows per side) that
       // assembles cross-block negative mass, plus the one-row n_pos/n_neg
       // totals
-      "q_score_auc")
+      "q_score_auc",
+      // same triangular blk-offset join + the one-row corpus total
+      // riding every doc for the global-percentile division
+      "q_quality_global",
+      // one-row token total and raw-weight sum crossed onto the
+      // |langs|-row cell table
+      "q_lang_temperature")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
