@@ -208,6 +208,47 @@ object Multimodal {
             AS frame_hash
         FROM f ORDER BY doc_id, frame_idx"""
 
+  /** Content-addressable media dedup — group payloads by their content
+    * digest and report every duplicate group with its canonical keeper
+    * and reclaimable bytes: the CAS (content-addressable storage) audit
+    * every image/video lake runs, since crawled media repeats wholesale
+    * (the same logo/thumbnail under thousands of URLs) and storage — not
+    * compute — is the first thing duplicate media exhausts. Byte-exact
+    * digest dedup is deliberately the MEDIA-correct granularity (a
+    * re-encoded JPEG is a different payload; perceptual near-dup is the
+    * embedding-LSH family's job) — this is [[graft.dedup.Dedup]]'s exact
+    * dedup applied to the binary column, reported as a storage ledger
+    * instead of a survivor set.
+    *
+    * Scale: ONE scan → 16-byte digest + 8-byte id per row → one hash
+    * aggregate keyed by digest; no payload ever crosses the exchange
+    * (the digest is computed scan-side). Output: one row per duplicated
+    * digest (digest, n_copies, canonical_id = min doc_id, bytes_each,
+    * bytes_saved = (n_copies−1)·bytes_each), ordered by digest.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir).toDF()
+      .select(col("doc_id"), md5(col("content")).as("digest"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"),
+        min("n_bytes").as("bytes_each"))
+      .where(col("n_copies") >= 2)
+      .select(col("digest"), col("n_copies"), col("canonical_id"),
+        col("bytes_each"),
+        ((col("n_copies") - 1) * col("bytes_each")).as("bytes_saved"))
+      .orderBy("digest")
+
+  val mediaDedupSql: String =
+    """WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS digest,
+              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                AS n_bytes
+            FROM documents)
+       SELECT digest, count(*) AS n_copies, min(doc_id) AS canonical_id,
+         min(n_bytes) AS bytes_each,
+         CAST((count(*) - 1) * min(n_bytes) AS BIGINT) AS bytes_saved
+       FROM b GROUP BY digest HAVING count(*) >= 2 ORDER BY digest"""
+
   val mediaMetaSql: String =
     """WITH h AS (SELECT doc_id,
               CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes,

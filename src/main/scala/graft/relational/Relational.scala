@@ -1027,6 +1027,77 @@ object Relational {
          quantile_cont(disorder_us, 0.99) AS p99_us
        FROM d GROUP BY event_type ORDER BY event_type"""
 
+  /** Seasonal-naive forecast backtest — predict the LAST day's hourly
+    * event counts per type from the seasonal mean of all prior days
+    * (same-hour average), then score the prediction against what
+    * actually happened: the capacity-planning baseline every ingest
+    * pipeline runs before sizing tomorrow's fleet, and the reference
+    * forecast any fancier model must beat (a model that loses to
+    * seasonal-naive is noise). forecast = train-period count at that
+    * (type, hour) div #train-days — counting ABSENT days as zeros, which
+    * the per-day-mean-of-means gets wrong; all-integer, engine-exact.
+    *
+    * Scale: the day spine (≤ tens of rows at any corpus age) aggregates
+    * once into a broadcast one-row (last_day, d_train) frame; then ONE
+    * conditional-aggregate scan splits every event into train/actual
+    * mass keyed by (type, hour) — output cardinality |types|·24, dense
+    * via the type×hour grid spine (absent cells forecast 0, the honest
+    * claim). Output: (event_type, hour, forecast, actual, abs_err).
+    */
+  def eventsForecast(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(expr("ts_ns div 86400000000000").as("day"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        col("event_type"))
+    val bounds = e.select(col("day")).distinct()
+      .agg(max("day").as("last_day"), (count(lit(1)) - 1).as("d_train"))
+    val grid = e.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(23L))).as("hour"))
+    val g = e.crossJoin(broadcast(bounds))
+      .groupBy("event_type", "hour")
+      .agg(sum(when(col("day") < col("last_day"), 1L).otherwise(0L))
+          .as("train_n"),
+        sum(when(col("day") === col("last_day"), 1L).otherwise(0L))
+          .as("actual_n"))
+    grid.join(g, Seq("event_type", "hour"), "left")
+      .crossJoin(broadcast(bounds.select(col("d_train"))))
+      .select(col("event_type"), col("hour"),
+        when(col("d_train") > 0,
+          expr("coalesce(train_n, 0) div d_train")).otherwise(lit(0L))
+          .as("forecast"),
+        coalesce(col("actual_n"), lit(0L)).as("actual"))
+      .withColumn("abs_err", abs(col("forecast") - col("actual")))
+      .orderBy("event_type", "hour")
+  }
+
+  val eventsForecastSql: String =
+    """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+              (epoch_ns(ts) // 3600000000000) % 24 AS hour, event_type
+            FROM events),
+        d AS (SELECT max(day) AS last_day, count(DISTINCT day) - 1 AS d_train
+              FROM e),
+        grid AS (SELECT event_type, CAST(t.h AS BIGINT) AS hour
+                 FROM (SELECT DISTINCT event_type FROM e)
+                 CROSS JOIN generate_series(0, 23) AS t(h)),
+        g AS (SELECT event_type, hour,
+                sum(CASE WHEN day < (SELECT last_day FROM d)
+                    THEN 1 ELSE 0 END) AS train_n,
+                sum(CASE WHEN day = (SELECT last_day FROM d)
+                    THEN 1 ELSE 0 END) AS actual_n
+              FROM e GROUP BY 1, 2)
+        SELECT gr.event_type, gr.hour,
+          CAST(CASE WHEN (SELECT d_train FROM d) > 0
+               THEN coalesce(g.train_n, 0) // (SELECT d_train FROM d)
+               ELSE 0 END AS BIGINT) AS forecast,
+          CAST(coalesce(g.actual_n, 0) AS BIGINT) AS actual,
+          CAST(abs(CASE WHEN (SELECT d_train FROM d) > 0
+                   THEN coalesce(g.train_n, 0) // (SELECT d_train FROM d)
+                   ELSE 0 END - coalesce(g.actual_n, 0)) AS BIGINT)
+            AS abs_err
+        FROM grid gr LEFT JOIN g USING (event_type, hour)
+        ORDER BY event_type, hour"""
+
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val g = eventsGapfill(spark, dir)
     val nDec = col("n").cast("decimal(19,0)")

@@ -209,4 +209,54 @@ class ContractsSpec extends SparkSpec {
     val s = got.values.map(_._4).sum
     assert(s <= 1000000L && s > 999990L)
   }
+
+  // ----------------------------------------------------------- media dedup
+
+  test("mediaDedup: duplicate payloads ledger with canonical keepers") {
+    val dir = writeDocs(Seq(
+      (0L, "same payload bytes"), (1L, "same payload bytes"),
+      (2L, "same payload bytes"), // triple → saves 2× its bytes
+      (3L, "unique one"), (4L, "another unique"),
+      (5L, "pair bytes"), (6L, "pair bytes")))
+    val got = graft.multimodal.Multimodal.mediaDedup(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .map { case (_, n, canon, each, saved) => (n, canon, each, saved) }
+      .sortBy(_._2)
+    val b3 = "same payload bytes".getBytes("UTF-8").length.toLong
+    val b2 = "pair bytes".getBytes("UTF-8").length.toLong
+    assert(got == Seq((3L, 0L, b3, 2 * b3), (2L, 5L, b2, b2)))
+  }
+
+  // ------------------------------------------------------- events forecast
+
+  test("eventsForecast: seasonal-naive replay on a controlled stream") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val dir = java.nio.file.Files.createTempDirectory("fc").toString
+    val hourNs = 3600L * 1000000000L
+    val dayNs = 24 * hourNs
+    // 3 days of 'click' at hour 2: 4, 6, then 3 on the last day;
+    // 1 event of 'view' at hour 5 on the last day only
+    val rows =
+      (0 until 4).map(i => (100L + i, 0L * dayNs + 2 * hourNs + i, "click")) ++
+      (0 until 6).map(i => (200L + i, 1L * dayNs + 2 * hourNs + i, "click")) ++
+      (0 until 3).map(i => (300L + i, 2L * dayNs + 2 * hourNs + i, "click")) ++
+      Seq((400L, 2L * dayNs + 5 * hourNs, "view"))
+    // `ts` as a raw nanos LONG — Tables.withEventTime's long branch, the
+    // same physical shape as the driver's TIMESTAMP(NANOS) parquet
+    rows.toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", col("event_id") % 7)
+      .withColumn("value", flit(1.0))
+      .withColumn("props", flit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.relational.Relational.eventsForecast(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .filter(r => r._4 > 0 || r._3 > 0)
+    // click@2: forecast (4+6) div 2 = 5, actual 3, err 2
+    // view@5: forecast 0 (never seen in train), actual 1, err 1
+    assert(got.toSet == Set(("click", 2L, 5L, 3L, 2L),
+      ("view", 5L, 0L, 1L, 1L)))
+    // grid is dense: |types|·24 rows
+    assert(graft.relational.Relational.eventsForecast(spark, dir).count()
+      == 48L)
+  }
 }

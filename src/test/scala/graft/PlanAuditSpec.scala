@@ -101,7 +101,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_quality_global",
       // one-row token total and raw-weight sum crossed onto the
       // |langs|-row cell table
-      "q_lang_temperature")
+      "q_lang_temperature",
+      // the one-row (last_day, d_train) spine scalars riding the event
+      // scan and the |types|·24 grid
+      "q_events_forecast")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
