@@ -1098,6 +1098,38 @@ object Relational {
         FROM grid gr LEFT JOIN g USING (event_type, hour)
         ORDER BY event_type, hour"""
 
+  /** DAU/MAU stickiness — per-day distinct active users against the
+    * month's distinct actives, the engagement ratio every consumer
+    * dashboard leads with (stickiness = how much of the monthly audience
+    * shows up on a given day). Exact two-level distinct aggregates
+    * (Catalyst pre-aggregates on (day, user) so the exchange carries
+    * unique pairs, not event instances); the monthly audience is a
+    * broadcast one-row scalar. stickiness_ppm = dau·10⁶ div mau,
+    * all-integer. At 100 TB the exact distincts swap to
+    * `approx_count_distinct` under the `q_approx_stats` error-bound
+    * contract with the plan shape unchanged. Output: (day, dau,
+    * stickiness_ppm) ordered by day.
+    */
+  def eventsDau(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+    val mau = e.agg(countDistinct("user_id").as("mau"))
+    e.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      .crossJoin(broadcast(mau))
+      .select(col("day"), col("dau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  val eventsDauSql: String =
+    """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id
+            FROM events),
+       m AS (SELECT count(DISTINCT user_id) AS mau FROM e)
+       SELECT day, count(DISTINCT user_id) AS dau,
+         CAST(count(DISTINCT user_id) * 1000000 // (SELECT mau FROM m)
+           AS BIGINT) AS stickiness_ppm
+       FROM e GROUP BY day ORDER BY day"""
+
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val g = eventsGapfill(spark, dir)
     val nDec = col("n").cast("decimal(19,0)")

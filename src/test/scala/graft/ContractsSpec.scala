@@ -258,5 +258,17 @@ class ContractsSpec extends SparkSpec {
     // grid is dense: |types|·24 rows
     assert(graft.relational.Relational.eventsForecast(spark, dir).count()
       == 48L)
+
+    // DAU/MAU over the same fixture: users are event_id % 7, so day 0
+    // has 4 events → 4 distinct users, day 1 has 6 → 6, day 2 has 4
+    // events (3 click + 1 view) → distinct of {300..302 % 7, 400 % 7}
+    val users = rows.map { case (id, ts, _) => (ts / dayNs, id % 7) }
+    val mau = users.map(_._2).distinct.size.toLong
+    val expDau = users.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val dau = graft.relational.Relational.eventsDau(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(dau == expDau.toSeq.sortBy(_._1).map { case (d, n) =>
+      (d, n, n * 1000000L / mau) })
   }
 }

@@ -104,7 +104,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_lang_temperature",
       // the one-row (last_day, d_train) spine scalars riding the event
       // scan and the |types|·24 grid
-      "q_events_forecast")
+      "q_events_forecast",
+      // the one-row monthly-audience scalar riding the per-day rollup
+      "q_events_dau")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
