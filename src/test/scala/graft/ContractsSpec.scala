@@ -271,4 +271,81 @@ class ContractsSpec extends SparkSpec {
     assert(dau == expDau.toSeq.sortBy(_._1).map { case (d, n) =>
       (d, n, n * 1000000L / mau) })
   }
+
+  // ------------------------------------------------------ extra invariants
+
+  test("expectations: a fully-clean fixture passes every constraint") {
+    val dir = java.nio.file.Files.createTempDirectory("clean").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, 10L, 100L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts),
+        (2L, 11L, 101L, 1, 7.0, 1200.0, 0.00, 0.00, "A", "F", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, "O", 100.0, ts, "1-URGENT"),
+        (2L, 2L, "F", 100.0, ts, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Expectations.expectations(spark, dir)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.length == 10 && got.forall(_._4),
+      got.filterNot(_._4).mkString(", "))
+    assert(got.forall(_._3 == 0L))
+  }
+
+  test("triangles: brute-force census agrees across several graph sizes") {
+    // the degree-oriented join must count exactly once per triangle for
+    // any modular-graph shape; sweep sizes incl. ones with tie-heavy
+    // degree distributions
+    for (n <- Seq(5, 11, 17, 31)) {
+      val dir = writeDocs((0L until n.toLong).map(i => (i, s"d $i")))
+      val sym = (for {
+        src <- 0L until n.toLong
+        j <- 0 until Graph.Fanout
+        dst = (src * 31 + j * 1009 + 7) % n
+        if dst != src
+        e <- Seq((src, dst), (dst, src))
+      } yield e).toSet
+      val canon = sym.filter { case (u, v) => u < v }
+      val nodes = sym.map(_._1)
+      val tri = (for {
+        u <- nodes; v <- nodes if u < v && canon((u, v))
+        w <- nodes if v < w && canon((v, w)) && canon((u, w))
+      } yield (u, v, w)).size.toLong
+      val got = Graph.triangles(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      assert(got._3 == tri, s"n=$n: got ${got._3}, brute $tri")
+    }
+  }
+
+  test("scoreAuc: flipping the positive class complements the AUC") {
+    // AUC(pos) + AUC(neg-as-pos) = 1 exactly in the midrank convention;
+    // with ppm floor-quantization the two sum to 1e6 ± 1
+    val dir = writeDocsFull(Seq(
+      (0L, "the cat sat on the mat", "en", "s"),
+      (1L, "a dog ran to a tree", "en", "s"),
+      (2L, "der hund lief zum baum heute", "de", "s"),
+      (3L, "la casa es muy bonita hoy", "es", "s"),
+      (4L, "of mice and men and more", "en", "s"),
+      (5L, "zz zz zz zz", "de", "s")))
+    val Seq((np, nn, auc)) = TextAnalysis.scoreAuc(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    // complement via the driver-side pairwise formula on engine scores
+    val scored = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), floor(col("quality") * 1000000).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val langs = Map(0L -> "en", 1L -> "en", 2L -> "de", 3L -> "es",
+      4L -> "en", 5L -> "de")
+    val pos = langs.filter(_._2 != "en").keys.map(scored).toSeq
+    val neg = langs.filter(_._2 == "en").keys.map(scored).toSeq
+    val u2 = (for { p <- pos; q <- neg } yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val aucFlip = u2 * 1000000L / (2L * pos.size * neg.size)
+    assert((np, nn) == (3L, 3L))
+    assert(math.abs(auc + aucFlip - 1000000L) <= 1L)
+  }
 }
