@@ -306,8 +306,13 @@ object Graph {
     counts.crossJoin(broadcast(nTri)).crossJoin(broadcast(nWedge))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
-        expr("""cast(cast(n_triangles as decimal(38,0)) * 3000000
-                     div n_wedges as bigint)""").as("clustering_ppm"))
+        // wedge-free graph (every degree ≤ 1): the coefficient is
+        // undefined — return NULL in BOTH engines rather than let
+        // Spark's NULL-on-div-zero diverge from DuckDB's error
+        when(col("n_wedges") > 0,
+          expr("""cast(cast(n_triangles as decimal(38,0)) * 3000000
+                       div n_wedges as bigint)"""))
+          .otherwise(lit(null).cast("long")).as("clustering_ppm"))
   }
 
   val trianglesSql: String =
@@ -334,7 +339,9 @@ object Graph {
                CAST(n_edges AS BIGINT) AS n_edges,
                CAST(n_triangles AS BIGINT) AS n_triangles,
                n_wedges,
-               CAST(CAST(n_triangles AS HUGEINT) * 3000000 // n_wedges
-                 AS BIGINT) AS clustering_ppm
+               CASE WHEN n_wedges > 0 THEN
+                 CAST(CAST(n_triangles AS HUGEINT) * 3000000 // n_wedges
+                   AS BIGINT)
+               END AS clustering_ppm
         FROM cnt, tri, wed"""
 }

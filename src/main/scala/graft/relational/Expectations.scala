@@ -60,8 +60,16 @@ object Expectations {
       viol(col("l_discount").between(0.0, 0.1)).as("v_disc"),
       viol(col("l_returnflag").isin("A", "N", "R")).as("v_rf"),
       viol(col("l_linestatus").isin("O", "F")).as("v_ls"),
+      // NULL-safe composite: countDistinct over the bare column list
+      // drops any row where EITHER component is NULL (multi-arg
+      // count-distinct semantics), silently over-counting duplicates
+      // exactly when a key is dirty — the scenario the audit exists
+      // for. A struct with a NULL field is itself non-NULL, so the
+      // struct form counts it as a distinct key value, matching the
+      // oracle's ROW-valued count(DISTINCT (a, b)).
       (count(lit(1)) -
-        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"))
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+        .as("v_pk"))
 
     val fkLi = li.select(col("l_orderkey"))
       .join(ord.select(col("o_orderkey")),

@@ -1034,8 +1034,15 @@ object Relational {
     * pipeline runs before sizing tomorrow's fleet, and the reference
     * forecast any fancier model must beat (a model that loses to
     * seasonal-naive is noise). forecast = train-period count at that
-    * (type, hour) div #train-days — counting ABSENT days as zeros, which
-    * the per-day-mean-of-means gets wrong; all-integer, engine-exact.
+    * (type, hour) div #train-days — counting absent (type, hour) CELLS
+    * on observed days as zeros, which the per-day-mean-of-means gets
+    * wrong; all-integer, engine-exact. (Scope note: d_train counts
+    * OBSERVED days — distinct days with ≥1 event of any type — so a
+    * calendar day with zero events across the whole stream falls out of
+    * the spine and slightly raises every seasonal mean. A calendar spine
+    * would be max(day)−min(day); observed-days is the deliberate choice,
+    * since an all-quiet day at this grain is an outage artifact, not
+    * seasonal signal.)
     *
     * Scale: the day spine (≤ tens of rows at any corpus age) aggregates
     * once into a broadcast one-row (last_day, d_train) frame; then ONE

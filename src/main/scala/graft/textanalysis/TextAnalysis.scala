@@ -1260,9 +1260,16 @@ object TextAnalysis {
       .agg(sum("cp").as("n_pos"), sum("cn").as("n_neg"),
         sum(expr("cast(cp as decimal(38,0)) * (2 * nb + cn)")).as("u2"))
       .select(col("n_pos"), col("n_neg"),
-        expr("""cast(u2 * 1000000
-                     div (2 * cast(n_pos as decimal(38,0)) * n_neg)
-                as bigint)""").as("auc_ppm"))
+        // guard the one-class corpus (n_pos or n_neg = 0): AUC is
+        // undefined, and an unguarded division diverges BETWEEN engines
+        // (Spark `div` yields NULL, DuckDB `//` raises) — the CASE
+        // makes both return NULL, mirroring eventsForecast's d_train
+        // guard
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("""cast(u2 * 1000000
+                       div (2 * cast(n_pos as decimal(38,0)) * n_neg)
+                  as bigint)"""))
+          .otherwise(lit(null).cast("long")).as("auc_ppm"))
   }
 
   val scoreAucSql: String =
@@ -1284,8 +1291,10 @@ object TextAnalysis {
                 sum(CAST(cp AS HUGEINT) * (2 * nb + cn)) AS u2
               FROM w)
         SELECT n_pos, n_neg,
-          CAST(u2 * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
-            AS BIGINT) AS auc_ppm
+          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            CAST(u2 * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+              AS BIGINT)
+          END AS auc_ppm
         FROM t"""
 
   // ---------------------------------------------------- global percentile

@@ -29,14 +29,19 @@ class ContractsSpec extends SparkSpec {
   test("expectations: seeded violations are counted, clean checks pass") {
     val dir = java.nio.file.Files.createTempDirectory("contract").toString
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
-    // 5 lineitem rows: one duplicate PK, one quantity out of range, one
-    // dangling orderkey; everything else clean.
+    // 6 lineitem rows: one duplicate PK, one quantity out of range, one
+    // dangling orderkey, one NULL orderkey (dirty PK component — pins
+    // the null-safe struct count-distinct: the NULL-key row must count
+    // as its own distinct key, NOT be dropped and double-reported as a
+    // duplicate); everything else clean.
     Seq(
-      (1L, 10L, 100L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts),
-      (1L, 11L, 101L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts), // dup PK
-      (1L, 12L, 102L, 2, 99.0, 1000.0, 0.05, 0.02, "A", "F", ts), // qty
-      (2L, 13L, 103L, 1, 5.0, 1000.0, 0.05, 0.02, "R", "F", ts),
-      (9L, 14L, 104L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts)) // dangling
+      (Some(1L), 10L, 100L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts),
+      (Some(1L), 11L, 101L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts), // dup
+      (Some(1L), 12L, 102L, 2, 99.0, 1000.0, 0.05, 0.02, "A", "F", ts), // qty
+      (Some(2L), 13L, 103L, 1, 5.0, 1000.0, 0.05, 0.02, "R", "F", ts),
+      (Some(9L), 14L, 104L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts), // dang
+      (Option.empty[Long],
+                 15L, 105L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", ts)) // NULL
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
@@ -54,16 +59,18 @@ class ContractsSpec extends SparkSpec {
     val got = Expectations.expectations(spark, dir)
       .as[(String, Long, Long, Boolean)].collect().toSeq
     val exp = Seq(
-      ("fk_lineitem_orders", 5L, 1L, false),
+      // NULL l_orderkey can't resolve in orders → FK violation too
+      ("fk_lineitem_orders", 6L, 2L, false),
       ("fk_orders_customer", 3L, 1L, false),
-      ("li_discount_range", 5L, 0L, true),
-      ("li_extendedprice_pos", 5L, 0L, true),
-      ("li_linestatus_domain", 5L, 0L, true),
-      ("li_orderkey_not_null", 5L, 0L, true),
-      ("li_pk_unique", 5L, 1L, false),
-      ("li_quantity_range", 5L, 1L, false),
-      ("li_returnflag_domain", 5L, 0L, true),
-      ("li_shipdate_not_null", 5L, 0L, true))
+      ("li_discount_range", 6L, 0L, true),
+      ("li_extendedprice_pos", 6L, 0L, true),
+      ("li_linestatus_domain", 6L, 0L, true),
+      ("li_orderkey_not_null", 6L, 1L, false),
+      // exactly ONE duplicate: 6 rows, 5 distinct keys incl. (NULL, 1)
+      ("li_pk_unique", 6L, 1L, false),
+      ("li_quantity_range", 6L, 1L, false),
+      ("li_returnflag_domain", 6L, 0L, true),
+      ("li_shipdate_not_null", 6L, 0L, true))
     assert(got == exp)
   }
 

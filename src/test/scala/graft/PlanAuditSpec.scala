@@ -32,81 +32,81 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("l_quantity") && !plan.contains("l_tax"), plan)
   }
 
+  // BNLJ is acceptable ONLY against a broadcast single-row side (a
+  // scalar riding along every row) — the list below names each such
+  // query with its rationale, and the companion structural test proves
+  // the claim: every cross/non-equi join in these plans must carry a
+  // statically bounded side (maxRows) or be the triangular join over
+  // the bounded blk grid. A regression to a real cartesian fails BOTH.
+  private val singleRowBroadcastCross = Set(
+    "q_sim_topk", "q_text_tfidf", "q_text_pmi", "q_text_oov",
+    "q_quality_gate", "q_text_logprob", "q_ann_topk",
+    // one-row corpus-total scalar riding the 100-row coverage curve
+    "q_token_coverage",
+    // one-row (N, V) model scalars, inherited from the logProb shape
+    "q_text_bigram_lm", "q_signal_corr",
+    // one-row corpus totals crossed onto tiny aggregates: the data
+    // card's three 1-row sections, the MG sketch's (N, M) bound
+    // scalars, the skew audit's (total, n_keys) pair, label balance's
+    // (total, entropy) pair, DSIR's feature-mass normalizers
+    "q_corpus_card", "q_heavy_hitters", "q_skew_audit",
+    "q_label_balance", "q_importance_weights",
+    // the (N, Σlen) scalar row riding the candidate postings (and the
+    // tfidf-derived query workload's own N scalar)
+    "q_text_bm25",
+    // inherits q_text_bm25's scalar rows through composition
+    "q_retrieval_eval",
+    // recall eval's ground truth: the bounded KnnQueries-row (=8)
+    // query sample brute-forced over one corpus scan — deliberate,
+    // that's what makes it ground truth (matryoshka runs the same
+    // eval twice: full-dim and truncated)
+    "q_knn_recall", "q_embed_matryoshka", "q_hard_negatives",
+    // the one-row total/L target scalar riding the |sources|·|langs|
+    // cell matrix each IPF round
+    "q_corpus_rake",
+    // the one-row per-shard-mean scalar riding the NShards-row rollup
+    "q_shard_balance",
+    // the one-row decile-boundary array broadcast over the corpus
+    // (the quality-gate percentile-threshold shape)
+    "q_curriculum",
+    // the one-row (T, W) corpus-total scalar riding the |sources|-row
+    // rate table
+    "q_corpus_mix",
+    // the one-row merged-sketch estimate riding the one-row exact
+    // global count
+    "q_sketch_shards",
+    // the one-row corpus-size N riding the doc_id spine to derive the
+    // modular link graph (the q_text_tfidf scalar shape; appears once
+    // per unrolled power-iteration round)
+    "q_graph_pagerank", "q_graph_hits", "q_graph_components",
+    // the q_sim_topk one-row query vector, scored per serving shard
+    "q_ann_shard_merge",
+    // one-row audit scalars (FK violation counts, table totals)
+    // crossed onto the one-row conditional-aggregate result before
+    // `stack` fans them out to constraint rows
+    "q_expectations",
+    // one-row census scalars (n_nodes/n_edges/triangles/wedges)
+    // crossed into the single output row
+    "q_graph_triangles",
+    // the triangular blk-total join (≤RankBlocks rows per side) that
+    // assembles cross-block negative mass, plus the one-row n_pos/n_neg
+    // totals
+    "q_score_auc",
+    // same triangular blk-offset join + the one-row corpus total
+    // riding every doc for the global-percentile division
+    "q_quality_global",
+    // one-row token total and raw-weight sum crossed onto the
+    // |langs|-row cell table
+    "q_lang_temperature",
+    // the one-row (last_day, d_train) spine scalars riding the event
+    // scan and the |types|·24 grid
+    "q_events_forecast",
+    // the one-row monthly-audience scalar riding the per-day rollup
+    "q_events_dau")
+
   test("no declared query plans a cartesian or an unjustified nested-loop join") {
-    // BNLJ is acceptable ONLY against a broadcast single-row side (a
-    // scalar riding along every row): the min-vec_id query vector in
-    // q_sim_topk, the corpus-size N in q_text_tfidf and q_text_pmi, the
-    // one-row top-V vocabulary array in q_text_oov, the one-row P25
-    // threshold in q_quality_gate, the one-row (N, V) scalars in
-    // q_text_logprob, and q_ann_topk's one-row query vector re-attached
-    // after the candidate distinct.
-    // Anything else — and any CartesianProduct — is an O(n²)-at-scale
-    // regression.
-    val singleRowBroadcastCross = Set(
-      "q_sim_topk", "q_text_tfidf", "q_text_pmi", "q_text_oov",
-      "q_quality_gate", "q_text_logprob", "q_ann_topk",
-      // one-row corpus-total scalar riding the 100-row coverage curve
-      "q_token_coverage",
-      // one-row (N, V) model scalars, inherited from the logProb shape
-      "q_text_bigram_lm", "q_signal_corr",
-      // one-row corpus totals crossed onto tiny aggregates: the data
-      // card's three 1-row sections, the MG sketch's (N, M) bound
-      // scalars, the skew audit's (total, n_keys) pair, label balance's
-      // (total, entropy) pair, DSIR's feature-mass normalizers
-      "q_corpus_card", "q_heavy_hitters", "q_skew_audit",
-      "q_label_balance", "q_importance_weights",
-      // the (N, Σlen) scalar row riding the candidate postings (and the
-      // tfidf-derived query workload's own N scalar)
-      "q_text_bm25",
-      // inherits q_text_bm25's scalar rows through composition
-      "q_retrieval_eval",
-      // recall eval's ground truth: the bounded KnnQueries-row (=8)
-      // query sample brute-forced over one corpus scan — deliberate,
-      // that's what makes it ground truth (matryoshka runs the same
-      // eval twice: full-dim and truncated)
-      "q_knn_recall", "q_embed_matryoshka", "q_hard_negatives",
-      // the one-row total/L target scalar riding the |sources|·|langs|
-      // cell matrix each IPF round
-      "q_corpus_rake",
-      // the one-row per-shard-mean scalar riding the NShards-row rollup
-      "q_shard_balance",
-      // the one-row decile-boundary array broadcast over the corpus
-      // (the quality-gate percentile-threshold shape)
-      "q_curriculum",
-      // the one-row (T, W) corpus-total scalar riding the |sources|-row
-      // rate table
-      "q_corpus_mix",
-      // the one-row merged-sketch estimate riding the one-row exact
-      // global count
-      "q_sketch_shards",
-      // the one-row corpus-size N riding the doc_id spine to derive the
-      // modular link graph (the q_text_tfidf scalar shape; appears once
-      // per unrolled power-iteration round)
-      "q_graph_pagerank", "q_graph_hits", "q_graph_components",
-      // the q_sim_topk one-row query vector, scored per serving shard
-      "q_ann_shard_merge",
-      // one-row audit scalars (FK violation counts, table totals)
-      // crossed onto the one-row conditional-aggregate result before
-      // `stack` fans them out to constraint rows
-      "q_expectations",
-      // one-row census scalars (n_nodes/n_edges/triangles/wedges)
-      // crossed into the single output row
-      "q_graph_triangles",
-      // the triangular blk-total join (≤RankBlocks rows per side) that
-      // assembles cross-block negative mass, plus the one-row n_pos/n_neg
-      // totals
-      "q_score_auc",
-      // same triangular blk-offset join + the one-row corpus total
-      // riding every doc for the global-percentile division
-      "q_quality_global",
-      // one-row token total and raw-weight sum crossed onto the
-      // |langs|-row cell table
-      "q_lang_temperature",
-      // the one-row (last_day, d_train) spine scalars riding the event
-      // scan and the |types|·24 grid
-      "q_events_forecast",
-      // the one-row monthly-audience scalar riding the per-day rollup
-      "q_events_dau")
+    // Anything outside the rationale'd allowlist above — and any
+    // CartesianProduct anywhere — is an O(n²)-at-scale regression.
     for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sf)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -137,6 +137,134 @@ class PlanAuditSpec extends SparkSpec {
       assert(bad.isEmpty,
         s"$name plans an unbounded partition-less window:\n${bad.mkString}")
     }
+  }
+
+  test("allowlisted cross-joins are provably bounded, not just trusted") {
+    // The allowlist above is commentary; this is the machine check that
+    // keeps it honest as it grows: every cross or non-equi join in an
+    // allowlisted plan must have a side whose row count is STATICALLY
+    // bounded (logical maxRows ≤ 128 — one-row scalar aggregates, the
+    // 8-row KNN query sample, the 100-row coverage curve), or be the
+    // triangular self-join over the fixed blk value grid (both sides
+    // aggregates grouping only by blk, ≤ RankBlocks rows each). A
+    // regression that turns a scalar cross into a real cartesian now
+    // fails here even though the query name is exempted.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+      Join, LogicalPlan, Project}
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    def gridAgg(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate =>
+        a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(_.references.forall(_.name == "blk"))
+      case pr: Project => gridAgg(pr.child)
+      case f: Filter => gridAgg(f.child)
+      case _ => false
+    }
+    def nonEqui(j: Join): Boolean = j.condition.forall(c => !c.exists {
+      case _: EqualTo | _: EqualNullSafe => true
+      case _ => false
+    })
+    for (name <- singleRowBroadcastCross) {
+      assert(SparkEntry.queries.contains(name),
+        s"allowlist names a query that no longer exists: $name")
+      val joins = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case j: Join if nonEqui(j) => j
+        }
+      for (j <- joins) {
+        val bounded = j.left.maxRows.exists(_ <= 128) ||
+          j.right.maxRows.exists(_ <= 128) ||
+          (gridAgg(j.left) && gridAgg(j.right))
+        assert(bounded,
+          s"$name cross-joins two unbounded sides (maxRows " +
+            s"${j.left.maxRows}/${j.right.maxRows}):\n$j")
+      }
+    }
+  }
+
+  test("no declared query plans a window partitioned only by non-scaling keys") {
+    // A window partitioned by a column whose cardinality does NOT grow
+    // with the data (per-source, per-shard, per-category) concentrates
+    // an ever-larger slice of the corpus into a fixed number of
+    // partitions — the 100 TB failure mode one step up from the empty
+    // partition spec. Legitimate shapes: (a) a data-scaling key in the
+    // partition spec (ids, hashes, content values, the blk grid
+    // decomposition); (b) a Limit-bounded input; (c) an input that is a
+    // per-(key, blk) block summary — ≤ RankBlocks rows per partition by
+    // construction (the q_quality_calibrated / q_events_disorder
+    // two-pass shape); (d) an explicit allowlist entry with a written
+    // rationale, same discipline as the BNLJ list.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    val scalingKeys = Set(
+      // entity ids / content hashes — cardinality ∝ data
+      "doc_id", "user_id", "q_id", "query_id", "o_custkey", "o_orderkey",
+      "word", "chunk_hash", "para_hash", "canonical_id", "vec_id",
+      // web-corpus domains grow with the crawl (millions of hosts)
+      "domain",
+      // the fixed value-grid decomposition markers: a blk column in the
+      // partition spec means the window runs over per-block slices
+      "blk", "lblk", "qblk",
+      // value-partitioned windows (distinct score values scale)
+      "logprob", "quality", "s")
+    val windowAllow: Map[String, String] = Map(
+      "q_chisq_topk" ->
+        ("reference-parity contract: top-75 per category over the 22 " +
+          "fixed review categories (chiSquaredJob.py:96-127); the scale " +
+          "twin is the bounded-buffer TopK aggregator (q_topk_agg)"),
+      "q_vocabulary" ->
+        "same category window, composed from the chisq top-k stage",
+      "q_window_topk" ->
+        ("the window FORM of per-group top-k, kept deliberately beside " +
+          "its fixed-memory aggregator twin q_topk_agg"),
+      "q_ann_shard_merge" ->
+        ("shard = the serving-fleet parallelism unit (cardinality is a " +
+          "deployment choice ∝ cluster size, not data); per-shard rows " +
+          "are that shard's candidate set, LSH-bucket bounded"),
+      "q_pack_bpe" ->
+        ("shard = writer-task parallelism unit; greedy sequence packing " +
+          "is sequential WITHIN a shard by definition, and NShards is " +
+          "the knob that scales it out"),
+      "q_pack_sequences" ->
+        "same writer-shard contract as q_pack_bpe",
+      "q_sample_inspect" ->
+        ("per-source hash-min sample: the window ranks the full source " +
+          "to take InspectK rows; the documented scale swap is a " +
+          "bounded min-k buffer aggregator (the TopK shape)"),
+      "q_token_budget" ->
+        ("per-source greedy budget selection; the docstring documents " +
+          "the hot-window trade and the qualityGate sketch-threshold " +
+          "swap that replaces it at scale"),
+      "q_corpus_rake" ->
+        ("the IPF windows run over the |sources|×|langs| CELL MATRIX " +
+          "(one row per cell, already aggregated from the corpus), so a " +
+          "per-source partition holds ≤ |langs| rows — bounded by the " +
+          "other marginal's cardinality, never by corpus size"))
+    def hasLimit(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.nonEmpty
+    def hasBlockSummary(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists(
+          _.references.exists(r => Set("blk", "lblk", "qblk")(r.name))) => ()
+      }.nonEmpty
+    for ((name, fn) <- SparkEntry.queries) {
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.flatMap(_.references.map(_.name))
+            .forall(!scalingKeys(_)) &&
+          !hasLimit(w.child) && !hasBlockSummary(w.child) => w
+      }
+      if (bad.nonEmpty)
+        assert(windowAllow.contains(name),
+          s"$name plans a window partitioned only by non-scaling keys " +
+            s"(${bad.map(_.partitionSpec.flatMap(_.references.map(_.name))
+              .mkString("+")).mkString(", ")}) with an unbounded input " +
+            "— add a data-scaling key, bound the input, or allowlist " +
+            "with a rationale")
+    }
+    for (name <- windowAllow.keys)
+      assert(SparkEntry.queries.contains(name),
+        s"window allowlist names a query that no longer exists: $name")
   }
 
   test("q_agg_pricing: projection pruning holds on the widest fact table") {
