@@ -43,12 +43,21 @@ object Bench {
     // record the cold fixpoint cost alongside so the warm number stays
     // an honest signal (round-5 verdict)
     val cold =
-      if (only.nonEmpty && !only("q_dedup_clusters_cold")) Nil
-      else {
-        graft.dedup.Dedup.clearClusterMemo(spark)
-        Seq("q_dedup_clusters_cold" ->
-          timed(graft.dedup.Dedup.nearDupClusters _, "q_dedup_clusters_cold"))
-      }
+      (if (only.nonEmpty && !only("q_dedup_clusters_cold")) Nil
+       else {
+         graft.dedup.Dedup.clearClusterMemo(spark)
+         Seq("q_dedup_clusters_cold" ->
+           timed(graft.dedup.Dedup.nearDupClusters _, "q_dedup_clusters_cold"))
+       }) ++
+      // same honesty contract for the shared persisted edge table: the
+      // four declared graph queries amortize one materialization, so
+      // record what ONE consumer pays with a cold memo alongside
+      (if (only.nonEmpty && !only("q_graph_pagerank_cold")) Nil
+       else {
+         graft.graph.Graph.clearEdgeMemo(spark)
+         Seq("q_graph_pagerank_cold" ->
+           timed(graft.graph.Graph.pageRank _, "q_graph_pagerank_cold"))
+       })
     // run metadata baked into every record so contention adjudication is
     // mechanical: machine load at measurement time, wall timestamp, and
     // whether the per-query map is the full set or the stdout top-40 cut
@@ -57,11 +66,40 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).trim
       catch { case _: Throwable => "" }
     val tsMs = System.currentTimeMillis()
+    // SELF-ADJUDICATION: compare each query's min against the latest
+    // committed official record (BENCH_LOCAL_r*.json, highest round) and
+    // pre-flag rows >3× their committed time AND >0.5 s absolute (3× of
+    // a 50 ms query is scheduler noise, not contention). A contention-
+    // poisoned run now arrives with its own suspect list instead of
+    // needing a judge re-run to spot (round-8 verdict ask).
+    val prior: Map[String, Double] = try {
+      val repoDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."))
+      val rx = "BENCH_LOCAL_r(\\d+)\\.json".r
+      val files = java.nio.file.Files.list(repoDir).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case rx(n) => Some(n.toInt -> p)
+            case _ => None
+          }
+        }
+      files.sortBy(_._1).lastOption.map { case (_, p) =>
+        val s = java.nio.file.Files.readString(p)
+        val kv = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+        kv.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    def suspects(rows: Seq[(String, Double)]): Seq[String] =
+      rows.collect {
+        case (n, v) if v > 0.5 && prior.get(n).exists(p => v > 3 * p) => n
+      }.sorted
     def json(rows: Seq[(String, Double)], total: Double, nQueries: Int,
         truncated: Boolean): String = {
       val qs = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$nQueries,"truncated":$truncated,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus}"""
+      val sus = suspects(rows).map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$nQueries,"truncated":$truncated,"suspect":$sus,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus}"""
     }
     // total stays the sum over DECLARED queries only — the cold diag
     // row would double-count q_dedup_clusters

@@ -1007,7 +1007,7 @@ object Dedup {
     * rewrite inside one tick is indistinguishable, which is the usual
     * contract of mtime-based caches (make/rsync share it).
     */
-  private def docsFingerprint(spark: SparkSession, dir: String): Long = {
+  private[graft] def docsFingerprint(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L

@@ -48,18 +48,77 @@ object Graph {
     * N (corpus size) enters the plan as a broadcast one-row frame — the
     * established scalar-join shape — so the whole derivation is narrow
     * compute over the doc_id column plus one distinct.
+    *
+    * PERSIST-ONCE: the edge list is consumed by three declared operators
+    * (PageRank × [[Iters]] rounds, HITS × 2·[[Iters]] aggregates,
+    * triangles twice for canon + orientation) — lesson 25's N-consumers
+    * rule, applied via the same (session, dir, file-fingerprint) memo as
+    * [[graft.dedup.Dedup.nearDupClusters]]: the first caller
+    * materializes the ~16-byte-row frame with an eager localCheckpoint,
+    * later callers (and later rounds of the same plan) scan the stored
+    * blocks instead of re-deriving the distinct. localCheckpoint rather
+    * than `.persist`: measured head-to-head at sf0.1, the columnar
+    * cache's per-scan overhead (InMemoryTableScan + nested-AQE
+    * bookkeeping at every one of the plan's many edge reads) made every
+    * graph query 2-3× SLOWER than recomputing, while the checkpoint's
+    * row-block scans beat both — and it also truncates lineage, the
+    * cluster-memo discipline. Fingerprint keying means an input rewrite
+    * is a miss, never stale edges; dropping a map entry releases the
+    * last RDD reference so the ContextCleaner reclaims the blocks. Same
+    * fault-tolerance window as every localCheckpoint consumer: an
+    * executor loss invalidates blocks and the job recomputes on failure.
     */
   def linkEdges(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    val n = ids.agg(count(lit(1)).as("n"))
-    ids.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"), col("n"),
-        explode(sequence(lit(0), lit(Fanout - 1))).as("j"))
-      .select(col("src"),
-        expr("(src * 31 + j * 1009 + 7) % n").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
+    evictEdges { case (s, _, _) => s.sparkContext.isStopped }
+    val fp = graft.dedup.Dedup.docsFingerprint(spark, dir)
+    val key = (spark, dir, fp)
+    val hit = edgeCache.get(key)
+    if (hit != null) hit
+    else {
+      val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val n = ids.agg(count(lit(1)).as("n"))
+      val edges = ids.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n"),
+          explode(sequence(lit(0), lit(Fanout - 1))).as("j"))
+        .select(col("src"),
+          expr("(src * 31 + j * 1009 + 7) % n").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      evictEdges { case (s, d, f) => (s eq spark) && d == dir && f != fp }
+      val sessionEntries =
+        edgeCache.keySet.stream.filter(_._1 eq spark).count()
+      if (sessionEntries >= EdgeCachePerSession)
+        evictEdges { case (s, _, _) => s eq spark }
+      val prev = edgeCache.putIfAbsent(key, edges)
+      if (prev != null) prev else edges
+    }
   }
+
+  /** Memoized persisted edge tables, keyed like the Dedup cluster memo:
+    * (session, dir, documents-file fingerprint). Same per-session cap
+    * rationale — a dir-sweeping session must not pin blocks forever.
+    */
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  private val EdgeCachePerSession = 8
+
+  /** Eviction = dropping the map entry: the checkpointed blocks are
+    * pinned only by the RDD reference the entry holds, so the
+    * ContextCleaner reclaims them once callers release the frame — the
+    * cluster-memo contract exactly.
+    */
+  private def evictEdges(
+      pred: ((SparkSession, String, Long)) => Boolean): Unit =
+    edgeCache.keySet.removeIf(k => pred(k))
+
+  /** Drop this session's edge memo — the bench uses it to record the
+    * cold derivation cost next to the warm shared-table number (the same
+    * honesty contract as [[graft.dedup.Dedup.clearClusterMemo]]).
+    */
+  private[graft] def clearEdgeMemo(spark: SparkSession): Unit =
+    evictEdges { case (s, _, _) => (s eq spark) || s.sparkContext.isStopped }
 
   /** Host/page authority by PageRank, [[Iters]] unrolled rounds, damping
     * 0.85, all-integer micro-unit arithmetic (see object doc). Per round:
@@ -73,10 +132,9 @@ object Graph {
     * 100 TB design: the rank table and edge list both partition by the
     * 8-byte node key; each round is one shuffle of the (already narrow)
     * rank table plus one of edge contributions — no row ever carries
-    * text. The edge list is consumed [[Iters]] times, so a production run
-    * persists it once (lesson 25: N consumers replay lineage N times);
-    * here the derivation is integer-only compute over doc_id and the
-    * replay is cheaper than a materialization round-trip at test scale.
+    * text. The edge list is consumed [[Iters]] times, so it is persisted
+    * once via the [[linkEdges]] memo (lesson 25: N consumers replay
+    * lineage N times) and every round reads the materialized blocks.
     * Output: top-100 nodes by final rank (rank desc, doc_id tiebreak) —
     * a TakeOrdered, never a global sort.
     */
