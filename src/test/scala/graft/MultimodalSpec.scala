@@ -61,6 +61,82 @@ class MultimodalSpec extends SparkSpec {
     assert(st.length == 1 && !st.head.ok && st.head.reason == "empty_payload")
   }
 
+  // ------------------------------------------------------- real PPM codec
+
+  test("ppm decoder: hand-built payloads hit every parse branch") {
+    import graft.multimodal.Multimodal.PpmDecoder
+    def blob(bytes: Array[Byte]) = MediaBlob(1L, bytes)
+    def ppm(header: String, raster: Array[Byte]) =
+      header.getBytes("US-ASCII") ++ raster
+    // a real 2×2 image: 12 raster bytes, known channel sums
+    val raster = Array[Byte](
+      10, 20, 30,  40, 50, 60,
+      70, 80, 90,  100, 110, 120)
+    val ok = PpmDecoder.decode(blob(ppm("P6\n2 2\n255\n", raster)))
+    assert(ok == Right(Multimodal.PpmMeta(1L, 2, 2, 224, 224, 4L,
+      10 + 40 + 70 + 100, 20 + 50 + 80 + 110, 30 + 60 + 90 + 120)))
+    // header comments are legal netpbm and must not change the result
+    val commented =
+      PpmDecoder.decode(blob(ppm("P6\n# a comment\n2 2\n# another\n255\n", raster)))
+    assert(commented == ok.map(_.copy()))
+    // every failure class
+    assert(PpmDecoder.decode(blob(ppm("P5\n2 2\n255\n", raster)))
+      == Left("bad_magic"))
+    assert(PpmDecoder.decode(blob(Array[Byte]('P'))) == Left("bad_magic"))
+    assert(PpmDecoder.decode(blob(ppm("P6\nxy 2\n255\n", raster)))
+      == Left("bad_header"))
+    assert(PpmDecoder.decode(blob(ppm("P6\n2 2\n65535\n", raster)))
+      == Left("unsupported_maxval"))
+    assert(PpmDecoder.decode(blob(ppm("P6\n2 2\n255\n", raster.take(11))))
+      == Left("truncated_raster"))
+    // non-square: long side scales to exactly 224
+    val wide = Array.fill[Byte](3 * 8 * 4)(1)
+    val m = PpmDecoder.decode(blob(ppm("P6\n8 4\n255\n", wide))).toOption.get
+    assert((m.resized_w, m.resized_h) == (224, 112))
+  }
+
+  test("ppm corpus: decode matches a driver-side replay of the generator") {
+    import graft.multimodal.Multimodal.{PpmDecoder, ppmPayload}
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    // engine decode
+    val got = Multimodal.ppmMeta(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // independent replay: decode each generated payload driver-side
+    var nBadMagic = 0; var nTrunc = 0
+    ids.foreach { id =>
+      PpmDecoder.decode(MediaBlob(id, ppmPayload(id))) match {
+        case Right(meta) =>
+          val r = got(id)
+          assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) ==
+            ((meta.width, meta.height, meta.resized_w, meta.resized_h)))
+          assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ==
+            ((meta.n_pixels, meta.sum_r, meta.sum_g, meta.sum_b)))
+          // the sums really are the generator's pixel formula
+          val w = (4 + (id * 31 + 7) % 32).toInt
+          val h = (4 + (id * 17 + 3) % 32).toInt
+          val expR = (0 until 3 * w * h by 3)
+            .map(k => (id * 131 + k * 31 + 17) % 256).sum
+          assert(meta.sum_r == expR)
+        case Left("bad_magic") =>
+          nBadMagic += 1; assert(id % 29 == 11); assert(!got.contains(id))
+        case Left("truncated_raster") =>
+          nTrunc += 1; assert(id % 23 == 5 && id % 29 != 11)
+          assert(!got.contains(id))
+        case Left(other) => fail(s"unexpected failure $other for id $id")
+      }
+    }
+    // both corruption classes actually occur in the corpus
+    assert(nBadMagic > 0 && nTrunc > 0)
+    assert(got.size == ids.length - nBadMagic - nTrunc)
+    // audit rollup ties out
+    val audit = Multimodal.ppmAudit(spark, sf).collect()
+    assert(audit.map(_.getLong(1)).sum == ids.length.toLong)
+    assert(audit.map(_.getLong(2)).sum == got.size.toLong)
+    assert(audit.map(_.getLong(3)).sum == nBadMagic.toLong)
+    assert(audit.map(_.getLong(4)).sum == nTrunc.toLong)
+  }
+
   test("fail-safe decode: quarantine matches the deterministic failure rule") {
     val blobs = Multimodal.blobs(spark, sf)
     val st = Multimodal.decodeStatus(blobs).collect().map(s => s.doc_id -> s).toMap
