@@ -33,10 +33,9 @@ import graft.functions.Hashing.duckH48
   */
 object Bpe {
 
-  /** Merge rules in rank order from the committed artifact. */
-  val Merges: IndexedSeq[(String, String)] = {
-    val in = getClass.getResourceAsStream("/bpe_merges.txt")
-    require(in != null, "bpe_merges.txt missing from classpath")
+  private def loadMerges(resource: String): IndexedSeq[(String, String)] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"$resource missing from classpath")
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty)
       .map { line =>
@@ -46,19 +45,43 @@ object Bpe {
     finally in.close()
   }
 
+  /** Merge rules in rank order from the committed artifact. */
+  val Merges: IndexedSeq[(String, String)] = loadMerges("/bpe_merges.txt")
+
+  /** The PRODUCTION-SCALE artifact: 8,000 merges trained by
+    * `tools/train_bpe.py --synthetic` on a deterministic 30k-word
+    * morphology corpus (the 31-word test pool cannot ground a realistic
+    * table; the synthetic vocabulary is the FIXTURES.md pattern, and the
+    * corpus words ride in it at high frequency so this table genuinely
+    * compresses them). Lazy: the 48-rule table stays the byte-pinned
+    * spec anchor; this one exists to prove the encoding path holds at
+    * real tokenizer size.
+    */
+  lazy val Merges8k: IndexedSeq[(String, String)] =
+    loadMerges("/bpe_merges_8k.txt")
+
   /** symbol → id: base alphabet 'a'..'z' = 0..25, merge outputs 26.. in
     * rank order. The trainer guarantees output-string uniqueness (it
     * skips colliding candidates); enforced again here because the id map
     * — and the oracle's `m.l || m.r = sym` join — both rely on it.
     */
-  val PieceId: Map[String, Int] = {
+  private def pieceIds(
+      merges: IndexedSeq[(String, String)]): Map[String, Int] = {
     val base = ('a' to 'z').map(c => (c.toString, c - 'a')).toMap
-    val merged = Merges.zipWithIndex.map { case ((l, r), i) => (l + r, 26 + i) }
+    val merged = merges.zipWithIndex.map { case ((l, r), i) => (l + r, 26 + i) }
     require(merged.map(_._1).distinct.size == merged.size &&
       merged.forall { case (s, _) => !base.contains(s) },
-      "bpe_merges.txt output strings must be unique")
+      "merge-table output strings must be unique")
     base ++ merged
   }
+
+  val PieceId: Map[String, Int] = pieceIds(Merges)
+
+  lazy val PieceId8k: Map[String, Int] = pieceIds(Merges8k)
+
+  /** pair → rank for the ranked encoder (the scale path). */
+  lazy val Rank8k: Map[(String, String), Int] =
+    Merges8k.zipWithIndex.toMap
 
   /** One left-to-right non-overlapping merge pass. Equivalent to the
     * oracle's `list_reduce` left-fold: the fold merges `x` into the
@@ -78,13 +101,53 @@ object Bpe {
     out.result()
   }
 
-  /** Encode one lowercase letter-run word into BPE pieces. */
-  def encode(word: String): Seq[String] = {
+  /** Encode one lowercase letter-run word into BPE pieces: the rank-pass
+    * form — one pass per rule, the trainer's own application convention.
+    * O(rules·len) per word: fine at 48 rules, NOT the shape for 8k.
+    */
+  def encode(word: String): Seq[String] =
+    encodePasses(word, Merges)
+
+  private[graft] def encodePasses(
+      word: String, merges: IndexedSeq[(String, String)]): Seq[String] = {
     var syms = word.map(_.toString).toArray
-    val it = Merges.iterator
+    val it = merges.iterator
     while (it.hasNext && syms.length > 1) {
       val (l, r) = it.next()
       syms = mergePass(syms, l, r)
+    }
+    syms.toSeq
+  }
+
+  /** The RANKED encoder — the production shape for large tables:
+    * repeatedly find the lowest-rank adjacent pair present in the
+    * sequence (hash lookup per adjacency) and run one non-overlapping
+    * pass for it. Cost O(len²) per word, INDEPENDENT of table size —
+    * this is what makes an 8k-rule (or 100k-rule) tokenizer usable,
+    * where the rank-pass form pays O(rules) per word even when nothing
+    * fires. For a table produced by actual BPE training the two are
+    * equivalent (the rank-order argument in the object doc: by the time
+    * rule k could fire, every lower-ranked rule has exhausted its
+    * occurrences — which is exactly the order this encoder applies
+    * them in); `BpeSpec` machine-checks the equivalence over random
+    * words against the full 8k table.
+    */
+  def encodeRanked(
+      word: String, rank: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.map(_.toString).toArray
+    var go = true
+    while (go && syms.length > 1) {
+      var best = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) go = false
+      else syms = mergePass(syms, bl, br)
     }
     syms.toSeq
   }
@@ -96,7 +159,26 @@ object Bpe {
     * spec-pinned on a fixture).
     */
   private[textanalysis] def bpeCounts(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    bpeCountsWith(spark, dir, encode, PieceId)
+
+  /** [[bpeCounts]] under the 8k production table, encoded by the RANKED
+    * encoder — the declared proof that the distinct-vocabulary broadcast
+    * pattern survives real tokenizer size: the corpus-side plan is
+    * IDENTICAL to the 48-rule query (one scan, one broadcast probe, one
+    * partial-agg groupBy); only the per-distinct-word encode function
+    * changed, and with the ranked encoder its cost is O(len²) per word
+    * regardless of the 167× larger table.
+    */
+  private[textanalysis] def bpeCounts8k(
+      spark: SparkSession, dir: String): DataFrame =
+    bpeCountsWith(spark, dir,
+      w => encodeRanked(w, Rank8k), PieceId8k)
+
+  private def bpeCountsWith(
+      spark: SparkSession, dir: String,
+      encodeFn: String => Seq[String],
+      pieceId: Map[String, Int]): DataFrame = {
     import spark.implicits._
     val pre = TextAnalysis.docs(spark, dir)
       .select(col("doc_id"),
@@ -105,8 +187,8 @@ object Bpe {
     val enc = pre.select("w").where(col("w").rlike("^[a-z]+$")).distinct()
       .as[String]
       .map { w =>
-        val ps = encode(w)
-        (w, ps.length, ps.map(p => PieceId(p).toLong).sum)
+        val ps = encodeFn(w)
+        (w, ps.length, ps.map(p => pieceId(p).toLong).sum)
       }
       .toDF("w", "n_pieces", "id_sum")
     val agg = pre.join(broadcast(enc), Seq("w"), "left")
@@ -127,6 +209,10 @@ object Bpe {
   /** Declared query: (doc_id, n_pretok, n_bpe, id_sum) per document. */
   def bpeStats(spark: SparkSession, dir: String): DataFrame =
     bpeCounts(spark, dir).orderBy("doc_id")
+
+  /** Declared query: the same per-doc stats under the 8,000-rule table. */
+  def bpeStats8k(spark: SparkSession, dir: String): DataFrame =
+    bpeCounts8k(spark, dir).orderBy("doc_id")
 
   private def sqlQuote(s: String) = "'" + s.replace("'", "''") + "'"
 
@@ -173,6 +259,64 @@ object Bpe {
 
   val bpeStatsSql: String =
     s"""WITH RECURSIVE $bpeCtes
+        SELECT doc_id, n_pretok, n_bpe, id_sum FROM bpe ORDER BY doc_id"""
+
+  /** Oracle CTE chain for the 8k table. A naive port of [[bpeCtes]]
+    * would recurse 8,000 ranks deep over every vocab word — the oracle
+    * itself must stay tractable at production table size, so it uses
+    * the FILTERED-RANK recursion: rule (l, r) can only ever fire on
+    * word w if `l || r` is a substring of w (pieces are contiguous
+    * substrings in order, so any adjacent pair concatenates to one),
+    * and merge outputs are unique strings, so each word matches at most
+    * len·(len+1)/2 rules. Per word, keep only its matching rules in
+    * rank order and fold through those — identical states at every
+    * firing opportunity, recursion depth = max matching rules per word
+    * (tens), not 8,000.
+    */
+  private[textanalysis] val bpeCtes8k: String = {
+    val mergeValues = Merges8k.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1},${sqlQuote(l)},${sqlQuote(r)})" }
+      .mkString(",")
+    s"""merges(rank, l, r) AS (SELECT * FROM (VALUES $mergeValues) m(rank, l, r)),
+        pre AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '${TextAnalysis.BpeTokenRegex}')) AS w
+          FROM documents),
+        vocab AS (SELECT DISTINCT w FROM pre WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+        wrules AS (SELECT v.w, m.l, m.r,
+            row_number() OVER (PARTITION BY v.w ORDER BY m.rank) AS j
+          FROM vocab v JOIN merges m ON strpos(v.w, m.l || m.r) > 0),
+        nr AS (SELECT w, count(*) AS n FROM wrules GROUP BY w),
+        enc(w, j, s) AS (
+          SELECT w, 0, array_to_string(string_split(w, ''), ' ') FROM vocab
+          UNION ALL
+          SELECT e.w, e.j + 1,
+            list_reduce(string_split(e.s, ' '),
+              (acc, x) -> CASE WHEN x = r.r AND (acc = r.l OR ends_with(acc, ' ' || r.l))
+                          THEN acc || x ELSE acc || ' ' || x END)
+          FROM enc e JOIN wrules r ON r.w = e.w AND r.j = e.j + 1),
+        done AS (SELECT e.w, string_split(e.s, ' ') AS ps
+          FROM enc e LEFT JOIN nr ON nr.w = e.w
+          WHERE e.j = coalesce(nr.n, 0)),
+        piece AS (SELECT w, len(ps) AS n_pieces, unnest(ps) AS sym FROM done),
+        wenc AS (SELECT p.w, any_value(p.n_pieces) AS n_pieces,
+            sum(CASE WHEN len(p.sym) = 1 THEN ascii(p.sym) - 97
+                     ELSE m.rank + 25 END) AS id_sum
+          FROM piece p LEFT JOIN merges m
+            ON len(p.sym) > 1 AND m.l || m.r = p.sym
+          GROUP BY p.w),
+        docagg AS (SELECT pre.doc_id, count(*) AS n_pretok,
+            sum(coalesce(we.n_pieces, 1)) AS n_bpe,
+            sum(coalesce(we.id_sum, 0)) AS id_sum
+          FROM pre LEFT JOIN wenc we ON we.w = pre.w GROUP BY 1),
+        bpe AS (SELECT d.doc_id,
+            CAST(coalesce(a.n_pretok, 0) AS BIGINT) AS n_pretok,
+            CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe,
+            CAST(coalesce(a.id_sum, 0) AS BIGINT) AS id_sum
+          FROM documents d LEFT JOIN docagg a ON a.doc_id = d.doc_id)"""
+  }
+
+  val bpeStats8kSql: String =
+    s"""WITH RECURSIVE $bpeCtes8k
         SELECT doc_id, n_pretok, n_bpe, id_sum FROM bpe ORDER BY doc_id"""
 
   /** Tokenizer-efficiency report — the eval that decides whether a

@@ -98,4 +98,61 @@ class BpeSpec extends SparkSpec {
       assert(fert >= 1.0, "each pre-token yields at least one piece")
     }
   }
+
+  // ------------------------------------------------------ 8k-rule artifact
+
+  test("8k artifact: 8000 rules, unique outputs, operands constructible") {
+    assert(Bpe.Merges8k.length == 8000)
+    // PieceId8k's require() already enforces output uniqueness on load;
+    // check the deeper training invariant here: every rule's operands
+    // are base letters or outputs of strictly lower-ranked rules
+    val seen = scala.collection.mutable.Set[String]()
+    ('a' to 'z').foreach(c => seen += c.toString)
+    Bpe.Merges8k.foreach { case (l, r) =>
+      assert(seen(l) && seen(r), s"rule ($l,$r) references an unbuilt symbol")
+      seen += (l + r)
+    }
+    assert(Bpe.PieceId8k.size == 26 + 8000)
+  }
+
+  test("ranked encoder is equivalent to 8000 rank-order passes") {
+    // the ranked encoder (O(len^2), table-size-independent) must produce
+    // byte-identical segmentations to the trainer's rank-pass convention
+    // (which the DuckDB oracle replays) -- checked over the corpus vocab
+    // plus LCG-generated random words, incl. shapes the synthetic
+    // training corpus never saw
+    var state = 987654321L
+    def rnd(n: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % n) + n).toInt % n
+    }
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val randomWords = (1 to 600).map { _ =>
+      val len = 1 + rnd(14)
+      (1 to len).map(_ => letters(rnd(26))).mkString
+    }
+    val corpusWords = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " ")).as("w"))
+      .distinct().as[String].collect().filter(_.matches("[a-z]+"))
+    val words = (randomWords ++ corpusWords).distinct
+    var anyMerged = false
+    words.foreach { w =>
+      val passes = Bpe.encodePasses(w, Bpe.Merges8k)
+      val ranked = Bpe.encodeRanked(w, Bpe.Rank8k)
+      assert(ranked == passes, s"divergence on '$w': $ranked vs $passes")
+      assert(passes.mkString == w, "pieces must concatenate back to the word")
+      if (passes.length < w.length) anyMerged = true
+    }
+    assert(anyMerged, "the 8k table must actually fire on real inputs")
+    // corpus words rode the training set at high frequency: the 8k table
+    // must compress them to single pieces
+    corpusWords.foreach { w =>
+      assert(Bpe.encodeRanked(w, Bpe.Rank8k).length == 1,
+        s"corpus word '$w' not fully merged")
+    }
+  }
 }
