@@ -472,12 +472,22 @@ object StreamingOps {
     * reproducible training runs over a live ingest. `StreamingSpec`
     * replays a batch and proves the no-duplicate claim.
     */
-  def versionedIngest(docs: DataFrame, dir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.sources.VersionedTable.idempotentAppend(batch, dir, batchId)
-      ()
-    }.start()
+  def versionedIngest(docs: DataFrame, dir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.sources.VersionedTable.idempotentAppend(batch, dir, batchId)
+        ()
+    }
+    // a RESUMABLE checkpoint is what makes the txn-stamp defense real:
+    // after a crash between the table commit and the offset commit, the
+    // restarted query re-runs the batch with the SAME batchId and the
+    // stamp no-ops it (StreamingSpec restarts across a forced crash
+    // window to prove it)
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** One micro-batch of streaming MV maintenance — the
     * [[graft.relational.Temporal.mvIncremental]] algebra applied at
@@ -524,12 +534,17 @@ object StreamingOps {
   /** The maintained stream: micro-batches of events flow through
     * [[mvApplyBatch]]. Pair with [[mvServe]] for the reader side.
     */
-  def mvMaintainStream(events: DataFrame, dir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      mvApplyBatch(batch, dir, batchId)
-      ()
-    }.start()
+  def mvMaintainStream(events: DataFrame, dir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mvApplyBatch(batch, dir, batchId)
+        ()
+    }
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** Serve the maintained view: roll the level-1 MV up to the published
     * (event_type, day, n_events, n_users, cents) shape — view-cardinality
