@@ -37,10 +37,13 @@ import org.apache.spark.sql.functions._
   *     not O(all history); older time travel falls back to the retained
   *     JSON entries.
   *
-  * Production notes, stated honestly: the log is line-JSON on a shared
-  * filesystem whose rename/CREATE_NEW is atomic (object stores need a
-  * coordination layer, as Delta's S3 LogStore does); schema is
-  * append-time-checked by `unionByName` only. The operator surface —
+  * Production notes, stated honestly: the log is line-JSON behind a
+  * pluggable [[LogStore]] — [[AtomicLogStore]] (POSIX/HDFS CREATE_NEW)
+  * by default, with [[ObjectLogStore]] simulating a rename-less object
+  * store via a temp-write + list-before-claim protocol whose residual
+  * conflict window (and its production closure: conditional PUT or a
+  * lock table) is documented on the class and property-tested; schema
+  * is append-time-checked by `unionByName` only. The operator surface —
   * snapshot isolation for readers during a merge, pruned rewrite scope,
   * version pinning for reproducible training runs — is the part that
   * matters for the corpus pipeline and is covered by
@@ -64,6 +67,105 @@ object VersionedTable {
   /** Thrown when a commit loses the race for its version slot. */
   final class ConflictException(v: Int)
     extends RuntimeException(s"version $v was committed concurrently")
+
+  // ------------------------------------------------------------ log stores
+
+  /** The commit-slot write protocol, factored out of [[commit]] so the
+    * same table format runs on two storage contracts:
+    *
+    *   - [[AtomicLogStore]] (default): POSIX/HDFS semantics — CREATE_NEW
+    *     is one atomic syscall, the filesystem itself decides the race.
+    *   - [[ObjectLogStore]]: a rename-less object store (the
+    *     pre-conditional-PUT S3 shape): PUT blindly overwrites and the
+    *     only primitives are PUT/GET/LIST, so mutual exclusion must be
+    *     simulated — see its doc for the protocol and the conflict
+    *     window it provably cannot close.
+    *
+    * Implementations either install the entry at `path` or throw
+    * [[ConflictException]] when this writer detectably lost the slot.
+    */
+  sealed trait LogStore {
+    def name: String
+    def writeCommit(path: Path, content: String, version: Int): Unit
+  }
+
+  case object AtomicLogStore extends LogStore {
+    val name = "atomic"
+    def writeCommit(path: Path, content: String, version: Int): Unit =
+      try Files.write(path, content.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConflictException(version)
+      }
+  }
+
+  /** Object-store shim: TEMP-WRITE + LIST-BEFORE-CLAIM. The writer
+    * stages its entry as a uniquely named claim object next to the slot,
+    * LISTs the log: if the final object already exists, or another
+    * staged claim sorts first (min-claim-id is the deterministic
+    * tiebreak), it loses and raises [[ConflictException]]. Otherwise it
+    * PUTs the final object (a blind overwrite — no atomicity assumed)
+    * and READS IT BACK: a racer's PUT that landed first is detected as
+    * content mismatch and this writer loses after all.
+    *
+    * CONFLICT SEMANTICS, stated honestly: every interleaving in which
+    * both claims are staged before either writer lists resolves to
+    * exactly one winner (the min claim id). A racer that slips its FULL
+    * commit between this writer's LIST and its final PUT is caught by
+    * the second existence check; one whose PUT lands between our PUT
+    * and our read-back is caught by the content verify. What remains is
+    * the window {A checks-exists, B puts, B verifies, A puts, A
+    * verifies}: both believe they won and B's entry is silently
+    * replaced. That window is NOT closable with PUT/GET/LIST alone —
+    * production stores close it with conditional PUT (If-None-Match,
+    * S3 2024+) or an external lock table (DynamoDB in Delta's S3
+    * multi-writer LogStore); this shim exists to make the format's
+    * storage contract explicit and machine-tested — including a test
+    * that PINS the residual window — rather than silently POSIX-only.
+    * `beforeClaim`/`beforePut` are test seams: the property spec
+    * injects racing commits into the exact protocol windows.
+    */
+  final class ObjectLogStore(beforeClaim: () => Unit = () => (),
+      beforePut: () => Unit = () => ())
+      extends LogStore {
+    val name = "object"
+    def writeCommit(path: Path, content: String, version: Int): Unit = {
+      val dir = path.getParent
+      val claimPrefix = "." + path.getFileName.toString + ".claim-"
+      val claim = claimPrefix + java.util.UUID.randomUUID.toString
+      val tmp = dir.resolve(claim)
+      Files.write(tmp, content.getBytes("UTF-8")) // blind PUT of the claim
+      try {
+        if (Files.exists(path)) throw new ConflictException(version)
+        val claims = Files.list(dir).iterator.asScala
+          .map(_.getFileName.toString).filter(_.startsWith(claimPrefix))
+          .toSeq.sorted
+        if (claims.headOption != Some(claim))
+          throw new ConflictException(version)
+        beforeClaim()
+        // second existence check: a racer that completed its whole
+        // commit inside our claim window loses us the slot HERE, before
+        // we would blindly clobber its final object
+        if (Files.exists(path)) throw new ConflictException(version)
+        beforePut()
+        Files.write(path, content.getBytes("UTF-8")) // blind PUT, no CREATE_NEW
+        if (Files.readString(path) != content)
+          throw new ConflictException(version)
+      } finally Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Active store — default POSIX-atomic; swapped per-test to drive the
+    * same random-op model over both contracts (production would make
+    * this a per-table config).
+    */
+  @volatile private[graft] var logStore: LogStore = AtomicLogStore
+
+  private[graft] def withLogStore[T](s: LogStore)(f: => T): T = {
+    val prev = logStore
+    logStore = s
+    try f finally logStore = prev
+  }
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
 
@@ -236,11 +338,8 @@ object VersionedTable {
   // a writer's version pick and its commit (the real conflict window)
   private[graft] def commit(dir: String, e: Entry): Unit = {
     Files.createDirectories(logDir(dir))
-    try Files.write(entryPath(dir, e.version),
-      (render(e) + "\n").getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new ConflictException(e.version)
-    }
+    logStore.writeCommit(entryPath(dir, e.version), render(e) + "\n",
+      e.version)
   }
 
   /** Append `df` as a new version. `op` labels the commit in the log —
