@@ -1,0 +1,133 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale amplifier — manufactures an sf1-equivalent corpus
+  * from the driver's sf0.1 tables (the testdata tops out at sf0.1, so
+  * the two-decade scaling curve SURVEY §9 argues from needs a measured
+  * third point). Amplification = union of the source with k−1 replicas
+  * whose KEYS are offset per key domain (offset = the next power of ten
+  * above the domain's max, so replica key spaces never collide and every
+  * FK relationship — lineitem→orders→customer, lineitem→part/supplier —
+  * survives intact), and whose CONTENT is hash-perturbed exactly where
+  * identical replicas would corrupt an operator family's workload shape:
+  *
+  *   - `documents.text` gets a per-replica suffix token — otherwise every
+  *     replica is a byte-exact duplicate of replica 0 and the dedup
+  *     family's candidate sets explode quadratically in k (10× data
+  *     would mean 100× dup pairs: an amplification artifact, not scale);
+  *   - `embeddings.embedding` gets component 0 nudged by r/1024 (exact
+  *     in FLOAT) — otherwise ANN/KNN distance ties are degenerate;
+  *   - nation/region are NOT replicated: they are fixed-domain
+  *     dimensions (25/5 rows at every TPC-H scale factor).
+  *
+  * Everything else (dates, amounts, event timestamps, langs, sources)
+  * replicates unchanged — value distributions repeat naturally at scale.
+  * Output layout matches the testdata sf dirs: `<out>/<table>.parquet`;
+  * a `_AMPLIFIED` marker records the recipe and makes re-runs no-ops.
+  *
+  * Usage: runMain graft.tools.Amplify [src] [out] [k]
+  * (defaults: /root/testdata/sf0.1 → scaledata/sf1 at k=10).
+  */
+object Amplify {
+
+  private def pow10Above(n: Long): Long = {
+    var p = 1L
+    while (p <= n) p *= 10
+    p
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "scaledata/sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val marker = Paths.get(out, "_AMPLIFIED")
+    if (Files.exists(marker)) {
+      System.err.println(s"[amplify] $out already amplified, nothing to do")
+      return
+    }
+    val spark = graft.Verify.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    Files.createDirectories(Paths.get(out))
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0)
+
+    // fixed-domain dimensions: copy untouched
+    for (t <- Seq("region", "nation")) write(read(t), t)
+
+    // key-domain offsets (shared across tables referencing the domain)
+    val custOff = pow10Above(maxOf(read("customer"), "c_custkey"))
+    val suppOff = pow10Above(maxOf(read("supplier"), "s_suppkey"))
+    val partOff = pow10Above(maxOf(read("part"), "p_partkey"))
+    val ordOff = pow10Above(maxOf(read("orders"), "o_orderkey"))
+    val docOff = pow10Above(maxOf(read("documents"), "doc_id"))
+    val vecOff = pow10Above(maxOf(read("embeddings"), "vec_id"))
+    val evtOff = pow10Above(maxOf(read("events"), "event_id"))
+    val userOff = pow10Above(maxOf(read("events"), "user_id"))
+
+    /** union of k replicas with `perturb(df, r)` applied to each */
+    def amplify(t: String)(perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val base = read(t)
+      write((0 until k).map(r => perturb(base, r)).reduce(_ unionByName _), t)
+    }
+
+    amplify("customer") { (d, r) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(r * custOff))
+    }
+    amplify("supplier") { (d, r) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * suppOff))
+    }
+    amplify("part") { (d, r) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(r * partOff))
+    }
+    amplify("orders") { (d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * ordOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * custOff))
+    }
+    amplify("lineitem") { (d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * ordOff))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * partOff))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppOff))
+    }
+    amplify("events") { (d, r) =>
+      d.withColumn("event_id", col("event_id") + lit(r * evtOff))
+        .withColumn("user_id", col("user_id") + lit(r * userOff))
+    }
+    amplify("documents") { (d, r) =>
+      if (r == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + lit(r.toLong * docOff))
+        // NULL text stays NULL (the quarantine-path rows replicate as-is)
+        .withColumn("text",
+          when(col("text").isNull, col("text"))
+            .otherwise(concat(col("text"), lit(s" r$r"))))
+        .withColumn("n_chars",
+          when(col("text").isNull, col("n_chars"))
+            .otherwise(col("n_chars") + lit((s" r$r").length.toLong)))
+    }
+    amplify("embeddings") { (d, r) =>
+      if (r == 0) d
+      else d
+        .withColumn("vec_id", col("vec_id") + lit(r.toLong * vecOff))
+        .withColumn("embedding",
+          expr(s"transform(embedding, (x, i) -> " +
+            s"IF(i = 0, cast(x + $r / 1024.0 as float), x))"))
+    }
+
+    Files.write(marker,
+      (s"src=$src k=$k custOff=$custOff suppOff=$suppOff partOff=$partOff " +
+        s"ordOff=$ordOff docOff=$docOff vecOff=$vecOff evtOff=$evtOff " +
+        s"userOff=$userOff\n").getBytes("UTF-8"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      System.err.println(
+        s"[amplify] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    spark.stop()
+  }
+}
