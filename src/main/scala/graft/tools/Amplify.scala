@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   * survives intact), and whose CONTENT is hash-perturbed exactly where
   * identical replicas would corrupt an operator family's workload shape:
   *
-  *   - `documents.text` gets a per-replica suffix token — otherwise every
-  *     replica is a byte-exact duplicate of replica 0 and the dedup
-  *     family's candidate sets explode quadratically in k (10× data
-  *     would mean 100× dup pairs: an amplification artifact, not scale);
+  *   - `documents.text` gets a per-replica lowercase-alphabet ROTATION
+  *     (`translate(text, a..z, rot_r(a..z))`) — replica texts must
+  *     diverge at the SHINGLE level, not just byte level: a first
+  *     attempt that appended a replica suffix token left every original
+  *     shingle identical across replicas, so the n-gram near-dup family
+  *     saw all k replicas of each doc as one giant duplicate cluster
+  *     and its candidate-pair volume grew QUADRATICALLY in k (the
+  *     measured symptom: broadcast-build OOMs in the Jaccard family at
+  *     k=10 under the 8 GB harness heap). Rotation keeps token lengths,
+  *     whitespace structure and within-replica duplication exactly, and
+  *     costs nothing: n_chars is length-preserving;
   *   - `embeddings.embedding` gets component 0 nudged by r/1024 (exact
   *     in FLOAT) — otherwise ANN/KNN distance ties are degenerate;
   *   - nation/region are NOT replicated: they are fixed-domain
@@ -99,17 +106,16 @@ object Amplify {
       d.withColumn("event_id", col("event_id") + lit(r * evtOff))
         .withColumn("user_id", col("user_id") + lit(r * userOff))
     }
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
     amplify("documents") { (d, r) =>
       if (r == 0) d
-      else d
-        .withColumn("doc_id", col("doc_id") + lit(r.toLong * docOff))
-        // NULL text stays NULL (the quarantine-path rows replicate as-is)
-        .withColumn("text",
-          when(col("text").isNull, col("text"))
-            .otherwise(concat(col("text"), lit(s" r$r"))))
-        .withColumn("n_chars",
-          when(col("text").isNull, col("n_chars"))
-            .otherwise(col("n_chars") + lit((s" r$r").length.toLong)))
+      else {
+        val rot = alphabet.drop(r * 2 % 26) + alphabet.take(r * 2 % 26)
+        d.withColumn("doc_id", col("doc_id") + lit(r.toLong * docOff))
+          // NULL text stays NULL (quarantine-path rows replicate as-is);
+          // rotation is length-preserving so n_chars needs no touch
+          .withColumn("text", translate(col("text"), alphabet, rot))
+      }
     }
     amplify("embeddings") { (d, r) =>
       if (r == 0) d
