@@ -57,6 +57,19 @@ object Bench {
          graft.graph.Graph.clearEdgeMemo(spark)
          Seq("q_graph_pagerank_cold" ->
            timed(graft.graph.Graph.pageRank _, "q_graph_pagerank_cold"))
+       }) ++
+      // the fixed-width LSH scale law made visible: the declared
+      // q_dedup_embed_lsh keeps its oracle-pinned 4-plane signature
+      // (quadratic pair volume at fixed buckets — documented); this row
+      // times the SAME pipeline at the corpus-adaptive width
+      // (lshPlanesFor), the shape a production deployment runs
+      (if (only.nonEmpty && !only("q_dedup_embed_lsh_scaled")) Nil
+       else {
+         import graft.similarity.Similarity
+         Seq("q_dedup_embed_lsh_scaled" -> timed((s, d) => {
+           val n = s.read.parquet(s"$d/embeddings.parquet").count()
+           Similarity.lshNearDupPairsWith(s, d, Similarity.lshPlanesFor(n))
+         }, "q_dedup_embed_lsh_scaled"))
        })
     // run metadata baked into every record so contention adjudication is
     // mechanical: machine load at measurement time, wall timestamp, and

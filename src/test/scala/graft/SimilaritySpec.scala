@@ -608,4 +608,21 @@ class SimilaritySpec extends SparkSpec {
     // the retrain has signal: at least one centroid actually moved
     assert(got.exists(_._6))
   }
+
+  test("adaptive-width LSH near-dups are a subset of the declared 4-plane form") {
+    val sf = "/root/testdata/sf0.001"
+    val declared = Similarity.lshNearDupPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // widen the signature like a production deployment would at larger n
+    val scaled = Similarity.lshNearDupPairsWith(spark, sf, planes = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // the cosine gate is identical; only the candidate generation
+    // tightens, so the scaled output can drop pairs but never add them
+    assert(scaled.subsetOf(declared),
+      s"scaled form invented pairs: ${scaled -- declared}")
+    // the width formula: floored at the declared planes, grows log2(n)
+    assert(Similarity.lshPlanesFor(100) == Similarity.LshPlanes)
+    assert(Similarity.lshPlanesFor(128L << 10) == 10)
+    assert(Similarity.lshPlanesFor(20000) == 7)
+  }
 }
