@@ -1414,21 +1414,28 @@ object CorpusOps {
     * of the data: the [[InspectK]] docs with the smallest
     * h48("sample-"‖doc_id) per source (a uniform draw in expectation,
     * reproducible across runs/engines — `TABLESAMPLE`/`rand()` is
-    * neither). The window partitions by source and the rank cutoff is k,
-    * so the sort is per-source and the output bounded at k·|sources|;
-    * at extreme per-source cardinality the bounded-buffer
-    * [[graft.functions.TopK]] aggregator form applies unchanged
-    * (`q_topk_agg` precedent).
+    * neither). This runs as the bounded-buffer [[graft.functions.TopK]]
+    * aggregator (min-k by (h, doc_id) via the (−h desc, padded-id asc)
+    * order), NOT as a per-source window: source cardinality does not
+    * scale with data, so a window would sort ever-larger partitions,
+    * while the aggregator carries at most 2k candidates per source per
+    * map task — the swap the round-8 survey documented, now the
+    * implementation. Tag encoding: doc_id zero-padded to 20 digits so
+    * the aggregator's STRING tie-break equals numeric doc_id order; h
+    * is 48-bit so −h round-trips a double exactly.
     */
   def inspectSample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
       .select(col("source"), col("doc_id"),
         Hashing.h48(concat(lit("sample-"), col("doc_id"))).as("h"))
-    val w = Window.partitionBy("source").orderBy("h", "doc_id")
-    d.select(col("source"), col("doc_id"), col("h"),
-        row_number().over(w).as("rk"))
-      .where(col("rk") <= InspectK)
+    val fn = udaf(new graft.functions.TopK.TopKAggregator(InspectK))
+    d.groupBy("source")
+      .agg(fn(lpad(col("doc_id").cast("string"), 20, "0"),
+        -col("h").cast("double")).as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("i", "s")))
+      .select(col("source"), col("s.tag").cast("long").as("doc_id"),
+        (-col("s.score")).cast("long").as("h"),
+        (col("i") + 1).cast("int").as("rk"))
       .orderBy("source", "rk")
   }
 

@@ -84,8 +84,18 @@ object Amplify {
       write((0 until k).map(r => perturb(base, r)).reduce(_ unionByName _), t)
     }
 
+    val digits = "0123456789"
     amplify("customer") { (d, r) =>
+      val rotD = digits.drop(r % 10) + digits.take(r % 10)
       d.withColumn("c_custkey", col("c_custkey") + lit(r * custOff))
+        // names must diverge across replicas too: the fuzzy join blocks
+        // on deletion-neighborhood hashes of c_name, and identical names
+        // across k replicas made its candidate volume quadratic in k
+        // (measured 17.7× at k=10). Digit rotation keeps length and
+        // structure; cross-replica edit distance stays > 1 except for
+        // vanishing collisions
+        .withColumn("c_name",
+          if (r == 0) col("c_name") else translate(col("c_name"), digits, rotD))
     }
     amplify("supplier") { (d, r) =>
       d.withColumn("s_suppkey", col("s_suppkey") + lit(r * suppOff))
@@ -118,12 +128,19 @@ object Amplify {
       }
     }
     amplify("embeddings") { (d, r) =>
+      // CIRCULAR COMPONENT SHIFT per replica: a single-component nudge
+      // left replica vectors at cosine ≈ 1 of each other, so every LSH
+      // bucket collected all k copies and the embedding near-dup family
+      // went quadratic in k (measured 14.6× at k=10). Shifting the
+      // component order by r decorrelates replicas (near-random dot
+      // products) while preserving norms and all within-replica
+      // geometry exactly.
       if (r == 0) d
       else d
         .withColumn("vec_id", col("vec_id") + lit(r.toLong * vecOff))
         .withColumn("embedding",
           expr(s"transform(embedding, (x, i) -> " +
-            s"IF(i = 0, cast(x + $r / 1024.0 as float), x))"))
+            s"element_at(embedding, ((i + $r) % size(embedding)) + 1))"))
     }
 
     Files.write(marker,

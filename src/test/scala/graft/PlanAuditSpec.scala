@@ -227,10 +227,6 @@ class PlanAuditSpec extends SparkSpec {
           "the knob that scales it out"),
       "q_pack_sequences" ->
         "same writer-shard contract as q_pack_bpe",
-      "q_sample_inspect" ->
-        ("per-source hash-min sample: the window ranks the full source " +
-          "to take InspectK rows; the documented scale swap is a " +
-          "bounded min-k buffer aggregator (the TopK shape)"),
       "q_token_budget" ->
         ("per-source greedy budget selection; the docstring documents " +
           "the hot-window trade and the qualityGate sketch-threshold " +
