@@ -201,4 +201,43 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Double].head()
     assert(agree >= 0.70, s"classifier/heuristic agreement $agree < 0.70")
   }
+
+  test("4k classifier: exact logit replay; plan size independent of width") {
+    import graft.textanalysis.QualityClassifier
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val text = "the cat sat on the mat"
+    val dir = writeDocs(Seq(1L -> text))
+    val got = QualityClassifier.classify4k(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().toList
+    val toks = text.split("\\s+").toSeq
+    val sum4k = toks.map(w => QualityClassifier.weights4k(
+      (graft.functions.Hashing.h48String(w) % QualityClassifier.ClfDim4k).toInt))
+      .sum
+    val logit = QualityClassifier.bias4k.toDouble + sum4k.toDouble / toks.size
+    assert(got == List((1L, toks.size.toLong, logit, logit > 0)))
+    // the literal-riding claim, machine-checked. Two layers: (a) the
+    // ANALYZED 256-dim plan carries width-many lit+cast nodes (collapsed
+    // only later by ConstantFolding), while the typedlit form enters the
+    // analyzer as ONE literal already — 16× the width, ~7× fewer nodes;
+    // (b) after optimization BOTH are width-independent and small, so
+    // neither form can codegen-blow-up (lesson 11's failure mode)
+    def nodes(p: LogicalPlan): Int =
+      p.expressions.map(e => e.collect { case _ => 1 }.size).sum +
+        p.children.map(nodes).sum
+    val sf = "/root/testdata/sf0.001"
+    val a256 = nodes(QualityClassifier.classify(spark, sf)
+      .queryExecution.analyzed)
+    val a4k = nodes(QualityClassifier.classify4k(spark, sf)
+      .queryExecution.analyzed)
+    assert(a4k * 2 < a256,
+      s"analyzed 4k plan ($a4k nodes) must be far smaller than 256's ($a256)")
+    val n256 = nodes(QualityClassifier.classify(spark, sf)
+      .queryExecution.optimizedPlan)
+    val n4k = nodes(QualityClassifier.classify4k(spark, sf)
+      .queryExecution.optimizedPlan)
+    assert(n4k <= n256 && n4k < 300,
+      s"optimized 4k plan carries $n4k expression nodes (256-dim: $n256)")
+    // artifact sanity: trained, not padded — most dims carry signal
+    assert(QualityClassifier.weights4k.count(_ != 0) > 1500)
+  }
 }

@@ -25,7 +25,8 @@ import sys
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+SF_DIR = (sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] != "--synthetic"
+          else "/root/testdata/sf0.01")
 OUT = "src/main/resources/quality_clf.txt"
 DIM = 256            # QualityClassifier.ClfDim (independent of HashVecDim)
 THRESHOLD = 0.35      # TextAnalysis.QualityThreshold
@@ -37,6 +38,108 @@ LR = 8.0
 
 def h48(w: str) -> int:
     return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:12], 16)
+
+
+# --------------------------------------------------------------------------
+# Production-scale artifact mode:
+#   python3 tools/train_classifier.py --synthetic [dim] [out]
+# (default dim 4096 -> src/main/resources/quality_clf_4k.txt).
+#
+# The 500-doc/31-word corpus cannot ground a realistic hash-space width,
+# so this mode trains on a DETERMINISTIC synthetic corpus (the FIXTURES.md
+# / train_bpe.py pattern): 2,000 docs of 10-60 words drawn from an
+# LCG-seeded 4,000-word syllable vocabulary with stopwords injected at a
+# per-doc rate, labeled by the SAME heuristic quality formula the 256-dim
+# model distills (stopword ratio + distinct ratio + length term against
+# THRESHOLD).  Training is the same full-batch logistic regression with
+# SPARSE gradients (dense DIM-loops are infeasible at 4k+), zero init,
+# fixed LR -- byte-identical artifacts on rerun.
+# --------------------------------------------------------------------------
+if "--synthetic" in sys.argv:
+    args = [a for a in sys.argv[1:] if a != "--synthetic"]
+    dim = int(args[0]) if args else 4096
+    out = args[1] if len(args) > 1 else "src/main/resources/quality_clf_4k.txt"
+
+    state = 24680135791
+    def rnd(n):
+        global state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (state >> 33) % n
+
+    consonants = "bcdfghjklmnpqrstvwz"
+    vowels = "aeiou"
+    syls = []
+    for _ in range(300):
+        pat = rnd(3)
+        w = consonants[rnd(len(consonants))] + vowels[rnd(len(vowels))]
+        if pat > 0:
+            w += consonants[rnd(len(consonants))]
+        syls.append(w)
+    pool = []
+    while len(pool) < 4000:
+        w = "".join(syls[rnd(len(syls))] for _ in range(1 + rnd(3)))
+        pool.append(w)
+    stop = list(STOPWORDS)
+
+    docs = []
+    for _ in range(2000):
+        n = 10 + rnd(51)
+        srate = rnd(40)          # stopword percentage 0..39
+        # repetition pressure: a quarter of docs draw from tiny slices of
+        # the vocabulary (degenerate boilerplate), so the distinct-ratio
+        # term actually splits the label around the threshold
+        width = [len(pool), len(pool), 40, 4][rnd(4)]
+        toks = [stop[rnd(len(stop))] if rnd(100) < srate
+                else pool[rnd(width)] for _ in range(n)]
+        docs.append(toks)
+
+    def quality(toks):
+        n = float(len(toks))
+        s = sum(1 for w in toks if w in STOPWORDS) / n
+        d = len(set(toks)) / n
+        al = min(sum(len(w) for w in toks) / n, 8.0) / 8.0
+        return 0.4 * s + 0.4 * d + 0.2 * al
+
+    examples = []
+    for toks in docs:
+        x = {}
+        for w in toks:
+            i = h48(w) % dim
+            x[i] = x.get(i, 0.0) + 1.0
+        n = float(len(toks))
+        xs = {i: v / n for i, v in x.items()}
+        examples.append((xs, 1.0 if quality(toks) >= THRESHOLD else 0.0))
+    n_pos = sum(1 for _, y in examples if y > 0.5)
+    print(f"synthetic corpus: {len(examples)} docs, {n_pos} positive")
+
+    w = [0.0] * dim
+    b = 0.0
+    for it in range(2000):
+        gw = {}
+        gb = 0.0
+        for xs, y in examples:
+            z = b + sum(w[i] * v for i, v in xs.items())
+            pr = 1.0 / (1.0 + math.exp(-max(-30.0, min(30.0, z))))
+            d = pr - y
+            gb += d
+            for i, v in xs.items():
+                gw[i] = gw.get(i, 0.0) + d * v
+        m = float(len(examples))
+        b -= LR * gb / m
+        for i, g in gw.items():
+            w[i] -= LR * g / m
+
+    correct = sum(
+        1 for xs, y in examples
+        if ((b + sum(w[i] * v for i, v in xs.items())) > 0.0) == (y > 0.5))
+    print(f"train accuracy {correct}/{len(examples)} "
+          f"({100.0 * correct / len(examples):.1f}%) at dim={dim}")
+    with open(out, "w") as f:
+        f.write(f"bias {b:.6f}\n")
+        for i, wi in enumerate(w):
+            f.write(f"{i} {wi:.6f}\n")
+    print(f"wrote {out}")
+    sys.exit(0)
 
 
 in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
