@@ -1672,14 +1672,17 @@ object CorpusOps {
     *
     * Scale: one fused scan computes n_tok and quality together (the
     * [[corpusClean]] fusion argument); per-source totals are a tiny
-    * aggregate broadcast back; the greedy selection is ONE running-sum
-    * window per source — the same per-source parallelism contract as
-    * [[packSequences]], with the explicit ROWS frame on both engines.
-    * Low source cardinality makes the window partitions hot at 100 TB;
-    * the documented swap is the [[qualityGate]] move — a per-source
-    * quality-threshold from a quantile sketch (pick t_s so the expected
-    * token mass under it meets the budget), which replaces the window
-    * with a broadcast threshold filter at sketch precision.
+    * aggregate broadcast back; and the greedy prefix sum is BLOCK
+    * DECOMPOSED (lesson 23, the [[TextAnalysis.qualityCalibrated]]
+    * shape) rather than one running-sum window per source: per-(source,
+    * quality-block) token masses aggregate first (≤ RankBlocks rows per
+    * source), each block's offset = the token mass of all HIGHER blocks
+    * (a windowed sum over the tiny block table), and the within-block
+    * running sum runs in (source, blk)-partitioned windows whose
+    * partition count scales with data. cum_tok = offset + within-block
+    * prefix — row-for-row identical to the single-window form (the
+    * block map is monotone in quality), so the oracle keeps its one
+    * whole-partition window.
     */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1692,12 +1695,23 @@ object CorpusOps {
     val budgets = d.groupBy("source").agg(sum("n_tok").as("src_tok"))
       .select(col("source"),
         expr(s"src_tok * $BudgetNum div $BudgetDen").as("budget"))
-    val w = Window.partitionBy("source")
+    val b = d.withColumn("blk", TextAnalysis.qualityBlock(col("quality")))
+    // off(source, blk) = token mass of strictly HIGHER-quality blocks =
+    // source total − inclusive ascending running mass; exact longs
+    val ascIncl = Window.partitionBy("source").orderBy("blk")
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val offsets = b.groupBy("source", "blk").agg(sum("n_tok").as("m"))
+      .select(col("source"), col("blk"),
+        (sum("m").over(Window.partitionBy("source")) -
+          sum("m").over(ascIncl)).as("off"))
+    val within = Window.partitionBy("source", "blk")
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.join(broadcast(budgets), Seq("source"))
+    b.join(offsets, Seq("source", "blk"))
+      .join(broadcast(budgets), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("quality"),
-        sum("n_tok").over(w).as("cum_tok"), col("budget"))
+        (col("off") + sum("n_tok").over(within)).as("cum_tok"),
+        col("budget"))
       .withColumn("kept", col("cum_tok") <= col("budget"))
       .orderBy("doc_id")
   }

@@ -227,10 +227,6 @@ class PlanAuditSpec extends SparkSpec {
           "the knob that scales it out"),
       "q_pack_sequences" ->
         "same writer-shard contract as q_pack_bpe",
-      "q_token_budget" ->
-        ("per-source greedy budget selection; the docstring documents " +
-          "the hot-window trade and the qualityGate sketch-threshold " +
-          "swap that replaces it at scale"),
       "q_corpus_rake" ->
         ("the IPF windows run over the |sources|×|langs| CELL MATRIX " +
           "(one row per cell, already aggregated from the corpus), so a " +
