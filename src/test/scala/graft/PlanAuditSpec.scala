@@ -217,10 +217,6 @@ class PlanAuditSpec extends SparkSpec {
       "q_window_topk" ->
         ("the window FORM of per-group top-k, kept deliberately beside " +
           "its fixed-memory aggregator twin q_topk_agg"),
-      "q_ann_shard_merge" ->
-        ("shard = the serving-fleet parallelism unit (cardinality is a " +
-          "deployment choice ∝ cluster size, not data); per-shard rows " +
-          "are that shard's candidate set, LSH-bucket bounded"),
       "q_pack_bpe" ->
         ("shard = writer-task parallelism unit; greedy sequence packing " +
           "is sequential WITHIN a shard by definition, and NShards is " +
