@@ -99,8 +99,17 @@ object Bench {
         }
       files.sortBy(_._1).lastOption.map { case (_, p) =>
         val s = java.nio.file.Files.readString(p)
-        val kv = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-        kv.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // the committed record is an sf0.1 baseline; comparing a run at
+        // a DIFFERENT scale factor against it flags everything and the
+        // suspect list stops meaning "contention" — so only adjudicate
+        // same-sf runs
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .forall(_.group(1) == sfDir)
+        if (!sfOk) Map.empty[String, Double]
+        else {
+          val kv = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+          kv.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty[String, Double] }
     def suspects(rows: Seq[(String, Double)]): Seq[String] =
