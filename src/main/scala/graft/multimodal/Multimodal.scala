@@ -13,11 +13,13 @@ import graft.model.Tables
   * Two decoders live here. [[PpmDecoder]] is a REAL pure-JVM decoder for
   * the netpbm P6 format — genuine header parse, genuine truncation /
   * wrong-codec failures, features computed from actual raster bytes —
-  * and backs the declared meta/errors queries over deterministically
-  * generated payloads ([[ppmPayload]]). [[StubDecoder]] remains the
-  * clearly-marked deterministic FAKE (md5-derived dimensions) standing
-  * in for compressed codecs (JPEG/video) whose libraries are not in
-  * this container; it still drives the frame-sampling 1→N shape. Around
+  * and backs ALL THREE declared media queries (meta / errors / frames)
+  * over deterministically generated payloads ([[ppmPayload]]).
+  * [[StubDecoder]] remains the clearly-marked deterministic FAKE
+  * (md5-derived dimensions) standing in for compressed codecs
+  * (JPEG/video) whose libraries are not in this container — kept
+  * spec-pinned but undeclared, as the drop-in slot a real codec would
+  * fill. Around
   * both: the binary schema, the Dataset[MediaBlob] encoder, the
   * per-partition decoder lifecycle (init once per partition, stream the
   * rows, never materialize the partition), and the typed output row are
@@ -286,7 +288,11 @@ object Multimodal {
       * truncated_raster (header promises 3·w·h bytes, payload has
       * fewer — the classic partial-download corruption).
       */
-    def decode(b: MediaBlob): Either[String, PpmMeta] = {
+    /** Validated header: (width, height, raster byte offset). Shared by
+      * [[decode]] and the frame sampler — one parser, two consumers.
+      */
+    private[graft] def header(
+        b: MediaBlob): Either[String, (Int, Int, Int)] = {
       val a = b.content
       if (a.length < 2 || a(0) != 'P' || a(1) != '6') Left("bad_magic")
       else {
@@ -313,25 +319,28 @@ object Multimodal {
         else if (maxv != 255) Left("unsupported_maxval")
         else {
           i += 1 // the single whitespace byte terminating the header
-          val need = 3L * w * h
-          if (a.length - i < need) Left("truncated_raster")
-          else {
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var k = 0
-            val base = i
-            while (k < need) {
-              val v = a(base + k) & 0xff
-              val m = k % 3
-              if (m == 0) sr += v else if (m == 1) sg += v else sb += v
-              k += 1
-            }
-            val long = math.max(w, h)
-            Right(PpmMeta(b.doc_id, w, h, w * 224 / long, h * 224 / long,
-              w.toLong * h, sr, sg, sb))
-          }
+          if (a.length - i < 3L * w * h) Left("truncated_raster")
+          else Right((w, h, i))
         }
       }
     }
+
+    def decode(b: MediaBlob): Either[String, PpmMeta] =
+      header(b).map { case (w, h, base) =>
+        val a = b.content
+        val need = 3L * w * h
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var k = 0
+        while (k < need) {
+          val v = a(base + k) & 0xff
+          val m = k % 3
+          if (m == 0) sr += v else if (m == 1) sg += v else sb += v
+          k += 1
+        }
+        val long = math.max(w, h)
+        PpmMeta(b.doc_id, w, h, w * 224 / long, h * 224 / long,
+          w.toLong * h, sr, sg, sb)
+      }
   }
 
   /** Deterministic PPM payload for a doc id — real bytes of a real
@@ -418,6 +427,60 @@ object Multimodal {
         expr("(n_blobs - n_ok) * 1000000 div n_blobs").as("fail_ppm"))
       .orderBy("source")
   }
+
+  /** One sampled frame of REAL pixel data: raster row index + the row's
+    * byte checksum.
+    */
+  final case class PpmFrame(doc_id: Long, frame_idx: Int, row_sum: Long)
+
+  /** Frame sampling over REAL rasters — the video-pipeline 1→N shape
+    * (decode once per payload, emit per-frame records, stream both
+    * directions) with every value a function of actual bytes: every
+    * [[FrameStride]]-th raster ROW of each decodable payload becomes a
+    * frame row carrying the row's byte sum (the checksum a sampler logs
+    * per extracted frame). Undecodable payloads contribute nothing —
+    * they are the quarantine channel's rows ([[ppmAudit]]). Replaces
+    * the md5 stub for the declared frames query; the stub sampler
+    * remains as the spec-pinned stand-in for codecs with an internal
+    * frame count (video), which PPM does not model.
+    */
+  val FrameStride = 4
+
+  def ppmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val b = ppmBlobs(spark, dir)
+    import b.sparkSession.implicits._
+    b.mapPartitions(it => it.flatMap { x =>
+      PpmDecoder.header(x) match {
+        case Left(_) => Iterator.empty
+        case Right((w, h, base)) =>
+          (0 until h by FrameStride).iterator.map { r =>
+            var sum = 0L
+            var k = 3 * r * w
+            val end = 3 * (r + 1) * w
+            while (k < end) { sum += (x.content(base + k) & 0xff); k += 1 }
+            PpmFrame(x.doc_id, r, sum)
+          }
+      }
+    }).toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Oracle replay of [[ppmFrames]]: same ok-filter and dims as
+    * [[ppmMetaSql]], row sums via an unnest over the row's byte range.
+    */
+  val ppmFramesSql: String =
+    s"""WITH d AS (SELECT doc_id,
+              CAST(4 + (doc_id*31 + 7) % 32 AS INT) AS w,
+              CAST(4 + (doc_id*17 + 3) % 32 AS INT) AS h
+            FROM documents
+            WHERE doc_id % 29 <> 11 AND doc_id % 23 <> 5),
+        f AS (SELECT doc_id, w, unnest(range(0, h, $FrameStride)) AS r
+            FROM d),
+        px AS (SELECT doc_id, r,
+              unnest(range(3*r*w, 3*(r+1)*w)) AS k
+            FROM f)
+        SELECT doc_id, CAST(r AS INT) AS frame_idx,
+          CAST(sum((doc_id*131 + k*31 + 17) % 256) AS BIGINT) AS row_sum
+        FROM px GROUP BY doc_id, r ORDER BY doc_id, frame_idx"""
 
   /** Oracle replay of [[ppmMeta]]: the same id-seeded dims/corruption
     * rules, pixel sums via an unnest over the raster index — DuckDB

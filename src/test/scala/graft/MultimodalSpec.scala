@@ -137,6 +137,31 @@ class MultimodalSpec extends SparkSpec {
     assert(audit.map(_.getLong(4)).sum == nTrunc.toLong)
   }
 
+  test("ppm frames: row checksums replay from the generator formula") {
+    import graft.multimodal.Multimodal.{PpmDecoder, ppmPayload, FrameStride}
+    val got = Multimodal.ppmFrames(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    var checked = 0
+    ids.foreach { id =>
+      PpmDecoder.header(
+        Multimodal.MediaBlob(id, ppmPayload(id))) match {
+        case Right((w, h, _)) =>
+          for (r <- 0 until h by FrameStride) {
+            val exp = (3 * r * w until 3 * (r + 1) * w)
+              .map(k => (id * 131 + k * 31 + 17) % 256).sum
+            assert(got((id, r)) == exp, s"doc $id row $r")
+            checked += 1
+          }
+        case Left(_) =>
+          assert(!got.keys.exists(_._1 == id),
+            s"undecodable doc $id emitted frames")
+      }
+    }
+    assert(checked == got.size && checked > 500)
+  }
+
   test("fail-safe decode: quarantine matches the deterministic failure rule") {
     val blobs = Multimodal.blobs(spark, sf)
     val st = Multimodal.decodeStatus(blobs).collect().map(s => s.doc_id -> s).toMap
