@@ -57,20 +57,10 @@ object Bench {
          graft.graph.Graph.clearEdgeMemo(spark)
          Seq("q_graph_pagerank_cold" ->
            timed(graft.graph.Graph.pageRank _, "q_graph_pagerank_cold"))
-       }) ++
-      // the fixed-width LSH scale law made visible: the declared
-      // q_dedup_embed_lsh keeps its oracle-pinned 4-plane signature
-      // (quadratic pair volume at fixed buckets — documented); this row
-      // times the SAME pipeline at the corpus-adaptive width
-      // (lshPlanesFor), the shape a production deployment runs
-      (if (only.nonEmpty && !only("q_dedup_embed_lsh_scaled")) Nil
-       else {
-         import graft.similarity.Similarity
-         Seq("q_dedup_embed_lsh_scaled" -> timed((s, d) => {
-           val n = s.read.parquet(s"$d/embeddings.parquet").count()
-           Similarity.lshNearDupPairsWith(s, d, Similarity.lshPlanesFor(n))
-         }, "q_dedup_embed_lsh_scaled"))
        })
+    // (the r9 q_dedup_embed_lsh_scaled diagnostic is gone: since round
+    // 10 the DECLARED q_dedup_embed_lsh runs the corpus-adaptive width
+    // itself, so the diagnostic would just duplicate the official row)
     // run metadata baked into every record so contention adjudication is
     // mechanical: machine load at measurement time, wall timestamp, and
     // whether the per-query map is the full set or the stdout top-40 cut
@@ -89,14 +79,17 @@ object Bench {
       val repoDir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."))
       val rx = "BENCH_LOCAL_r(\\d+)\\.json".r
-      val files = java.nio.file.Files.list(repoDir).toArray.toSeq
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .flatMap { p =>
-          p.getFileName.toString match {
-            case rx(n) => Some(n.toInt -> p)
-            case _ => None
+      val st = java.nio.file.Files.list(repoDir)
+      val files =
+        try st.toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case rx(n) => Some(n.toInt -> p)
+              case _ => None
+            }
           }
-        }
+        finally st.close()
       files.sortBy(_._1).lastOption.map { case (_, p) =>
         val s = java.nio.file.Files.readString(p)
         // the committed record is an sf0.1 baseline; comparing a run at

@@ -75,6 +75,21 @@ object Graph {
     val hit = edgeCache.get(key)
     if (hit != null) hit
     else {
+      // eager eviction on session shutdown (round-10, ADVICE r9): a
+      // long-lived multi-session process must not retain a stopped
+      // session's SparkSession object and checkpoint block references
+      // until some LATER linkEdges call happens to sweep them — an
+      // application-end listener drops them the moment the session dies
+      if (listenerInstalled.add(spark.sparkContext))
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = {
+              evictEdges { case (s, _, _) => s.sparkContext.isStopped }
+              listenerInstalled.removeIf(_.isStopped)
+            }
+          })
       val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
       val n = ids.agg(count(lit(1)).as("n"))
       val edges = ids.crossJoin(broadcast(n))
@@ -101,6 +116,12 @@ object Graph {
     */
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long), DataFrame]()
+
+  // contexts that already carry the application-end eviction listener
+  // (one listener per context; entries self-clean when the listener
+  // fires and sweeps stopped contexts)
+  private val listenerInstalled = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.SparkContext]()
 
   private val EdgeCachePerSession = 8
 

@@ -309,13 +309,21 @@ object Multimodal {
         def readInt(): Int = {
           skipWs()
           var v = -1
-          while (i < a.length && a(i) >= '0' && a(i) <= '9' && v < (1 << 20)) {
-            v = math.max(v, 0) * 10 + (a(i) - '0'); i += 1
+          var over = false
+          // consume the WHOLE digit run even past the sanity bound: an
+          // oversized field (e.g. an 8-digit width) must fail as
+          // bad_header, not leave trailing digits to misparse as the
+          // next header field under a wrong geometry
+          while (i < a.length && a(i) >= '0' && a(i) <= '9') {
+            if (v >= (1 << 20)) over = true
+            else v = math.max(v, 0) * 10 + (a(i) - '0')
+            i += 1
           }
-          v
+          if (over) -2 else v
         }
         val w = readInt(); val h = readInt(); val maxv = readInt()
-        if (w <= 0 || h <= 0) Left("bad_header")
+        if (w == -2 || h == -2 || maxv == -2) Left("bad_header")
+        else if (w <= 0 || h <= 0) Left("bad_header")
         else if (maxv != 255) Left("unsupported_maxval")
         else {
           i += 1 // the single whitespace byte terminating the header

@@ -39,10 +39,10 @@ import org.apache.spark.sql.functions._
   *
   * Production notes, stated honestly: the log is line-JSON behind a
   * pluggable [[LogStore]] — [[AtomicLogStore]] (POSIX/HDFS CREATE_NEW)
-  * by default, with [[ObjectLogStore]] simulating a rename-less object
-  * store via a temp-write + list-before-claim protocol whose residual
-  * conflict window (and its production closure: conditional PUT or a
-  * lock table) is documented on the class and property-tested; schema
+  * by default, with [[ObjectLogStore]] simulating an object store via a
+  * temp-write + list-before-claim protocol finished by a CONDITIONAL
+  * PUT (If-None-Match), which closes the lost-update window the blind
+  * legacy mode (kept, spec-pinned) provably cannot; schema
   * is append-time-checked by `unionByName` only. The operator surface —
   * snapshot isolation for readers during a merge, pruned rewrite scope,
   * version pinning for reproducible training runs — is the part that
@@ -99,36 +99,43 @@ object VersionedTable {
       }
   }
 
-  /** Object-store shim: TEMP-WRITE + LIST-BEFORE-CLAIM. The writer
-    * stages its entry as a uniquely named claim object next to the slot,
-    * LISTs the log: if the final object already exists, or another
-    * staged claim sorts first (min-claim-id is the deterministic
-    * tiebreak), it loses and raises [[ConflictException]]. Otherwise it
-    * PUTs the final object (a blind overwrite — no atomicity assumed)
-    * and READS IT BACK: a racer's PUT that landed first is detected as
-    * content mismatch and this writer loses after all.
+  /** Object-store shim: TEMP-WRITE + LIST-BEFORE-CLAIM, with the final
+    * slot install selected by `conditionalPut`. The writer stages its
+    * entry as a uniquely named claim object next to the slot, LISTs the
+    * log: if the final object already exists, or another staged claim
+    * sorts first (min-claim-id is the deterministic tiebreak), it loses
+    * and raises [[ConflictException]]. Then:
     *
-    * CONFLICT SEMANTICS, stated honestly: every interleaving in which
-    * both claims are staged before either writer lists resolves to
-    * exactly one winner (the min claim id). A racer that slips its FULL
-    * commit between this writer's LIST and its final PUT is caught by
-    * the second existence check; one whose PUT lands between our PUT
-    * and our read-back is caught by the content verify. What remains is
-    * the window {A checks-exists, B puts, B verifies, A puts, A
-    * verifies}: both believe they won and B's entry is silently
-    * replaced. That window is NOT closable with PUT/GET/LIST alone —
-    * production stores close it with conditional PUT (If-None-Match,
-    * S3 2024+) or an external lock table (DynamoDB in Delta's S3
-    * multi-writer LogStore); this shim exists to make the format's
-    * storage contract explicit and machine-tested — including a test
-    * that PINS the residual window — rather than silently POSIX-only.
+    *   - `conditionalPut = true` (default, the S3 If-None-Match / GCS
+    *     precondition shape, available since S3 added it in 2024): the
+    *     final install is PUT-if-absent — the STORE arbitrates the slot,
+    *     so any racer whose commit lands first turns this writer's PUT
+    *     into a precondition failure and a clean [[ConflictException]].
+    *     Under this mode NO interleaving loses a commit: either the
+    *     existence checks, the claim tiebreak, or the conditional PUT
+    *     itself rejects the second writer (the round-9 residual window
+    *     {A checks, B puts, A puts-over-B} is exactly what the
+    *     precondition closes — proven by the race spec).
+    *   - `conditionalPut = false` (the legacy pre-conditional-PUT
+    *     contract: PUT blindly overwrites; only PUT/GET/LIST exist):
+    *     blind PUT + READ-BACK. A racer's PUT that landed first is
+    *     usually detected as content mismatch, but the window
+    *     {A checks-exists, B puts, B verifies, A puts, A verifies}
+    *     remains: both believe they won and B's entry is silently
+    *     replaced. That window is NOT closable with PUT/GET/LIST alone
+    *     — production on such stores needs an external lock table
+    *     (DynamoDB in Delta's S3 multi-writer LogStore). The mode is
+    *     kept, with the spec still PINNING its lost update, as the
+    *     machine-checked statement of WHY the conditional PUT matters.
+    *
     * `beforeClaim`/`beforePut` are test seams: the property spec
     * injects racing commits into the exact protocol windows.
     */
   final class ObjectLogStore(beforeClaim: () => Unit = () => (),
-      beforePut: () => Unit = () => ())
+      beforePut: () => Unit = () => (),
+      conditionalPut: Boolean = true)
       extends LogStore {
-    val name = "object"
+    val name = if (conditionalPut) "object-condput" else "object"
     def writeCommit(path: Path, content: String, version: Int): Unit = {
       val dir = path.getParent
       val claimPrefix = "." + path.getFileName.toString + ".claim-"
@@ -137,22 +144,42 @@ object VersionedTable {
       Files.write(tmp, content.getBytes("UTF-8")) // blind PUT of the claim
       try {
         if (Files.exists(path)) throw new ConflictException(version)
-        val claims = Files.list(dir).iterator.asScala
+        val claims = listDir(dir)
           .map(_.getFileName.toString).filter(_.startsWith(claimPrefix))
-          .toSeq.sorted
+          .sorted
         if (claims.headOption != Some(claim))
           throw new ConflictException(version)
         beforeClaim()
         // second existence check: a racer that completed its whole
         // commit inside our claim window loses us the slot HERE, before
-        // we would blindly clobber its final object
+        // we would clobber (or collide with) its final object
         if (Files.exists(path)) throw new ConflictException(version)
         beforePut()
-        Files.write(path, content.getBytes("UTF-8")) // blind PUT, no CREATE_NEW
-        if (Files.readString(path) != content)
-          throw new ConflictException(version)
+        if (conditionalPut) {
+          // PUT If-None-Match: CREATE_NEW is the local-FS simulation of
+          // the store-side precondition — the one primitive that closes
+          // the blind protocol's residual lost-update window
+          try Files.write(path, content.getBytes("UTF-8"),
+            StandardOpenOption.CREATE_NEW)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            throw new ConflictException(version)
+          }
+        } else {
+          Files.write(path, content.getBytes("UTF-8")) // blind PUT
+          if (Files.readString(path) != content)
+            throw new ConflictException(version)
+        }
       } finally Files.deleteIfExists(tmp)
     }
+  }
+
+  /** Files.list with the stream closed — every directory listing in this
+    * file goes through here (an unclosed DirectoryStream leaks an fd per
+    * call; commit logging is a per-commit hot path).
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator.asScala.toSeq finally st.close()
   }
 
   /** Active store — default POSIX-atomic; swapped per-test to drive the
@@ -218,7 +245,7 @@ object VersionedTable {
   private def latestCheckpoint(dir: String): Int = {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) -1
-    else Files.list(ld).iterator.asScala
+    else listDir(ld)
       .map(_.getFileName.toString)
       .filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toInt)
@@ -238,7 +265,7 @@ object VersionedTable {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) return Nil
     val cp = latestCheckpoint(dir)
-    val tail = Files.list(ld).iterator.asScala.toSeq
+    val tail = listDir(ld)
       .filter(_.getFileName.toString.endsWith(".json"))
       .map(p => parse(Files.readString(p)))
       .filter(_.version > cp)
@@ -278,7 +305,7 @@ object VersionedTable {
   private def allJsonEntries(dir: String): Seq[Entry] = {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) Nil
-    else Files.list(ld).iterator.asScala.toSeq
+    else listDir(ld)
       .filter(_.getFileName.toString.endsWith(".json"))
       .map(p => parse(Files.readString(p))).sortBy(_.version)
   }
@@ -325,7 +352,7 @@ object VersionedTable {
   private def stageIn(df: DataFrame, dir: String, v: Int): Seq[String] = {
     val tmp = Files.createTempDirectory("vtab_stage").toString
     df.write.mode("overwrite").parquet(tmp)
-    val parts = Files.list(Paths.get(tmp)).iterator.asScala.toSeq
+    val parts = listDir(Paths.get(tmp))
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     parts.zipWithIndex.map { case (p, i) =>
       val name = f"v$v%08d-$i%05d-${java.util.UUID.randomUUID.toString.replace("-", "")}.parquet"

@@ -85,6 +85,17 @@ class MultimodalSpec extends SparkSpec {
     assert(PpmDecoder.decode(blob(Array[Byte]('P'))) == Left("bad_magic"))
     assert(PpmDecoder.decode(blob(ppm("P6\nxy 2\n255\n", raster)))
       == Left("bad_header"))
+    // an oversized dimension fails as bad_header — the WHOLE digit run
+    // is consumed, so trailing digits can never misparse as the next
+    // header field under a wrong geometry (ADVICE r9): here a naive
+    // bound-stop would read w=2^20-ish, h=<leftover digits>, maxv=2,
+    // and decode garbage instead of rejecting
+    assert(PpmDecoder.decode(blob(ppm("P6\n99999999 2\n255\n", raster)))
+      == Left("bad_header"))
+    assert(PpmDecoder.decode(blob(ppm("P6\n2 99999999\n255\n", raster)))
+      == Left("bad_header"))
+    assert(PpmDecoder.decode(blob(ppm("P6\n2 2\n99999999\n", raster)))
+      == Left("bad_header"))
     assert(PpmDecoder.decode(blob(ppm("P6\n2 2\n65535\n", raster)))
       == Left("unsupported_maxval"))
     assert(PpmDecoder.decode(blob(ppm("P6\n2 2\n255\n", raster.take(11))))

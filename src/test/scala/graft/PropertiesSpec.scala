@@ -246,9 +246,12 @@ class PropertiesSpec extends SparkSpec {
   }
 
   test("versioned table: the same random-op model holds on the object store") {
-    // the rename-less store must be behaviorally indistinguishable for a
-    // single writer: identical versions, identical reads
+    // the object store must be behaviorally indistinguishable for a
+    // single writer: identical versions, identical reads — in BOTH its
+    // conditional-PUT (default) and legacy blind-PUT modes
     versionedTableModel(new graft.sources.VersionedTable.ObjectLogStore())
+    versionedTableModel(new graft.sources.VersionedTable.ObjectLogStore(
+      conditionalPut = false))
   }
 
   test("object store: racing writers resolve to exactly one winner") {
@@ -283,26 +286,44 @@ class PropertiesSpec extends SparkSpec {
     // exactly one commit stands, and it is the racer's
     assert(VersionedTable.entries(d2).map(_.op) == Seq("racer"))
 
-    // case 3: PIN the residual window the protocol documents as
-    // unclosable with PUT/GET/LIST alone — the racer lands between the
-    // second existence check and the PUT; the victim overwrites it,
-    // reads back its own bytes, and wrongly believes it won. This test
-    // is the machine-checked statement of the documented conflict
-    // semantics: on a store like this, production needs conditional PUT
-    // or a lock table.
+    // case 3: the round-9 residual window — the racer lands between the
+    // second existence check and the final PUT. Two sub-cases:
+    //
+    // 3a (LEGACY blind-PUT mode): the victim overwrites the racer, reads
+    // back its own bytes, and wrongly believes it won — the lost update
+    // stays PINNED as the machine-checked statement of why blind PUT +
+    // read-back cannot be a commit protocol.
     val d3 = java.nio.file.Files.createTempDirectory("olsrace3").toString
     val blind = new ObjectLogStore(beforePut = () =>
       VersionedTable.withLogStore(VersionedTable.AtomicLogStore) {
         VersionedTable.commit(d3, Entry(0, "racer", 1L, Seq("r.parquet"), Nil))
-      })
+      }, conditionalPut = false)
     VersionedTable.withLogStore(blind) {
       VersionedTable.commit(d3, Entry(0, "victim", 2L, Seq("v.parquet"), Nil))
     } // no exception: the victim cannot see its overwrite
     assert(VersionedTable.entries(d3).map(_.op) == Seq("victim"),
       "the racer's entry is silently replaced — the documented lost update")
 
+    // 3b (DEFAULT conditional-PUT mode): the SAME interleaving now
+    // resolves to exactly one winner — the racer's committed entry
+    // survives and the victim's If-None-Match PUT fails into a clean
+    // ConflictException. This is the round-10 closure: no interleaving
+    // loses a commit.
+    val d4 = java.nio.file.Files.createTempDirectory("olsrace4").toString
+    val condput = new ObjectLogStore(beforePut = () =>
+      VersionedTable.withLogStore(VersionedTable.AtomicLogStore) {
+        VersionedTable.commit(d4, Entry(0, "racer", 1L, Seq("r.parquet"), Nil))
+      })
+    intercept[VersionedTable.ConflictException] {
+      VersionedTable.withLogStore(condput) {
+        VersionedTable.commit(d4, Entry(0, "victim", 2L, Seq("v.parquet"), Nil))
+      }
+    }
+    assert(VersionedTable.entries(d4).map(_.op) == Seq("racer"),
+      "conditional PUT must preserve the racer's committed entry")
+
     // no stray claim objects survive any outcome
-    for (d <- Seq(d1, d2, d3)) {
+    for (d <- Seq(d1, d2, d3, d4)) {
       val log = new java.io.File(s"$d/_log").listFiles().map(_.getName)
       assert(log.forall(!_.contains(".claim-")), log.mkString(","))
     }

@@ -609,20 +609,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(_._6))
   }
 
-  test("adaptive-width LSH near-dups are a subset of the declared 4-plane form") {
+  test("declared LSH near-dups run at the corpus-adaptive width") {
     val sf = "/root/testdata/sf0.001"
+    // the declared query IS lshNearDupPairsWith at lshPlanesFor(n) —
+    // the round-10 contract that removed the fixed-width quadratic law
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
     val declared = Similarity.lshNearDupPairs(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    // widen the signature like a production deployment would at larger n
+    val explicitW =
+      Similarity.lshNearDupPairsWith(spark, sf, Similarity.lshPlanesFor(n))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(declared == explicitW)
+    // widen the signature further, as the formula would at larger n
     val scaled = Similarity.lshNearDupPairsWith(spark, sf, planes = 8)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     // the cosine gate is identical; only the candidate generation
-    // tightens, so the scaled output can drop pairs but never add them
+    // tightens, so a wider signature can drop pairs but never add them
     assert(scaled.subsetOf(declared),
       s"scaled form invented pairs: ${scaled -- declared}")
-    // the width formula: floored at the declared planes, grows log2(n)
+    // the width formula: floored at the declared planes, grows log2(n),
+    // capped at 30 so the Int bucket code can never overflow (1 << j at
+    // j <= 29 — the ADVICE r9 Int-shift-overflow regime is unreachable)
     assert(Similarity.lshPlanesFor(100) == Similarity.LshPlanes)
     assert(Similarity.lshPlanesFor(128L << 10) == 10)
     assert(Similarity.lshPlanesFor(20000) == 7)
+    assert(Similarity.lshPlanesFor(Long.MaxValue) == 30)
+    assert(Similarity.lshPlanesFor(Long.MaxValue, 1L) == 30)
   }
 }
