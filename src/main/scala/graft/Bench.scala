@@ -17,17 +17,49 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
+    // per-query shuffle bytes (round-10 verdict ask): stage-level
+    // read + write totals from a listener, drained synchronously around
+    // each run so bytes land on the query that moved them — the scale
+    // curve can then argue in BYTES, which machine contention cannot
+    // inflate the way wall-clock can
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def drain(): Unit =
+      try org.apache.spark.GraftCoreBridge.drainListeners(spark.sparkContext)
+      catch { case _: Throwable => () }
+    // (read_mb, write_mb) of each query's LAST measured run — the
+    // steady-state shuffle volume (a first run may add one-time memo
+    // derivations; bytes are otherwise deterministic across runs)
+    val shuffleMb = scala.collection.mutable.Map[String, (Double, Double)]()
     // three measured runs per query, report the min: single-shot numbers
     // carry multi-second GC/compilation spikes that land on random queries
     // (observed run to run); the min is the steady-state operator cost
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double = {
+      drain()
+      val r0 = shufRead.get; val w0 = shufWrite.get
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      shuffleMb(name) =
+        ((shufRead.get - r0) / 1e6, (shufWrite.get - w0) / 1e6)
+      sec
     }
     // optional comma-separated allowlist for targeted perf iteration
     // (dev loop; the round driver never sets it)
@@ -130,7 +162,15 @@ object Bench {
     // NEVER written on a filtered dev run — a SPARK_GRAFT_ONLY subset
     // would masquerade as a complete record.
     if (only.isEmpty) {
-      val full = json(results ++ cold, total, results.size, truncated = false)
+      // the full record (and only it — the stdout line stays inside its
+      // ~1.5 KB driver-capture budget) carries per-query shuffle bytes:
+      // "shuffle_mb_rw": {q: [read_mb, write_mb]}
+      val shuf = (results ++ cold).map { case (k, _) =>
+        val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))
+        "\"" + k + f"""\":[$r%.2f,$w%.2f]"""
+      }.mkString("{", ",", "}")
+      val full = json(results ++ cold, total, results.size,
+        truncated = false).dropRight(1) + s""","shuffle_mb_rw":$shuf}"""
       val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", ".")
       val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "run")
       val path = java.nio.file.Paths.get(outDir, s"BENCH_FULL_${tag}_$tsMs.json")

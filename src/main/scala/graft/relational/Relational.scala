@@ -100,20 +100,18 @@ object Relational {
     * (lineitem ⋈ orders), then pure broadcast hops up the dim chain
     * customer → nation → region. Revenue per nation.
     */
+  /** Dual-use SQL since round 10 (see [[bigOrdersText]]): one text, both
+    * engines. The broadcast hops up the dim chain the DataFrame form
+    * forced by hint now come from size stats (customer/nation/region are
+    * orders of magnitude under the broadcast threshold at any SF, and at
+    * 100 TB a deployment sets the threshold to its dim sizes); the one
+    * fact-fact shuffle (lineitem ⋈ orders) is unchanged.
+    */
   def joinRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val o = Tables.load(spark, dir, "orders")
-    val c = Tables.load(spark, dir, "customer")
-    val n = Tables.load(spark, dir, "nation")
-    val r = Tables.load(spark, dir, "region")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .groupBy("n_name")
-      .agg((floor(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))) * 100)
-        .cast("double") / 100.0).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+    Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(joinRevenueByNationSql)
   }
 
   /** TPC-H Q5-shaped local supplier volume (the date window spans two
@@ -215,24 +213,15 @@ object Relational {
     * where it fits — then the small result joins customer. At 100 TB the
     * only full-data movement is the one lineitem exchange.
     */
-  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val o = Tables.load(spark, dir, "orders")
-    val c = Tables.load(spark, dir, "customer")
-    val big = l.groupBy("l_orderkey")
-      .agg(sum(dec2(col("l_quantity"))).as("d_qty"))
-      .where(col("d_qty") > 300)
-    o.join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate").cast("date").as("o_date"),
-        col("o_totalprice"),
-        col("d_qty").cast("double").as("total_qty"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(100)
-  }
-
-  val bigOrdersSql: String =
+  /** Since round 10 this runs through the DUAL-USE SQL front end (the
+    * q_sql_shipping contract): ONE ANSI text is both the `spark.sql`
+    * plan and the DuckDB oracle, so the parity gate proves the SQL
+    * surface itself, not just a DataFrame twin. Catalyst still plans the
+    * decomposition the DataFrame form hand-wrote — lineitem pre-agg
+    * below the joins, customer broadcast (dims are small by stats), the
+    * ORDER BY+LIMIT as TakeOrdered.
+    */
+  private val bigOrdersText: String =
     """WITH big AS (
          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS d_qty
          FROM lineitem GROUP BY l_orderkey
@@ -244,6 +233,15 @@ object Relational {
        JOIN orders o ON o.o_orderkey = big.l_orderkey
        JOIN customer c ON c.c_custkey = o.o_custkey
        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"""
+
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(bigOrdersText)
+  }
+
+  val bigOrdersSql: String = bigOrdersText
 
   /** TPC-H Q3-shaped shipping-priority query driven ENTIRELY through the
     * `spark.sql` entry point over registered views — the engine's SQL API
@@ -290,13 +288,18 @@ object Relational {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
-  /** LEFT SEMI join (EXISTS): customers that placed ≥1 order, per segment. */
+  /** LEFT SEMI join (EXISTS): customers that placed ≥1 order, per
+    * segment. Dual-use SQL since round 10: Spark rewrites the
+    * non-correlated IN over a never-null key into the same left-semi
+    * equi-join the DataFrame form declared (shuffle- or broadcast-
+    * planned by stats — never the null-aware nested-loop form, which a
+    * nullable NOT IN key would force).
+    */
   def joinSemi(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(spark, dir, "customer")
-    val o = Tables.load(spark, dir, "orders")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
-      .orderBy("c_mktsegment")
+    Seq("customer", "orders").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(joinSemiSql)
   }
 
   val joinSemiSql: String =
@@ -307,18 +310,23 @@ object Relational {
   /** LEFT ANTI join (NOT EXISTS): customers who never placed a high-value
     * order (anti side filtered before the join so the result is non-empty
     * at every scale factor — all customers have *some* order in the data).
+    * Dual-use SQL since round 10. Deliberately NOT EXISTS rather than the
+    * r9 oracle's NOT IN: a correlated NOT EXISTS plans as the plain
+    * left-anti equi-join (shuffleable at any scale), while NOT IN is
+    * null-aware — Spark must prove the key non-null or fall back to a
+    * broadcast null-aware join that caps the right side's size.
     */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(spark, dir, "customer")
-    val o = Tables.load(spark, dir, "orders")
-      .where(col("o_totalprice") > 300000.0)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select("c_custkey", "c_name").orderBy("c_custkey")
+    Seq("customer", "orders").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(joinAntiSql)
   }
 
   val joinAntiSql: String =
-    """SELECT c_custkey, c_name FROM customer
-       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
        ORDER BY c_custkey"""
 
   /** LEFT OUTER join preserving empty groups: line count per order (0 for
@@ -1039,10 +1047,12 @@ object Relational {
     * wrong; all-integer, engine-exact. (Scope note: d_train counts
     * OBSERVED days — distinct days with ≥1 event of any type — so a
     * calendar day with zero events across the whole stream falls out of
-    * the spine and slightly raises every seasonal mean. A calendar spine
-    * would be max(day)−min(day); observed-days is the deliberate choice,
-    * since an all-quiet day at this grain is an outage artifact, not
-    * seasonal signal.)
+    * the spine and slightly raises every seasonal mean; the deliberate
+    * choice when an all-quiet day at this grain is an outage artifact,
+    * not seasonal signal. The calendar-spine form — d_train =
+    * max(day)−min(day), a quiet day counted as a true zero — is the
+    * declared sibling [[eventsForecastCal]]; pick by what absence means
+    * in the stream.)
     *
     * Scale: the day spine (≤ tens of rows at any corpus age) aggregates
     * once into a broadcast one-row (last_day, d_train) frame; then ONE
@@ -1083,6 +1093,74 @@ object Relational {
               (epoch_ns(ts) // 3600000000000) % 24 AS hour, event_type
             FROM events),
         d AS (SELECT max(day) AS last_day, count(DISTINCT day) - 1 AS d_train
+              FROM e),
+        grid AS (SELECT event_type, CAST(t.h AS BIGINT) AS hour
+                 FROM (SELECT DISTINCT event_type FROM e)
+                 CROSS JOIN generate_series(0, 23) AS t(h)),
+        g AS (SELECT event_type, hour,
+                sum(CASE WHEN day < (SELECT last_day FROM d)
+                    THEN 1 ELSE 0 END) AS train_n,
+                sum(CASE WHEN day = (SELECT last_day FROM d)
+                    THEN 1 ELSE 0 END) AS actual_n
+              FROM e GROUP BY 1, 2)
+        SELECT gr.event_type, gr.hour,
+          CAST(CASE WHEN (SELECT d_train FROM d) > 0
+               THEN coalesce(g.train_n, 0) // (SELECT d_train FROM d)
+               ELSE 0 END AS BIGINT) AS forecast,
+          CAST(coalesce(g.actual_n, 0) AS BIGINT) AS actual,
+          CAST(abs(CASE WHEN (SELECT d_train FROM d) > 0
+                   THEN coalesce(g.train_n, 0) // (SELECT d_train FROM d)
+                   ELSE 0 END - coalesce(g.actual_n, 0)) AS BIGINT)
+            AS abs_err
+        FROM grid gr LEFT JOIN g USING (event_type, hour)
+        ORDER BY event_type, hour"""
+
+  /** [[eventsForecast]] on a CALENDAR day spine — d_train =
+    * max(day) − min(day): every calendar day between the first and last
+    * event divides the seasonal sum, INCLUDING fully event-less days.
+    * This is the round-10 companion the observed-days form's scope note
+    * promised: on a gappy stream the observed-days denominator inflates
+    * every seasonal mean (a quiet day simply vanishes from its spine),
+    * while the calendar spine counts it as a true zero — the right
+    * choice when absence IS signal (seasonal demand), the wrong one when
+    * absence is an outage artifact (the observed-days rationale). Both
+    * variants are declared; `RelationalSpec` compares them on a gappy
+    * fixture. Identical plan shape: one broadcast bounds row, one
+    * conditional-aggregate scan, |types|·24 output cells, all-integer.
+    */
+  def eventsForecastCal(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(expr("ts_ns div 86400000000000").as("day"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        col("event_type"))
+    val bounds = e
+      .agg(max("day").as("last_day"),
+        (max("day") - min("day")).as("d_train"))
+    val grid = e.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(23L))).as("hour"))
+    val g = e.crossJoin(broadcast(bounds))
+      .groupBy("event_type", "hour")
+      .agg(sum(when(col("day") < col("last_day"), 1L).otherwise(0L))
+          .as("train_n"),
+        sum(when(col("day") === col("last_day"), 1L).otherwise(0L))
+          .as("actual_n"))
+    grid.join(g, Seq("event_type", "hour"), "left")
+      .crossJoin(broadcast(bounds.select(col("d_train"))))
+      .select(col("event_type"), col("hour"),
+        when(col("d_train") > 0,
+          expr("coalesce(train_n, 0) div d_train")).otherwise(lit(0L))
+          .as("forecast"),
+        coalesce(col("actual_n"), lit(0L)).as("actual"))
+      .withColumn("abs_err", abs(col("forecast") - col("actual")))
+      .orderBy("event_type", "hour")
+  }
+
+  val eventsForecastCalSql: String =
+    """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+              (epoch_ns(ts) // 3600000000000) % 24 AS hour, event_type
+            FROM events),
+        d AS (SELECT max(day) AS last_day, max(day) - min(day) AS d_train
               FROM e),
         grid AS (SELECT event_type, CAST(t.h AS BIGINT) AS hour
                  FROM (SELECT DISTINCT event_type FROM e)
@@ -1363,12 +1441,13 @@ object Relational {
     * the exact path; approx_count_distinct is the sketch alternative when
     * ±2% error is acceptable (not oracle-checkable, so not declared).
     */
+  /** Dual-use SQL since round 10 (touches no timestamp column, so the
+    * text needs no engine-specific epoch functions — the property that
+    * keeps it single-text where the other events queries can't be).
+    */
   def distinctUsers(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "events")
-    e.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"))
-      .orderBy("event_type")
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(distinctUsersSql)
   }
 
   val distinctUsersSql: String =

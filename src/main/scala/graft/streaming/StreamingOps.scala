@@ -489,6 +489,45 @@ object StreamingOps {
     w.start()
   }
 
+  /** Streaming ANN INDEX ingest — the micro-batch twin of the batch
+    * index lifecycle (build [[graft.similarity.Similarity.ivfAssign]] →
+    * update [[graft.similarity.Similarity.ivfUpdate]] → retrain): each
+    * arriving vector micro-batch is assigned against a FROZEN coarse
+    * quantizer (read once from the persisted index and baked into the
+    * batch plan as literals — executor-resident state, never a join
+    * side) and appended to the index table via
+    * [[graft.sources.VersionedTable.idempotentAppend]] keyed by batchId,
+    * so a crash-replayed batch loses to its own earlier commit and the
+    * index never holds a duplicate or partial batch. Rows are
+    * repartitioned by cid before the append so each committed file
+    * holds few clusters — the cid-clustered layout that keeps probe
+    * reads close to the hive-partitioned batch form
+    * ([[graft.similarity.Similarity.ivfIndexWrite]]); a quantizer
+    * RETRAIN is a new table version from the batch path, never a
+    * mid-stream mutation. Declared batch twin: `q_ivf_ingest`
+    * ([[graft.similarity.Similarity.ivfIngest]]).
+    *
+    * @param vectors streaming DataFrame with (vec_id LONG,
+    *                embedding ARRAY<numeric>)
+    */
+  def ivfIngestStream(vectors: DataFrame,
+      quantizer: Array[(Int, Array[Double], Double)], dir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.similarity.Similarity
+    val w = vectors.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val assigned = Similarity.assignTo(Similarity.withNorm(batch),
+            quantizer)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+          .repartition(quantizer.length, col("cid"))
+        graft.sources.VersionedTable.idempotentAppend(assigned, dir, batchId)
+        ()
+    }
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
   /** One micro-batch of streaming MV maintenance — the
     * [[graft.relational.Temporal.mvIncremental]] algebra applied at
     * micro-batch cadence with EXACTLY-ONCE semantics: the level-1 MV

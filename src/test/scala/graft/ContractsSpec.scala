@@ -279,6 +279,39 @@ class ContractsSpec extends SparkSpec {
       (d, n, n * 1000000L / mau) })
   }
 
+  test("eventsForecastCal vs eventsForecast on a gappy stream") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val dir = java.nio.file.Files.createTempDirectory("fcgap").toString
+    val hourNs = 3600L * 1000000000L
+    val dayNs = 24 * hourNs
+    // days 0 and 1 each carry 4 'click' at hour 2; days 2-3 are FULLY
+    // event-less (the gap the two spines disagree on); day 4 (last) has
+    // 2 clicks at hour 2
+    val rows =
+      (0 until 4).map(i => (100L + i, 0L * dayNs + 2 * hourNs + i, "click")) ++
+      (0 until 4).map(i => (200L + i, 1L * dayNs + 2 * hourNs + i, "click")) ++
+      (0 until 2).map(i => (300L + i, 4L * dayNs + 2 * hourNs + i, "click"))
+    rows.toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", col("event_id") % 7)
+      .withColumn("value", flit(1.0))
+      .withColumn("props", flit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def hot(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long, Long)].collect()
+        .filter(r => r._3 > 0 || r._4 > 0).toSet
+    // observed-days spine: d_train = 3 observed days − 1 = 2 → the gap
+    // days vanish and the seasonal mean stays 8 div 2 = 4
+    assert(hot(graft.relational.Relational.eventsForecast(spark, dir))
+      == Set(("click", 2L, 4L, 2L, 2L)))
+    // calendar spine: d_train = max(day) − min(day) = 4 → the two quiet
+    // days count as true zeros and the mean halves to 8 div 4 = 2
+    assert(hot(graft.relational.Relational.eventsForecastCal(spark, dir))
+      == Set(("click", 2L, 2L, 2L, 0L)))
+    // both grids stay dense: |types|·24
+    assert(graft.relational.Relational.eventsForecastCal(spark, dir).count()
+      == 24L)
+  }
+
   // ------------------------------------------------------ extra invariants
 
   test("expectations: a fully-clean fixture passes every constraint") {

@@ -99,8 +99,8 @@ class PlanAuditSpec extends SparkSpec {
     // |langs|-row cell table
     "q_lang_temperature",
     // the one-row (last_day, d_train) spine scalars riding the event
-    // scan and the |types|·24 grid
-    "q_events_forecast",
+    // scan and the |types|·24 grid (both day-spine variants)
+    "q_events_forecast", "q_events_forecast_cal",
     // the one-row monthly-audience scalar riding the per-day rollup
     "q_events_dau")
 

@@ -402,6 +402,64 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly-once ingest across restart, got $ids")
   }
 
+  test("streaming ANN ingest: crash-replay safe, converges to the batch assignment") {
+    // the round-10 composition: arriving vectors are assigned against
+    // the frozen persisted quantizer and appended to the index table
+    // exactly-once; the final index content must equal the batch-twin
+    // one-shot assignment (q_ivf_ingest's underlying rows), ACROSS a
+    // forced crash-restart of the ingest query.
+    import graft.sources.VersionedTable
+    import graft.similarity.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_annicr").toString
+    val srcDir = s"$base/src"; val cpDir = s"$base/cp"
+    val idx = s"$base/idx"
+    // the frozen quantizer a deployment reads from its persisted index
+    val quant = Similarity.quantizer(spark, sf)
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val sch = all.schema
+    def stream() = spark.readStream.schema(sch).parquet(srcDir)
+    def start() = StreamingOps.ivfIngestStream(stream(), quant, idx, Some(cpDir))
+    val cut = all.select(org.apache.spark.sql.functions.expr(
+      "percentile(vec_id, 0.5)")).head().getDouble(0).toLong
+    // batch 0: the lower half of the corpus arrives
+    all.where(col("vec_id") <= cut).write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(VersionedTable.currentVersion(idx) == 0)
+    // forced crash window: index committed, offset commit deleted
+    val commits = new java.io.File(s"$cpDir/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent,
+      "." + commits.last.getName + ".crc").delete()
+    // batch 1 arrives while the ingester is down
+    all.where(col("vec_id") > cut).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // exactly-once: batch 0 replayed into a no-op, batch 1 landed
+    assert(VersionedTable.entries(idx).map(_.version) == Seq(0, 1))
+    val got = VersionedTable.read(spark, idx)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toSeq.sorted
+    val expected = Similarity.assignTo(Similarity.withNorm(all), quant)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toSeq.sorted
+    assert(got == expected,
+      "streamed index diverged from the one-shot batch assignment")
+    // the ledger twin agrees: per-(batch, cid) counts from the streamed
+    // table reproduce q_ivf_ingest's declared output
+    val ledger = VersionedTable.read(spark, idx)
+      .groupBy((col("vec_id") % Similarity.IngestBatches).as("batch_id"),
+        col("cid"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_vectors"),
+        org.apache.spark.sql.functions.sum("vec_id").as("id_sum"))
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val twin = Similarity.ivfIngest(spark, sf)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(ledger == twin)
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once, no replays") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
