@@ -24,7 +24,10 @@ object Bench {
     // inflate the way wall-clock can
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
+    // diagnostic escape hatch: measure the measurement (A/B the stage-
+    // metrics listener's own cost; never set for official records)
+    val noShufMetrics = sys.env.contains("SPARK_GRAFT_NO_SHUFFLE_METRICS")
+    if (!noShufMetrics) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted)
@@ -37,8 +40,9 @@ object Bench {
         }
       })
     def drain(): Unit =
-      try org.apache.spark.GraftCoreBridge.drainListeners(spark.sparkContext)
-      catch { case _: Throwable => () }
+      if (!noShufMetrics)
+        try org.apache.spark.GraftCoreBridge.drainListeners(spark.sparkContext)
+        catch { case _: Throwable => () }
     // (read_mb, write_mb) of each query's LAST measured run — the
     // steady-state shuffle volume (a first run may add one-time memo
     // derivations; bytes are otherwise deterministic across runs)
@@ -186,7 +190,21 @@ object Bench {
     // partial map so a consumer reconciling sum(queries) against "value"
     // knows to read the BENCH_FULL record instead
     val top = (results ++ cold).sortBy(-_._2).take(40).sortBy(_._1)
-    println(json(top, total, results.size, truncated = top.size < results.size))
+    val line = json(top, total, results.size,
+      truncated = top.size < results.size)
+    // a FILTERED run's only output is this line, so it carries the
+    // shuffle map the full record normally holds (a handful of queries
+    // — still inside the driver's capture budget); the full-battery
+    // stdout line stays lean
+    println(
+      if (only.isEmpty || noShufMetrics) line
+      else {
+        val shuf = top.map { case (k, _) =>
+          val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))
+          "\"" + k + f"""\":[$r%.2f,$w%.2f]"""
+        }.mkString("{", ",", "}")
+        line.dropRight(1) + s""","shuffle_mb_rw":$shuf}"""
+      })
     spark.stop()
   }
 }

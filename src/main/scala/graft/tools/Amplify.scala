@@ -87,15 +87,24 @@ object Amplify {
     val digits = "0123456789"
     amplify("customer") { (d, r) =>
       val rotD = digits.drop(r % 10) + digits.take(r % 10)
+      // names must diverge across replicas too: the fuzzy join blocks
+      // on deletion-neighborhood hashes of c_name, and identical names
+      // across k replicas made its candidate volume quadratic in k
+      // (measured 17.7× at k=10). Digit rotation keeps length and
+      // structure; at k > 10 the rotation's period would re-collide
+      // (replicas r and r+10 sharing every name — round-10 third-decade
+      // lesson), so a letter rotation keyed by r/10 stacks on top:
+      // distinct transforms for every r < 260
+      val rl = (r / 10) % 26
+      val letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val rotL = letters.substring(rl, 26) + letters.substring(0, rl) +
+        letters.substring(26 + rl) + letters.substring(26, 26 + rl)
+      val named =
+        if (r == 0) col("c_name")
+        else if (rl == 0) translate(col("c_name"), digits, rotD)
+        else translate(translate(col("c_name"), digits, rotD), letters, rotL)
       d.withColumn("c_custkey", col("c_custkey") + lit(r * custOff))
-        // names must diverge across replicas too: the fuzzy join blocks
-        // on deletion-neighborhood hashes of c_name, and identical names
-        // across k replicas made its candidate volume quadratic in k
-        // (measured 17.7× at k=10). Digit rotation keeps length and
-        // structure; cross-replica edit distance stays > 1 except for
-        // vanishing collisions
-        .withColumn("c_name",
-          if (r == 0) col("c_name") else translate(col("c_name"), digits, rotD))
+        .withColumn("c_name", named)
     }
     amplify("supplier") { (d, r) =>
       d.withColumn("s_suppkey", col("s_suppkey") + lit(r * suppOff))
@@ -117,14 +126,31 @@ object Amplify {
         .withColumn("user_id", col("user_id") + lit(r * userOff))
     }
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    // Deterministic alphabet PERMUTATION per replica (Fisher-Yates under
+    // a 64-bit LCG seeded by r): the r9 rotation (r*2 % 26) had period
+    // 13, so at k > 13 replicas r and r+13 shared every shingle and the
+    // n-gram family inherited k/13-sized identical-text clusters — an
+    // AMPLIFIER artifact the third-decade curve would have measured as
+    // plan cost (lesson 28). A permutation is still length-, case- and
+    // whitespace-preserving; distinct for every r with probability
+    // 1 − ~k²/26! (26! ≈ 4e26).
+    def alphaPerm(r: Int): String = {
+      val a = alphabet.toCharArray
+      var s = r.toLong
+      for (i <- a.length - 1 to 1 by -1) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val j = ((s >>> 33) % (i + 1)).toInt
+        val t = a(i); a(i) = a(j); a(j) = t
+      }
+      new String(a)
+    }
     amplify("documents") { (d, r) =>
       if (r == 0) d
       else {
-        val rot = alphabet.drop(r * 2 % 26) + alphabet.take(r * 2 % 26)
         d.withColumn("doc_id", col("doc_id") + lit(r.toLong * docOff))
           // NULL text stays NULL (quarantine-path rows replicate as-is);
-          // rotation is length-preserving so n_chars needs no touch
-          .withColumn("text", translate(col("text"), alphabet, rot))
+          // permutation is length-preserving so n_chars needs no touch
+          .withColumn("text", translate(col("text"), alphabet, alphaPerm(r)))
       }
     }
     amplify("embeddings") { (d, r) =>
@@ -134,13 +160,22 @@ object Amplify {
       // went quadratic in k (measured 14.6× at k=10). Shifting the
       // component order by r decorrelates replicas (near-random dot
       // products) while preserving norms and all within-replica
-      // geometry exactly.
+      // geometry exactly. The shift's period is the dimension (64), so
+      // at k > 64 an ALTERNATING SIGN FLIP keyed by r/64 stacks on top
+      // — the composed transform stays orthogonal (norms and all
+      // within-replica dots exact), and replicas r / r+64 land at
+      // near-zero cosine instead of exactly 1.
       if (r == 0) d
-      else d
-        .withColumn("vec_id", col("vec_id") + lit(r.toLong * vecOff))
-        .withColumn("embedding",
-          expr(s"transform(embedding, (x, i) -> " +
-            s"element_at(embedding, ((i + $r) % size(embedding)) + 1))"))
+      else {
+        val s = r % 64; val f = r / 64
+        val sign =
+          if (f == 0) ""
+          else s" * CAST(CASE WHEN i % 2 = ${f % 2} THEN -1.0 ELSE 1.0 END AS FLOAT)"
+        d.withColumn("vec_id", col("vec_id") + lit(r.toLong * vecOff))
+          .withColumn("embedding",
+            expr(s"transform(embedding, (x, i) -> " +
+              s"element_at(embedding, ((i + $s) % size(embedding)) + 1)$sign)"))
+      }
     }
 
     Files.write(marker,
