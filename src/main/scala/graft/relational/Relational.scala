@@ -329,6 +329,31 @@ object Relational {
          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
        ORDER BY c_custkey"""
 
+  /** Per-customer top-2 orders through the dual-use SQL window surface
+    * (the existing window queries are DataFrame-declared; this one
+    * proves the `OVER (PARTITION BY … ORDER BY …)` SQL text parses and
+    * agrees across engines). row_number with an explicit key tiebreak
+    * keeps the rank deterministic under double-valued price ties. The
+    * partition key is o_custkey — cardinality ∝ data, so no partition
+    * outgrows its customer's own order count — and Spark 4 rewrites the
+    * rnk <= 2 filter into WindowGroupLimit: each map task keeps only
+    * its per-key top-2 BEFORE the exchange, so the shuffle carries
+    * ≤2·|customers| rows, not |orders|.
+    */
+  def sqlWindowTop(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(sqlWindowTopSql)
+  }
+
+  val sqlWindowTopSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             FROM orders) t
+       WHERE rnk <= 2
+       ORDER BY o_custkey, rnk"""
+
   /** LEFT OUTER join preserving empty groups: line count per order (0 for
     * orders with no lineitems — `count(l_orderkey)` skips the null row).
     */
@@ -1214,6 +1239,7 @@ object Relational {
          CAST(count(DISTINCT user_id) * 1000000 // (SELECT mau FROM m)
            AS BIGINT) AS stickiness_ppm
        FROM e GROUP BY day ORDER BY day"""
+
 
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val g = eventsGapfill(spark, dir)

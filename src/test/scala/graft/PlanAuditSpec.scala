@@ -32,6 +32,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("l_quantity") && !plan.contains("l_tax"), plan)
   }
 
+  test("q_sql_window: rank limit pushed below the exchange") {
+    // the dual-use SQL window's scale contract: Spark rewrites the
+    // rnk <= 2 filter into WindowGroupLimit on BOTH sides of the
+    // exchange — the partial (map-side) instance keeps each task's
+    // per-key top-2 BEFORE shuffling, so the exchange carries
+    // ≤ 2·|customers| rows instead of |orders|. A regression to a
+    // filter-above-window plan shuffles the whole table.
+    val plan = formatted("q_sql_window")
+    def ids(op: String): Seq[Int] =
+      (op + """ \((\d+)\)""").r.findAllMatchIn(plan)
+        .map(_.group(1).toInt).toSeq.distinct
+    val wgl = ids("WindowGroupLimit")
+    val ex = ids("Exchange")
+    // two instances (Partial below the shuffle, Final above), with an
+    // exchange BETWEEN them: node ids grow leaf → root in formatted
+    // output, so partial-below-exchange means min(wgl) < ex < max(wgl)
+    assert(wgl.size == 2, s"expected partial+final WindowGroupLimit: $plan")
+    assert(ex.exists(e => wgl.min < e && e < wgl.max),
+      s"no exchange between the two WindowGroupLimits: $plan")
+  }
+
   // BNLJ is acceptable ONLY against a broadcast single-row side (a
   // scalar riding along every row) — the list below names each such
   // query with its rationale, and the companion structural test proves
