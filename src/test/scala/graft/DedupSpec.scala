@@ -245,6 +245,38 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall below design point")
   }
 
+  test("LSH recall tracks the analytic 1-(1-p^planes)^T model at floor AND widened width") {
+    // the adaptive-width contract's recall law, machine-checked: a pair
+    // at cosine c collides per table w.p. p^planes (p = 1 - acos(c)/π),
+    // so expected recall over the truth set is mean(1-(1-p^planes)^T).
+    // sf0.1 gives ~10^3 truth pairs — enough mass that measured recall
+    // must sit near the model at BOTH the floor width and a widened
+    // signature (the decay itself is the asserted prediction; h48-derived
+    // planes are deterministic, not iid, hence the loose band)
+    val dir = "/root/testdata/sf0.1"
+    val truth = Dedup.embeddingPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(truth.size > 200, s"truth too thin (${truth.size}) for a model check")
+    val widths = Seq(graft.similarity.Similarity.LshPlanes,
+      graft.similarity.Similarity.LshPlanes + 3)
+    val recalls = widths.map { planes =>
+      val lsh = graft.similarity.Similarity
+        .lshNearDupPairsWith(spark, dir, planes)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val measured = truth.count(p => lsh.contains((p._1, p._2))).toDouble / truth.size
+      val expected = truth.map { case (_, _, c) =>
+        val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+        1.0 - math.pow(1.0 - math.pow(p, planes),
+          graft.similarity.Similarity.LshTables)
+      }.sum / truth.size
+      assert(math.abs(measured - expected) <= 0.12,
+        s"planes=$planes measured=$measured expected=$expected — recall off the analytic model")
+      measured
+    }
+    assert(recalls(1) < recalls(0),
+      s"widening must cost recall at fixed tables: $recalls")
+  }
+
   test("cluster fixpoint memo: input rewrite is a cache miss, never stale labels") {
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
     val dir = writeDocs(Seq(

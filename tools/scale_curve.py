@@ -7,9 +7,11 @@ Inputs (all written by graft.Bench / graft.tools.PairCounts):
     round) — decade 1;
   - an sf1 full-battery record (BENCH_FULL_<tag>_*.json against
     scaledata/sf1) — decade 2;
-  - optionally, an sf10 FAMILY record (BENCH_FULL or a filtered-run
-    stdout line against scaledata/sf10, dedup/ANN family only) —
-    decade 3;
+  - optionally, one or more sf10 records (BENCH_FULL or filtered-run
+    stdout lines against scaledata/sf10 — e.g. the dedup/ANN family
+    record plus the wide-battery extension record) — decade 3; several
+    records merge per-query (min on collision, shuffle from the min's
+    record);
   - optionally, pair-count JSON lines (graft.tools.PairCounts output)
     per sf, keyed by the "sf" field — emitted pair totals that decompose
     growth into workload (pairs grew) vs plan cost (sec/pair grew).
@@ -19,7 +21,7 @@ read+write MB when the source record has shuffle_mb_rw, and pair counts
 when provided. Stdout prints the SURVEY §9 growth table.
 
 Usage:
-  python3 tools/scale_curve.py SF1_RECORD.json [SF10_RECORD.json] \
+  python3 tools/scale_curve.py SF1_RECORD.json [SF10_RECORD.json ...] \
       [pairs1.json pairs2.json ...]
 """
 import glob
@@ -32,10 +34,21 @@ args = sys.argv[1:]
 pair_files = [a for a in args if "pair" in a]
 rec_files = [a for a in args if a not in pair_files]
 scale_file = rec_files[0]
-sf10_file = rec_files[1] if len(rec_files) > 1 else None
+sf10_files = rec_files[1:]
 
 scale = json.load(open(scale_file))
-sf10 = json.load(open(sf10_file)) if sf10_file else None
+sf10 = None
+if sf10_files:
+    parts = [json.load(open(f)) for f in sf10_files]
+    sf10 = {"queries": {}, "shuffle_mb_rw": {},
+            "loadavg": " | ".join(p.get("loadavg", "") for p in parts)}
+    for p in parts:
+        for q, t in p["queries"].items():
+            if q not in sf10["queries"] or t < sf10["queries"][q]:
+                sf10["queries"][q] = t
+                m = p.get("shuffle_mb_rw", {}).get(q)
+                if m:
+                    sf10["shuffle_mb_rw"][q] = m
 
 locals_ = sorted(glob.glob("BENCH_LOCAL_r*.json"),
                  key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
@@ -89,7 +102,7 @@ out = {
 }
 if sf10:
     fam = sorted(set(tq) & set(sq))
-    out["sf10_source"] = sf10_file
+    out["sf10_source"] = sf10_files
     out["sf10_loadavg"] = sf10.get("loadavg")
     out["sf10_family"] = fam
     out["sf10_family_total_s"] = round(sum(tq[q] for q in fam), 3)
