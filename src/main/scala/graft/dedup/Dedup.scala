@@ -565,49 +565,136 @@ object Dedup {
     jaccardPairsFrom(Tables.loadSpread(spark, dir, "documents", "doc_id"))
 
   /** Shared inverted-index intersection pipeline: (doc_a, doc_b, i, sza,
-    * szb) for every candidate pair sharing ≥1 retained shingle — the
+    * szb) for candidate pairs sharing ≥1 retained shingle — the
     * overlap counts both [[jaccardPairsFrom]] and [[containmentPairs]]
-    * derive their measures from (one postings aggregate, reused by the
-    * pairs and sizes branches).
+    * derive their measures from. With `prefixT` set, candidates come
+    * from the prefix-filtered index (see [[keyedPairIntersections]]).
     */
-  private[graft] def pairIntersections(docs: DataFrame, maxDf: Int): DataFrame =
+  private[graft] def pairIntersections(docs: DataFrame, maxDf: Int,
+      prefixT: Option[(Int, Int)] = None): DataFrame =
     keyedPairIntersections(
-      shingles(docs).withColumnRenamed("shingle_h", "h"), maxDf)
+      shingles(docs).withColumnRenamed("shingle_h", "h"), maxDf, prefixT)
 
   /** The same intersection pipeline over ANY (doc_id, h) hashed-feature
     * relation — shingles ([[pairIntersections]]) and winnowed
     * fingerprints ([[winnowOverlap]]) share one plan shape, df ceiling
     * and reused-postings property.
+    *
+    * `prefixT = Some((num, den))` enables PREFIX FILTERING (Bayardo,
+    * Ma & Srikant, WWW 2007; Xiao et al.'s PPJoin family) for callers
+    * that threshold the final measure at t = num/den: order every
+    * document's retained features by global rarity (ascending df, h as
+    * the canonical total order) and index only the first
+    * `sz − ceil(t·sz) + 1` of them. Pigeonhole guarantee, valid for
+    * BOTH measure families used downstream: a pair with
+    * i/min(sza,szb) ≥ t shares ≥ t·min features, so the smaller doc's
+    * non-shared features number ≤ (1−t)·min < its prefix length — at
+    * least one prefix feature is shared and collides with the other
+    * doc's FULL postings; and Jaccard ≥ t implies i ≥ t·max(sza,szb)
+    * (since the smaller side bounds i), the same argument. The
+    * candidate set is therefore a SUPERSET of all qualifying pairs and
+    * the final thresholded output is IDENTICAL to the unfiltered
+    * pipeline's (DedupSpec pins this on real data for all three
+    * callers) — which is why the DuckDB oracles keep the plain
+    * full-index join. Exact intersections for surviving candidates
+    * come from `array_intersect` over the per-doc retained-feature
+    * arrays (one doc-side aggregate serves both the prefix slice and
+    * the verification arrays, so the doc_id exchange is planned once).
+    *
+    * WHY: the unfiltered index emits Σ_h df_h² candidate structs, and
+    * that mass concentrates in HIGH-df features — exactly the ones a
+    * rarity-ordered prefix excludes first. Measured at the 10×-sf1
+    * corpus this is the difference between the pair family's ~12×
+    * growth and ~linear candidate volume: frequency-skewed features
+    * stop generating quadratic bucket work and only ever appear on the
+    * full (probe) side of surviving candidates' verification arrays.
+    * The df ceiling stays as the hard cap on any single posting list.
     */
-  private[graft] def keyedPairIntersections(keyed: DataFrame, maxDf: Int)
-      : DataFrame = {
-    val posts = keyed
-      .groupBy("h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) <= maxDf) // stop-feature cut
-    val sizes = posts.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val buckets = posts.where(size(col("ds")) > 1)
-    val n = size(col("ds"))
-    val pairsExpr = flatten(transform(sequence(lit(1), n - 1), i =>
-      transform(sequence(i + 1, n), j =>
-        struct(
-          element_at(col("ds"), i).as("doc_a"),
-          element_at(col("ds"), j).as("doc_b")))))
-    val inter = buckets
-      .select(explode(pairsExpr).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+  private[graft] def keyedPairIntersections(keyed: DataFrame, maxDf: Int,
+      prefixT: Option[(Int, Int)] = None): DataFrame = prefixT match {
+    case None =>
+      val posts = keyed
+        .groupBy("h")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .where(size(col("ds")) <= maxDf) // stop-feature cut
+      val sizes = posts.select(explode(col("ds")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val buckets = posts.where(size(col("ds")) > 1)
+      val n = size(col("ds"))
+      val pairsExpr = flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, n), j =>
+          struct(
+            element_at(col("ds"), i).as("doc_a"),
+            element_at(col("ds"), j).as("doc_b")))))
+      val inter = buckets
+        .select(explode(pairsExpr).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+    case Some((num, den)) =>
+      // the SAME single postings aggregate as the unfiltered shape —
+      // every downstream branch (df annotation, doc-side prefix/arrays,
+      // candidate probe) derives from it, so the expensive feature-map
+      // stage and its exchange are planned once (ReusedExchange), never
+      // re-scanned
+      val posts = keyed.groupBy("h")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .where(size(col("ds")) <= maxDf) // stop-feature cut
+      // (doc_id, h, df) with df free as the posting length — no join
+      val kept = posts.select(col("h"), size(col("ds")).as("df"),
+        explode(col("ds")).as("doc_id"))
+      // ONE doc-side aggregate: rarity-sorted (df, h) feature list +
+      // retained size — sliced for the prefix, projected for the
+      // verification arrays (same subtree ⇒ the exchange is reused)
+      val docs = kept.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fh"),
+          count(lit(1)).as("sz"))
+      // prefix length sz − ceil(t·sz) + 1 in EXACT integer arithmetic:
+      // a float 0.8·sz rounding UP once would shorten the prefix below
+      // the pigeonhole bound and silently drop qualifying pairs
+      val prefLen =
+        expr(s"cast(sz - ((sz * $num + ${den - 1}) div $den) + 1 as int)")
+      val prefix = docs
+        .select(col("doc_id"), explode(slice(col("fh"), lit(1), prefLen)).as("f"))
+        .select(col("doc_id"), col("f.h").as("h"))
+      val cand = prefix.join(posts.where(size(col("ds")) > 1), "h")
+        .select(col("doc_id").as("pa"), explode(col("ds")).as("pb"))
+        .where(col("pa") =!= col("pb"))
+        .select(least(col("pa"), col("pb")).as("doc_a"),
+          greatest(col("pa"), col("pb")).as("doc_b"))
+        .distinct()
+      val sets = docs.select(col("doc_id"),
+        transform(col("fh"), f => f.getField("h")).as("hs"), col("sz"))
+      // verification arrays move ONLY for docs some candidate involves:
+      // the involved-id semi-cut rides the docs aggregate's partitioning
+      // (no re-shuffle of the corpus-wide sets), so array bytes scale
+      // with the candidate set, not the corpus
+      val involved = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val vsets = sets.join(involved, "doc_id")
+      cand
+        .join(vsets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+          col("sz").as("sza")), "doc_a")
+        .join(vsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+          col("sz").as("szb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ha"), col("hb"))).cast("long").as("i"),
+          col("sza"), col("szb"))
   }
+
+  /** [[JaccardThreshold]] as the exact rational the prefix filter's
+    * integer arithmetic needs (spec-pinned equal to the double).
+    */
+  val JaccardPrefixT: (Int, Int) = (4, 5)
 
   def jaccardPairsFrom(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     val j = col("i").cast("double") /
       (col("sza") + col("szb") - col("i")).cast("double")
-    pairIntersections(docs, maxDf)
+    pairIntersections(docs, maxDf, Some(JaccardPrefixT))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
@@ -625,11 +712,17 @@ object Dedup {
     */
   val ContainmentThreshold = 0.9
 
+  /** [[ContainmentThreshold]] as an exact rational for the prefix
+    * filter (spec-pinned equal to the double).
+    */
+  val ContainmentPrefixT: (Int, Int) = (9, 10)
+
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val c = col("i").cast("double") /
       least(col("sza"), col("szb")).cast("double")
     pairIntersections(
-        Tables.loadSpread(spark, dir, "documents", "doc_id"), MaxShingleDf)
+        Tables.loadSpread(spark, dir, "documents", "doc_id"), MaxShingleDf,
+        Some(ContainmentPrefixT))
       .select(col("doc_a"), col("doc_b"), c.as("containment"))
       .where(col("containment") >= ContainmentThreshold)
       .orderBy("doc_a", "doc_b")
@@ -738,7 +831,7 @@ object Dedup {
       least(col("sza"), col("szb")).cast("double")
     keyedPairIntersections(
       winnowFingerprints(Tables.loadSpread(spark, dir, "documents", "doc_id")),
-      MaxShingleDf)
+      MaxShingleDf, Some((1, 2))) // WinnowThreshold = 1/2, spec-pinned
       .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
         ov.as("overlap"))
       .where(col("overlap") >= WinnowThreshold)

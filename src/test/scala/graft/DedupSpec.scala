@@ -277,6 +277,45 @@ class DedupSpec extends SparkSpec {
       s"widening must cost recall at fixed tables: $recalls")
   }
 
+  test("prefix filtering is lossless: thresholded pairs identical to the full index, all three measures") {
+    // the Bayardo/PPJoin pigeonhole guarantee, checked on real data at
+    // sf0.1 for every (pipeline, threshold) the engine declares: the
+    // prefix-filtered candidate set must reproduce EXACTLY the pairs
+    // the full Σdf² index yields after thresholding — any miscounted
+    // prefix length (e.g. float ceil) would surface here as a lost pair
+    val dir = "/root/testdata/sf0.1"
+    assert(Dedup.JaccardPrefixT._1.toDouble / Dedup.JaccardPrefixT._2
+      == Dedup.JaccardThreshold, "prefix rational drifted from threshold")
+    assert(Dedup.ContainmentPrefixT._1.toDouble / Dedup.ContainmentPrefixT._2
+      == Dedup.ContainmentThreshold, "prefix rational drifted from threshold")
+    assert(1.0 / 2 == Dedup.WinnowThreshold, "winnow rational drifted")
+    val d = graft.model.Tables.loadSpread(spark, dir, "documents", "doc_id")
+    // integer-exact thresholding (i·den >= m·num) so the comparison
+    // itself can't disagree with the double measure on ties
+    def thresholded(pi: org.apache.spark.sql.DataFrame,
+        num: Int, den: Int, jaccard: Boolean) = {
+      val m = if (jaccard)
+        col("i") * den >= (col("sza") + col("szb") - col("i")) * num
+      else col("i") * den >= least(col("sza"), col("szb")) * num
+      pi.where(m).select("doc_a", "doc_b", "i", "sza", "szb")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    }
+    for ((keyed, num, den, jac, name) <- Seq(
+        (Dedup.shingles(d).withColumnRenamed("shingle_h", "h"), 4, 5, true, "jaccard"),
+        (Dedup.shingles(d).withColumnRenamed("shingle_h", "h"), 9, 10, false, "containment"),
+        (Dedup.winnowFingerprints(d), 1, 2, false, "winnow"))) {
+      val full = thresholded(
+        Dedup.keyedPairIntersections(keyed, Dedup.MaxShingleDf, None),
+        num, den, jac)
+      val pref = thresholded(
+        Dedup.keyedPairIntersections(keyed, Dedup.MaxShingleDf, Some((num, den))),
+        num, den, jac)
+      assert(full.nonEmpty, s"$name: trivial fixture, no qualifying pairs")
+      assert(pref == full,
+        s"$name: prefix filter changed the output — missing=${full -- pref} extra=${pref -- full}")
+    }
+  }
+
   test("cluster fixpoint memo: input rewrite is a cache miss, never stale labels") {
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
     val dir = writeDocs(Seq(
