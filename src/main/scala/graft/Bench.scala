@@ -4,16 +4,48 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line {"metric":…,"queries":{…}}. Uses the `noop` sink so
   * the FULL plan executes (a bare .count() lets Catalyst prune projections —
   * cosine/chi2 arithmetic would be optimized away and the numbers would lie).
+  *
+  * MEASUREMENT PROTOCOL (round 11): warmth-controlled. Before anything is
+  * timed, (1) the whole corpus is byte-streamed once so the page-cache
+  * state is identical no matter where a query sits in the battery, and
+  * (2) each query runs ONCE untimed immediately before its timed runs so
+  * JIT/codegen state is its own, not inherited from battery position.
+  * Then three timed runs, report the min. Rationale: the round-10 solo-run
+  * audit measured a 30% family-vs-solo gap on the sf10 jaccard family —
+  * page-cache/JIT position transfer that a 3-run min alone cannot see.
   */
 object Bench {
+  /** Locale-independent float formatting: Scala's f-interpolator uses the
+    * JVM default locale, so on a comma-decimal locale the emitted JSON
+    * would carry [1,23] instead of [1.23] (round-10 ADVICE).
+    */
+  private def fmt(v: Double, dec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Verify.session(cpus)
-    // warm the JVM once so the first measured query doesn't pay one-time
-    // session setup: touch the vectorized parquet reader, whole-stage
-    // codegen, and the shuffle machinery (a bare region.count() left ~2 s
-    // of first-query warmup inside q_agg_pricing's measurement)
+    // CORPUS PRE-TOUCH: stream every input byte once so the OS page cache
+    // holds the same corpus state for the 1st and the 178th query alike
+    // (a cold query otherwise pays disk I/O its committed record never
+    // saw; a warm one inherits cache from whoever ran before it)
+    locally {
+      val buf = new Array[Byte](1 << 20)
+      def touch(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(touch)
+        else {
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      try touch(new java.io.File(sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pre-touch failed: ${e.getMessage}")
+      }
+    }
+    // JVM warm: touch the vectorized parquet reader, whole-stage codegen,
+    // and the shuffle machinery once (a bare region.count() left ~2 s of
+    // first-query warmup inside q_agg_pricing's measurement)
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
@@ -44,26 +76,35 @@ object Bench {
         try org.apache.spark.GraftCoreBridge.drainListeners(spark.sparkContext)
         catch { case _: Throwable => () }
     // (read_mb, write_mb) of each query's LAST measured run — the
-    // steady-state shuffle volume (a first run may add one-time memo
+    // steady-state shuffle volume (the warm run may add one-time memo
     // derivations; bytes are otherwise deterministic across runs)
     val shuffleMb = scala.collection.mutable.Map[String, (Double, Double)]()
-    // three measured runs per query, report the min: single-shot numbers
-    // carry multi-second GC/compilation spikes that land on random queries
-    // (observed run to run); the min is the steady-state operator cost
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): Unit =
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+    // one untimed warm run (JIT/codegen/memo warm-up, position-blind),
+    // then three measured runs, report the min: single-shot numbers carry
+    // multi-second GC spikes that land on random queries (observed run to
+    // run); the min is the steady-state operator cost
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double = {
       drain()
       val r0 = shufRead.get; val w0 = shufWrite.get
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      run(fn, name)
       val sec = (System.nanoTime() - t0) / 1e9
       drain()
       shuffleMb(name) =
         ((shufRead.get - r0) / 1e6, (shufWrite.get - w0) / 1e6)
       sec
+    }
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): Double = {
+      run(fn, name) // warm, untimed
+      (1 to 3).map(_ => timed(fn, name)).min
     }
     // optional comma-separated allowlist for targeted perf iteration
     // (dev loop; the round driver never sets it)
@@ -71,35 +112,31 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-      .map { case (name, fn) =>
-        name -> (1 to 3).map(_ => timed(fn, name)).min
-      }
+      .map { case (name, fn) => name -> measure(fn, name) }
     // the cluster memo makes q_dedup_clusters' steady-state number a
     // cache hit (legitimate — it models a materialized cluster table);
     // record the cold fixpoint cost alongside so the warm number stays
-    // an honest signal (round-5 verdict)
+    // an honest signal (round-5 verdict). NOTE: cold rows get NO warm
+    // run — cold IS the thing measured — so the memo is cleared before
+    // each timed run and the min is a min over true cold runs.
+    def coldTimed(clear: () => Unit,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): Double =
+      (1 to 3).map { _ => clear(); timed(fn, name) }.min
     val cold =
       (if (only.nonEmpty && !only("q_dedup_clusters_cold")) Nil
-       else {
-         graft.dedup.Dedup.clearClusterMemo(spark)
-         Seq("q_dedup_clusters_cold" ->
-           timed(graft.dedup.Dedup.nearDupClusters _, "q_dedup_clusters_cold"))
-       }) ++
+       else Seq("q_dedup_clusters_cold" -> coldTimed(
+         () => graft.dedup.Dedup.clearClusterMemo(spark),
+         graft.dedup.Dedup.nearDupClusters _, "q_dedup_clusters_cold"))) ++
       // same honesty contract for the shared persisted edge table: the
       // four declared graph queries amortize one materialization, so
       // record what ONE consumer pays with a cold memo alongside
       (if (only.nonEmpty && !only("q_graph_pagerank_cold")) Nil
-       else {
-         graft.graph.Graph.clearEdgeMemo(spark)
-         Seq("q_graph_pagerank_cold" ->
-           timed(graft.graph.Graph.pageRank _, "q_graph_pagerank_cold"))
-       })
-    // (the r9 q_dedup_embed_lsh_scaled diagnostic is gone: since round
-    // 10 the DECLARED q_dedup_embed_lsh runs the corpus-adaptive width
-    // itself, so the diagnostic would just duplicate the official row)
+       else Seq("q_graph_pagerank_cold" -> coldTimed(
+         () => graft.graph.Graph.clearEdgeMemo(spark),
+         graft.graph.Graph.pageRank _, "q_graph_pagerank_cold")))
     // run metadata baked into every record so contention adjudication is
-    // mechanical: machine load at measurement time, wall timestamp, and
-    // whether the per-query map is the full set or the stdout top-40 cut
+    // mechanical: machine load at measurement time and wall timestamp
     val loadavg =
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).trim
@@ -145,66 +182,55 @@ object Bench {
       rows.collect {
         case (n, v) if v > 0.5 && prior.get(n).exists(p => v > 3 * p) => n
       }.sorted
-    def json(rows: Seq[(String, Double)], total: Double, nQueries: Int,
-        truncated: Boolean): String = {
-      val qs = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-        .mkString("{", ",", "}")
-      val sus = suspects(rows).map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$nQueries,"truncated":$truncated,"suspect":$sus,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus}"""
-    }
     // total stays the sum over DECLARED queries only — the cold diag
     // row would double-count q_dedup_clusters
     val total = results.map(_._2).sum
-    // complete per-query record → file (the full set no longer fits the
-    // round driver's output-tail capture window; the committed artifact
-    // is the official complete record). APPEND-ONLY: the name carries a
-    // tag + timestamp and the write is CREATE_NEW, so two runs — the
-    // driver's and the judge's — can never clobber each other (a plain
-    // BENCH_FULL.json overwrote on every invocation, round-7 finding).
-    // Anchored at SPARK_GRAFT_OUT_DIR when set so a run launched from
-    // outside the repo still lands its record somewhere deliberate.
-    // NEVER written on a filtered dev run — a SPARK_GRAFT_ONLY subset
-    // would masquerade as a complete record.
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", ".")
+    // the deterministic full-record path (round-10 verdict ask #4): a
+    // consumer that only has the stdout line follows "full_record" here
+    val latestPath = java.nio.file.Paths.get(outDir, "BENCH_FULL_LATEST.json")
+      .toAbsolutePath.normalize
+    def json(rows: Seq[(String, Double)]): String = {
+      val qs = rows.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+        .mkString("{", ",", "}")
+      val sus = suspects(rows).map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"truncated":false,"suspect":$sus,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus,"full_record":"$latestPath"}"""
+    }
+    val shufJson = (results ++ cold).map { case (k, _) =>
+      val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))
+      "\"" + k + "\":[" + fmt(r, 2) + "," + fmt(w, 2) + "]"
+    }.mkString("{", ",", "}")
+    val full = json(results ++ cold).dropRight(1) +
+      s""","shuffle_mb_rw":$shufJson}"""
+    // complete record → files. The timestamped copy is APPEND-ONLY
+    // (CREATE_NEW: two runs — the driver's and the judge's — can never
+    // clobber each other; a plain BENCH_FULL.json overwrote on every
+    // invocation, round-7 finding); BENCH_FULL_LATEST.json is the
+    // deterministic pointer target and deliberately overwrites. NEVER
+    // written on a filtered dev run — a SPARK_GRAFT_ONLY subset would
+    // masquerade as a complete record.
     if (only.isEmpty) {
-      // the full record (and only it — the stdout line stays inside its
-      // ~1.5 KB driver-capture budget) carries per-query shuffle bytes:
-      // "shuffle_mb_rw": {q: [read_mb, write_mb]}
-      val shuf = (results ++ cold).map { case (k, _) =>
-        val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))
-        "\"" + k + f"""\":[$r%.2f,$w%.2f]"""
-      }.mkString("{", ",", "}")
-      val full = json(results ++ cold, total, results.size,
-        truncated = false).dropRight(1) + s""","shuffle_mb_rw":$shuf}"""
-      val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", ".")
       val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "run")
       val path = java.nio.file.Paths.get(outDir, s"BENCH_FULL_${tag}_$tsMs.json")
-      try java.nio.file.Files.write(path, (full + "\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
-      }
+      for ((p, opts) <- Seq(
+          path -> Seq(java.nio.file.StandardOpenOption.CREATE_NEW),
+          latestPath -> Seq(java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)))
+        try java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"),
+          opts: _*)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+        }
     }
-    // stdout keeps the driver-parseable ONE-LINE contract: top 40 slowest
-    // queries (+ the cold diag row) so the line stays under ~1.5 KB;
-    // "n_queries" is the FULL declared count and "truncated" flags the
-    // partial map so a consumer reconciling sum(queries) against "value"
-    // knows to read the BENCH_FULL record instead
-    val top = (results ++ cold).sortBy(-_._2).take(40).sortBy(_._1)
-    val line = json(top, total, results.size,
-      truncated = top.size < results.size)
-    // a FILTERED run's only output is this line, so it carries the
-    // shuffle map the full record normally holds (a handful of queries
-    // — still inside the driver's capture budget); the full-battery
-    // stdout line stays lean
-    println(
-      if (only.isEmpty || noShufMetrics) line
-      else {
-        val shuf = top.map { case (k, _) =>
-          val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))
-          "\"" + k + f"""\":[$r%.2f,$w%.2f]"""
-        }.mkString("{", ",", "}")
-        line.dropRight(1) + s""","shuffle_mb_rw":$shuf}"""
-      })
+    // stdout: ONE complete JSON line, every query present (round-10
+    // verdict ask #4 — the r10 stdout carried only the top-40 cut and the
+    // driver's record self-truncated; the full map is ~4.5 KB, and
+    // build.sbt's StdoutOutput strategy makes this line start at column
+    // 0 so a line-oriented JSON scan finds it). The filtered dev-run
+    // variant additionally carries the shuffle map (the full record
+    // normally holds it).
+    println(if (only.isEmpty || noShufMetrics) json(results ++ cold)
+      else full)
     spark.stop()
   }
 }

@@ -37,33 +37,15 @@ object Relational {
 
   /** TPC-H Q1-style pricing summary. One shuffle (groupBy flag,status);
     * partial agg collapses 600k rows/SF to 8 groups map-side.
+    * Dual-use SQL since round 11: one text, both engines — all arithmetic
+    * in the decimal domain end-to-end, cent-floored BEFORE the double
+    * cast (scale reduction rounds HALF_UP in Spark, half-even in DuckDB;
+    * floor(x*100) is the unambiguous form and the integer fits a double
+    * exactly to ~1e13).
     */
   def aggPricing(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    l.where(col("l_shipdate") <= lit("2000-09-02"))
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        sum(dec2(col("l_quantity"))).as("d_sum_qty"),
-        sum(dec2(col("l_extendedprice"))).as("d_sum_base"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))).as("d_sum_disc"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
-          * (lit(1) + rate(col("l_tax")))).as("d_sum_charge"),
-        count(lit(1)).as("count_order"))
-      .select(
-        col("l_returnflag"), col("l_linestatus"),
-        col("d_sum_qty").cast("double").as("sum_qty"),
-        col("d_sum_base").cast("double").as("sum_base_price"),
-        // squeeze scale-10 product sums to cents IN THE DECIMAL DOMAIN
-        // before touching doubles: past ~17 significant digits the exact
-        // decimal no longer casts to the same double in both engines
-        // (surfaced at sf0.1), and decimal scale-reduction ROUNDING also
-        // differs (Spark HALF_UP, DuckDB half-even) — floor(x*100) is the
-        // unambiguous form; the integer fits a double exactly to ~1e13
-        (floor(col("d_sum_disc") * 100).cast("double") / 100.0).as("sum_disc_price"),
-        (floor(col("d_sum_charge") * 100).cast("double") / 100.0).as("sum_charge"),
-        (col("d_sum_qty").cast("double") / col("count_order")).as("avg_qty"),
-        col("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(aggPricingSql)
   }
 
   val aggPricingSql: String =
@@ -397,16 +379,11 @@ object Relational {
 
   /** Running-total window (ROWS UNBOUNDED PRECEDING) per customer in date
     * order — exact decimal accumulation, frame order fixed by (date, key).
+    * Dual-use SQL since round 11: one text, both engines.
     */
   def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val o = Tables.load(spark, dir, "orders")
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    o.select(col("o_custkey"), col("o_orderkey"),
-        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("run_total"))
-      .orderBy("o_custkey", "o_orderkey")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(windowRunningTotalSql)
   }
 
   val windowRunningTotalSql: String =
@@ -416,17 +393,13 @@ object Relational {
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
        FROM orders ORDER BY o_custkey, o_orderkey"""
 
-  /** UNION DISTINCT then EXCEPT over customer keys from three predicates. */
+  /** UNION DISTINCT then EXCEPT over customer keys from three predicates.
+    * Dual-use SQL since round 11: one text, both engines.
+    */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(spark, dir, "customer")
-    val o = Tables.load(spark, dir, "orders")
-    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-    val bigSpenders = o.where(col("o_totalprice") > 400000.0)
-      .select(col("o_custkey").as("c_custkey"))
-    val negative = c.where(col("c_acctbal") < 0.0).select(col("c_custkey"))
-    building.union(bigSpenders).distinct()
-      .except(negative)
-      .orderBy("c_custkey")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(setOpsSql)
   }
 
   val setOpsSql: String =
@@ -437,13 +410,12 @@ object Relational {
        SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
        ORDER BY c_custkey"""
 
-  /** ROLLUP multi-level aggregate (flag, status, and grand totals). */
+  /** ROLLUP multi-level aggregate (flag, status, and grand totals).
+    * Dual-use SQL since round 11: one text, both engines.
+    */
   def rollupQuantities(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    l.rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"),
-        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(rollupQuantitiesSql)
   }
 
   val rollupQuantitiesSql: String =
@@ -1542,19 +1514,10 @@ object Relational {
     * per customer order history. One exchange (custkey), one sort.
     */
   def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val o = Tables.load(spark, dir, "orders")
-    val seq = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-    val byPrice = Window.partitionBy("o_custkey")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.select(col("o_custkey"), col("o_orderkey"),
-        lag("o_totalprice", 1).over(seq).as("prev_price"),
-        lead("o_totalprice", 1).over(seq).as("next_price"),
-        rank().over(byPrice).as("price_rank"),
-        dense_rank().over(byPrice).as("price_dense_rank"),
-        ntile(4).over(byPrice).as("price_quartile"),
-        first_value(col("o_orderkey")).over(seq).as("first_order"))
-      .orderBy("o_custkey", "o_orderkey")
+    // dual-use SQL since round 11: one text, both engines (the named
+    // WINDOW clause parses identically in Spark and DuckDB)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(windowAnalyticsSql)
   }
 
   val windowAnalyticsSql: String =
@@ -2063,19 +2026,12 @@ object Relational {
     * keys — complements [[setOps]]'s UNION/EXCEPT DISTINCT.
     */
   def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(spark, dir, "customer")
-    val o = Tables.load(spark, dir, "orders")
-    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-    val withOrders = o.select(col("o_custkey").as("c_custkey"))
-    // customers in BUILDING that have >=1 order (intersect is distinct),
-    // then EXCEPT ALL against one copy of machinery — bag semantics keep
-    // multiplicity
-    val machinery = c.where(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
-    building.intersect(withOrders)
-      .union(withOrders) // bag with duplicates
-      .exceptAll(machinery)
-      .groupBy("c_custkey").agg(count(lit(1)).as("multiplicity"))
-      .orderBy("c_custkey")
+    // dual-use SQL since round 11: one text, both engines — customers in
+    // BUILDING that have >=1 order (intersect is distinct), then EXCEPT
+    // ALL against one copy of machinery (bag semantics keep multiplicity)
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(setOpsAllSql)
   }
 
   val setOpsAllSql: String =
@@ -2086,20 +2042,15 @@ object Relational {
          UNION ALL
          SELECT o_custkey AS c_custkey FROM orders
          EXCEPT ALL
-         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') t
        GROUP BY c_custkey ORDER BY c_custkey"""
 
-  /** Date/time scalar coverage over orders. */
+  /** Date/time scalar coverage over orders. Dual-use SQL since round 11:
+    * one text, both engines.
+    */
   def scalarDates(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
-    o.select(
-        col("o_orderkey"),
-        year(col("o_orderdate")).as("o_year"),
-        month(col("o_orderdate")).as("o_month"),
-        dayofmonth(col("o_orderdate")).as("o_day"),
-        quarter(col("o_orderdate")).as("o_quarter"),
-        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
-      .orderBy("o_orderkey")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(scalarDatesSql)
   }
 
   val scalarDatesSql: String =

@@ -232,7 +232,19 @@ object VersionedTable {
     if (body.isEmpty) Nil else body.split(',').toSeq.map(_.toLong)
   }
 
-  private def parse(s: String): Entry =
+  /** Log entries parsed since process start — the observable the
+    * auto-checkpoint spec pins: a 100-commit table's snapshot read must
+    * parse O([[CheckpointInterval]]) entries, not O(history).
+    */
+  private[graft] val entriesParsed =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def parse(s: String): Entry = {
+    entriesParsed.incrementAndGet()
+    parse0(s)
+  }
+
+  private def parse0(s: String): Entry =
     Entry(field(s, "version").toInt,
       field(s, "op").stripPrefix("\"").stripSuffix("\""),
       field(s, "ts_ms").toLong, strArr(s, "adds"), strArr(s, "removes"),
@@ -265,10 +277,17 @@ object VersionedTable {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) return Nil
     val cp = latestCheckpoint(dir)
+    // versions the checkpoint subsumes are skipped BY FILENAME (the
+    // version is the name — entryPath's %08d), so a snapshot read
+    // PARSES only the tail, not the whole history (the list itself is
+    // one directory scan — the same cost Delta pays; round-11 spec pins
+    // the parse count)
     val tail = listDir(ld)
-      .filter(_.getFileName.toString.endsWith(".json"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && n.stripSuffix(".json").toInt > cp
+      }
       .map(p => parse(Files.readString(p)))
-      .filter(_.version > cp)
       .sortBy(_.version)
     if (cp < 0) tail
     else parse(Files.readString(checkpointPath(dir, cp))) +: tail
@@ -361,12 +380,30 @@ object VersionedTable {
     }
   }
 
+  /** Auto-checkpoint cadence: every N-th commit folds the log (Delta's
+    * every-10 default), so a reader of a long-lived table parses O(N)
+    * entries no matter how many commits it has accumulated — without any
+    * caller remembering to call [[checkpoint]] (round-10 verdict ask #8).
+    */
+  val CheckpointInterval = 10
+
   // package-visible so the spec can interleave a racing commit between
   // a writer's version pick and its commit (the real conflict window)
   private[graft] def commit(dir: String, e: Entry): Unit = {
     Files.createDirectories(logDir(dir))
     logStore.writeCommit(entryPath(dir, e.version), render(e) + "\n",
       e.version)
+    // fires only after the slot is WON (a losing racer threw above), so
+    // concurrent writers produce at most one checkpoint per interval
+    // boundary; a checkpoint failure must not fail the already-durable
+    // commit — it is a read-path optimization, the next boundary retries
+    if (e.version > 0 && e.version % CheckpointInterval == 0)
+      try checkpoint(dir)
+      catch { case ex: Throwable =>
+        System.err.println(
+          s"[versioned-table] auto-checkpoint at v${e.version} failed: " +
+            ex.getMessage)
+      }
   }
 
   /** Append `df` as a new version. `op` labels the commit in the log —

@@ -161,20 +161,47 @@ object Amplify {
       // component order by r decorrelates replicas (near-random dot
       // products) while preserving norms and all within-replica
       // geometry exactly. The shift's period is the dimension (64), so
-      // at k > 64 an ALTERNATING SIGN FLIP keyed by r/64 stacks on top
-      // — the composed transform stays orthogonal (norms and all
-      // within-replica dots exact), and replicas r / r+64 land at
-      // near-zero cosine instead of exactly 1.
+      // at k > 64 a per-(r/64) ±1 SIGN VECTOR stacks on top — the
+      // composed transform stays orthogonal (norms and all
+      // within-replica dots exact) and replicas at the same shift land
+      // at near-zero cosine. The sign vector is LCG-derived per r/64
+      // (round-10 ADVICE: the previous PARITY flip had period 2 in
+      // r/64, so the composition had period 128 and replicas r / r+128
+      // were exact duplicates — distinct vectors now for every r/64).
+      //
+      // PLANTED NEAR-DUP TRUTH MASS (round-10 verdict ask #1): random
+      // synthetic vectors have ~zero pair mass at cosine ≥ 0.8, so the
+      // LSH near-dup operator's recall GUARANTEE band was unmeasurable
+      // on the amplified corpus. Each replica r > 0 therefore keeps
+      // ~1% of its vectors (base vec_id ≡ r mod 101 — each base is
+      // planted in at most one replica while k ≤ 101) as genuine
+      // near-copies of their base: v' = (1−λ)·v + λ·shift32(v), λ
+      // cycling 0.20..0.40 → pair cosines spread ~0.80..0.97 across
+      // the guarantee band. graft.tools.LshRecall measures the
+      // operator's recall against exactly this truth.
       if (r == 0) d
       else {
         val s = r % 64; val f = r / 64
-        val sign =
+        val signExpr =
           if (f == 0) ""
-          else s" * CAST(CASE WHEN i % 2 = ${f % 2} THEN -1.0 ELSE 1.0 END AS FLOAT)"
-        d.withColumn("vec_id", col("vec_id") + lit(r.toLong * vecOff))
-          .withColumn("embedding",
-            expr(s"transform(embedding, (x, i) -> " +
-              s"element_at(embedding, ((i + $s) % size(embedding)) + 1)$sign)"))
+          else {
+            var st = f.toLong
+            val signs = Array.tabulate(64) { _ =>
+              st = st * 6364136223846793005L + 1442695040888963407L
+              if (((st >>> 33) & 1L) == 1L) "1.0" else "-1.0"
+            }
+            s" * CAST(element_at(array(${signs.mkString(",")}), i + 1) AS FLOAT)"
+          }
+        val shifted = s"transform(embedding, (x, i) -> " +
+          s"element_at(embedding, ((i + $s) % size(embedding)) + 1)$signExpr)"
+        val lam = 0.2 + 0.05 * (r % 5)
+        val planted = s"transform(embedding, (x, i) -> " +
+          s"CAST((1.0 - $lam) * x + $lam * " +
+          s"element_at(embedding, ((i + 32) % size(embedding)) + 1) AS FLOAT))"
+        d.withColumn("embedding",
+            when(col("vec_id") % 101 === lit(r % 101), expr(planted))
+              .otherwise(expr(shifted)))
+          .withColumn("vec_id", col("vec_id") + lit(r.toLong * vecOff))
       }
     }
 

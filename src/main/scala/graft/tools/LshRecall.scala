@@ -50,6 +50,9 @@ object LshRecall {
       .localCheckpoint(true)
     val nTruth = truth.count()
 
+    def pct(num: Long, den: Long): String =
+      String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(num.toDouble / math.max(1L, den)))
     for (planes <- Seq(Similarity.LshPlanes, adaptive).distinct) {
       val found = Similarity.lshNearDupPairsWith(spark, sfDir, planes)
         .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
@@ -59,13 +62,22 @@ object LshRecall {
         .orderBy("band").collect()
       val tot = rows.map(_.getLong(1)).sum
       val hit = rows.map(_.getLong(2)).sum
+      // the GUARANTEE number (round-11 contract): recall over pairs at
+      // cosine ≥ NearDupCosine must clear LshRecallTarget at any width
+      // the table budget covers — the bands below it are best-effort
+      val designBands = Set(">=0.95", "0.80-0.95")
+      val dTot = rows.filter(r => designBands(r.getString(0))).map(_.getLong(1)).sum
+      val dHit = rows.filter(r => designBands(r.getString(0))).map(_.getLong(2)).sum
       System.err.println(
-        s"[lshrecall] sf=$sfDir n=$n planes=$planes tables=${Similarity.LshTables} " +
-          s"truePairs=$nTruth recovered=$hit recall=${"%.4f".format(hit.toDouble / math.max(1, tot))}")
+        s"[lshrecall] sf=$sfDir n=$n planes=$planes " +
+          s"tables=${Similarity.lshTablesFor(planes)} " +
+          s"truePairs=$nTruth recovered=$hit recall=${pct(hit, tot)} " +
+          s"designBandTruth=$dTot designBandRecall=${pct(dHit, dTot)} " +
+          s"(target ${Similarity.LshRecallTarget} at cosine >= ${Similarity.NearDupCosine})")
       rows.foreach { r =>
         System.err.println(
           s"[lshrecall]   band=${r.getString(0)} truth=${r.getLong(1)} " +
-            s"found=${r.getLong(2)} recall=${"%.4f".format(r.getLong(2).toDouble / math.max(1, r.getLong(1)))}")
+            s"found=${r.getLong(2)} recall=${pct(r.getLong(2), r.getLong(1))}")
       }
     }
     spark.stop()

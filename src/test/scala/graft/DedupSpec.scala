@@ -248,11 +248,12 @@ class DedupSpec extends SparkSpec {
   test("LSH recall tracks the analytic 1-(1-p^planes)^T model at floor AND widened width") {
     // the adaptive-width contract's recall law, machine-checked: a pair
     // at cosine c collides per table w.p. p^planes (p = 1 - acos(c)/π),
-    // so expected recall over the truth set is mean(1-(1-p^planes)^T).
+    // so expected recall over the truth set is mean(1-(1-p^planes)^T),
+    // with T the WIDTH-COUPLED table count (round 11: lshTablesFor).
     // sf0.1 gives ~10^3 truth pairs — enough mass that measured recall
     // must sit near the model at BOTH the floor width and a widened
-    // signature (the decay itself is the asserted prediction; h48-derived
-    // planes are deterministic, not iid, hence the loose band)
+    // signature (h48-derived planes are deterministic, not iid, hence
+    // the loose band)
     val dir = "/root/testdata/sf0.1"
     val truth = Dedup.embeddingPairs(spark, dir)
       .as[(Long, Long, Double)].collect()
@@ -267,14 +268,76 @@ class DedupSpec extends SparkSpec {
       val expected = truth.map { case (_, _, c) =>
         val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
         1.0 - math.pow(1.0 - math.pow(p, planes),
-          graft.similarity.Similarity.LshTables)
+          graft.similarity.Similarity.lshTablesFor(planes))
       }.sum / truth.size
       assert(math.abs(measured - expected) <= 0.12,
         s"planes=$planes measured=$measured expected=$expected — recall off the analytic model")
       measured
     }
+    // the truth mass of RANDOM synthetic vectors sits in the 0.4–0.6
+    // borderline band, BELOW the NearDupCosine design point — there the
+    // contract is explicitly best-effort and recall still decays with
+    // width (the table coupling buys the guarantee at ≥0.8, not at 0.5;
+    // holding 0.9 at 0.5 would cost ~39 tables at 7 planes). The design
+    // point itself is pinned by the planted-fixture test below.
     assert(recalls(1) < recalls(0),
-      s"widening must cost recall at fixed tables: $recalls")
+      s"borderline-band recall must still decay with width: $recalls")
+  }
+
+  test("planted near-dups: measured recall clears LshRecallTarget at the NearDupCosine design point, floor AND widened width") {
+    import graft.similarity.Similarity
+    // a corpus with REAL truth mass at the guarantee band (random
+    // vectors have ~none ≥0.8): 3000 base Gaussian vectors + ~240
+    // planted near-copies v' = (1-λ)v + λ·shift32(v), λ cycling
+    // 0.20..0.40 → cosines spread ~0.80..0.97. The guarantee under
+    // test: a pair at cosine ≥ NearDupCosine is recovered w.p. ≥
+    // LshRecallTarget at EVERY signature width the corpus-adaptive
+    // formula can pick (while the MaxLshTables budget holds) — the
+    // round-11 contract that replaced round 10's decaying fixed-T=4.
+    val rnd = new java.util.Random(41)
+    val dim = Similarity.Dim
+    val base = Array.tabulate(3000)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val lams = Array(0.20, 0.25, 0.30, 0.35, 0.40)
+    val planted = (0 until 240).map { k =>
+      val (bid, v) = base(k * 12)
+      val lam = lams(k % lams.length)
+      val w = Array.tabulate(dim)(i => v((i + 32) % dim))
+      (10000L + bid, Array.tabulate(dim)(i => (1 - lam) * v(i) + lam * w(i)))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // truth = planted pairs whose ACTUAL cosine clears the design point
+    // with margin (the λ mix scatters around it; 0.81 keeps the engine's
+    // exact ≥0.8 gate and this driver recompute from disagreeing on ties)
+    val truth = planted.flatMap { case (pid, pv) =>
+      val (bid, bv) = base(((pid - 10000).toInt))
+      val c = cos(bv, pv)
+      if (c >= 0.81) Some((bid, pid)) else None
+    }
+    assert(truth.size >= 150, s"planted truth too thin: ${truth.size}")
+    val dir = java.nio.file.Files.createTempDirectory("planted").toString
+    (base ++ planted).toSeq
+      .map { case (id, v) => (id, v.map(_.toFloat), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // adaptive width at n=3240 is the 4-plane floor (tables=5); the
+    // widened widths are what the formula picks at 20k / 200k vectors
+    // (tables 11 / 14) — recall must clear the target at ALL of them
+    val n = 3000 + planted.size
+    assert(Similarity.lshPlanesFor(n) == Similarity.LshPlanes)
+    for (planes <- Seq(Similarity.LshPlanes, 7, 8)) {
+      val found = Similarity.lshNearDupPairsWith(spark, dir, planes)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val recall = truth.count(found.contains).toDouble / truth.size
+      assert(recall >= Similarity.LshRecallTarget,
+        s"planes=$planes tables=${Similarity.lshTablesFor(planes)}: " +
+          s"measured recall $recall below the declared guarantee " +
+          s"${Similarity.LshRecallTarget} at cosine ≥ ${Similarity.NearDupCosine}")
+    }
   }
 
   test("prefix filtering is lossless: thresholded pairs identical to the full index, all three measures") {

@@ -620,13 +620,20 @@ class SimilaritySpec extends SparkSpec {
       Similarity.lshNearDupPairsWith(spark, sf, Similarity.lshPlanesFor(n))
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(declared == explicitW)
-    // widen the signature further, as the formula would at larger n
+    // widen the signature as the formula would at larger n: tables are
+    // now COUPLED to the width (round 11), so the subset property of the
+    // fixed-T rounds is gone by design — more OR-amplification tables can
+    // legitimately recover pairs the narrow run missed. What must hold
+    // instead: PRECISION 1.0 (every emitted pair is a brute-force true
+    // pair — the exact cosine gate, unchanged by width)
     val scaled = Similarity.lshNearDupPairsWith(spark, sf, planes = 8)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    // the cosine gate is identical; only the candidate generation
-    // tightens, so a wider signature can drop pairs but never add them
-    assert(scaled.subsetOf(declared),
-      s"scaled form invented pairs: ${scaled -- declared}")
+    val truth = graft.dedup.Dedup.embeddingPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(scaled.subsetOf(truth),
+      s"scaled form invented pairs: ${scaled -- truth}")
+    assert(declared.subsetOf(truth),
+      s"declared form invented pairs: ${declared -- truth}")
     // the width formula: floored at the declared planes, grows log2(n),
     // capped at 30 so the Int bucket code can never overflow (1 << j at
     // j <= 29 — the ADVICE r9 Int-shift-overflow regime is unreachable)
@@ -635,5 +642,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshPlanesFor(20000) == 7)
     assert(Similarity.lshPlanesFor(Long.MaxValue) == 30)
     assert(Similarity.lshPlanesFor(Long.MaxValue, 1L) == 30)
+    // table coupling (round 11): pinned to hand-computed values of the
+    // Indyk–Motwani closed form at p = 1 − acos(0.8)/π ≈ 0.7952 — NOT
+    // recomputed from the same code, so a formula edit fails here
+    val pinned = Map(4 -> 5, 5 -> 7, 6 -> 8, 7 -> 11, 8 -> 14, 9 -> 17,
+      10 -> 22, 11 -> 28, 12 -> 32, 20 -> 32, 30 -> 32)
+    pinned.foreach { case (planes, t) =>
+      assert(Similarity.lshTablesFor(planes) == t,
+        s"lshTablesFor($planes) = ${Similarity.lshTablesFor(planes)}, want $t")
+    }
+    // while the table budget holds (planes ≤ 11), the analytic recall at
+    // the NearDupCosine design point clears the target at EVERY width —
+    // the guarantee no longer decays with corpus size (the round-10
+    // defect this contract replaced)
+    val p08 = 1.0 - math.acos(Similarity.NearDupCosine) / math.Pi
+    for (planes <- Similarity.LshPlanes to 11) {
+      val rec = 1.0 - math.pow(1.0 - math.pow(p08, planes),
+        Similarity.lshTablesFor(planes))
+      assert(rec >= Similarity.LshRecallTarget,
+        s"planes=$planes: analytic design-point recall $rec under target")
+    }
   }
 }

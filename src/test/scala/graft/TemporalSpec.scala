@@ -146,6 +146,32 @@ class TemporalSpec extends SparkSpec {
     assert(pr.nLive == 4 && pr.nScanned == 2)
   }
 
+  test("auto-checkpoint: a 100-commit table's snapshot read parses O(10) entries") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("autocp").toString
+    // raw log commits (no Spark write jobs): the property under test is
+    // log-read cost, which depends only on the entry files
+    for (v <- 0 to 99)
+      VersionedTable.commit(dir,
+        VersionedTable.Entry(v, "append", 1000L + v, Seq(s"f$v.parquet"),
+          if (v >= 50) Seq(s"f${v - 50}.parquet") else Nil))
+    // commit() auto-checkpointed at v10, 20, …, 90 — without any caller
+    // ever invoking checkpoint() — so a fresh snapshot read parses the
+    // latest fold + the ≤CheckpointInterval tail, never the 100 entries
+    val before = VersionedTable.entriesParsed.get()
+    val es = VersionedTable.entries(dir)
+    val parsed = VersionedTable.entriesParsed.get() - before
+    assert(parsed <= VersionedTable.CheckpointInterval + 1,
+      s"snapshot read parsed $parsed entries — checkpoint not engaged")
+    assert(es.head.op == "checkpoint" && es.last.version == 99)
+    // the folded view is exactly the unfolded one: adds 50..99 are live
+    assert(VersionedTable.liveFiles(dir).sorted ==
+      (50 to 99).map(v => s"f$v.parquet").sorted)
+    // time travel before the earliest surviving fold still works
+    assert(VersionedTable.liveFiles(dir, Some(3)).sorted ==
+      (0 to 3).map(v => s"f$v.parquet").sorted)
+  }
+
   test("schema evolution: merged reads surface late columns as nulls") {
     import graft.sources.VersionedTable
     val dir = java.nio.file.Files.createTempDirectory("evofix").toString
