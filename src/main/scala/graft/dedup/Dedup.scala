@@ -717,12 +717,15 @@ object Dedup {
     */
   val ContainmentPrefixT: (Int, Int) = (9, 10)
 
-  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsFrom(
+      Tables.loadSpread(spark, dir, "documents", "doc_id"))
+
+  private[graft] def containmentPairsFrom(docs: DataFrame,
+      maxDf: Int = MaxShingleDf): DataFrame = {
     val c = col("i").cast("double") /
       least(col("sza"), col("szb")).cast("double")
-    pairIntersections(
-        Tables.loadSpread(spark, dir, "documents", "doc_id"), MaxShingleDf,
-        Some(ContainmentPrefixT))
+    pairIntersections(docs, maxDf, Some(ContainmentPrefixT))
       .select(col("doc_a"), col("doc_b"), c.as("containment"))
       .where(col("containment") >= ContainmentThreshold)
       .orderBy("doc_a", "doc_b")
@@ -826,12 +829,15 @@ object Dedup {
     * just ~2.5× lighter postings. Output: (doc_a, doc_b, n_shared,
     * overlap) for pairs at ≥ [[WinnowThreshold]], sorted.
     */
-  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlapFrom(Tables.loadSpread(spark, dir, "documents", "doc_id"))
+
+  private[graft] def winnowOverlapFrom(docs: DataFrame,
+      maxDf: Int = MaxShingleDf): DataFrame = {
     val ov = col("i").cast("double") /
       least(col("sza"), col("szb")).cast("double")
-    keyedPairIntersections(
-      winnowFingerprints(Tables.loadSpread(spark, dir, "documents", "doc_id")),
-      MaxShingleDf, Some((1, 2))) // WinnowThreshold = 1/2, spec-pinned
+    keyedPairIntersections(winnowFingerprints(docs),
+      maxDf, Some((1, 2))) // WinnowThreshold = 1/2, spec-pinned
       .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
         ov.as("overlap"))
       .where(col("overlap") >= WinnowThreshold)

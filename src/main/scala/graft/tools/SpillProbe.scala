@@ -8,19 +8,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aggregate. This probe runs both on the same corpus twice —
   *
   *   1. DEFAULT session (the Verify/Bench config), and
-  *   2. CONSTRAINED session: `spark.shuffle.spill
-  *      .numElementsForceSpillThreshold` (a core conf, readable only at
-  *      SparkContext birth — hence a probe main with two sequential
-  *      contexts, not a shared-session spec) forces every external
-  *      sorter to spill after 4k elements, and
+  *   2. CONSTRAINED session (core confs, readable only at SparkContext
+  *      birth — hence a probe main with two sequential contexts, not a
+  *      shared-session spec): `spark.testing.memory=128MB` (with
+  *      `spark.testing.reservedMemory=0`) shrinks the unified memory
+  *      pool to ~77 MB shared by 8 tasks — ~60× below the default — so
+  *      external sorters hit GENUINE memory pressure and spill;
   *      `spark.sql.objectHashAggregate.sortBased.fallbackThreshold=2`
   *      kicks the typed-aggregator hash map into its sort-based fallback
-  *      (the memory-pressure escape hatch) after 2 groups —
+  *      (the memory-pressure escape hatch) after 2 groups, so the
+  *      spilling path is the one the aggregators actually ride under
+  *      pressure; `spark.shuffle.spill.numElementsForceSpillThreshold`
+  *      additionally force-spills the insertRecord-path sorters
+  *      (shuffle write / SortExec) every 4k records. (The KV-sorter
+  *      fallback path ignores the numElements threshold — verified in
+  *      UnsafeExternalSorter.insertKVRecord bytecode — which is why the
+  *      memory cap, not the threshold, is the load-bearing knob.)
   *
   * and asserts (a) byte-identical sorted outputs and (b) that the
   * constrained run actually RECORDED memory/disk spill in task metrics,
   * so "identical results under spill" is measured, not argued. Prints
   * one JSON line; exits nonzero on any mismatch or if no spill occurred.
+  * Measured outcome (committed as BENCH_SPILL_r11.json): the TopK plan
+  * spills ~67 MB memory / ~9 MB disk under constraint and returns
+  * byte-identical rows; the Misra–Gries plan records ZERO spill even at
+  * the 77 MB pool — its partial is K entries by construction, so there
+  * is nothing to spill, which is the fixed-memory claim itself.
   *
   * Usage: runMain graft.tools.SpillProbe [sfDir]   (default scaledata/sf1)
   */
@@ -36,6 +49,8 @@ object SpillProbe {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
     if (constrained) b = b
+      .config("spark.testing.memory", "134217728")
+      .config("spark.testing.reservedMemory", "0")
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "4096")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
     val spark = b.getOrCreate()
