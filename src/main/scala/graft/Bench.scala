@@ -25,7 +25,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Verify.session(cpus)
+    // shuffle dirs: SPARK_GRAFT_LOCAL_DIR if set, else tmpfs when present
+    // (see Verify.session's doc — the sandbox disk write-throttles the
+    // bench's own multi-GB sf10 shuffle files; bytes/plans unchanged)
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm)) {
+        val d = shm.resolve("graft-shuffle")
+        try { java.nio.file.Files.createDirectories(d); Some(d.toString) }
+        catch { case _: Throwable => None }
+      } else None
+    }.orNull
+    val spark = Verify.session(cpus, localDir)
     // CORPUS PRE-TOUCH: stream every input byte once so the OS page cache
     // holds the same corpus state for the 1st and the 178th query alike
     // (a cold query otherwise pays disk I/O its committed record never

@@ -4,10 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def session(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+  def session(cpus: String): SparkSession = session(cpus, null)
+
+  /** `localDir` (optional) overrides spark.local.dir — graft.Bench points
+    * it at tmpfs for the sf1/sf10 scale runs: the sandbox's single virtio
+    * disk write-throttles the bench's own multi-GB shuffle files, which
+    * made sf10 wall-clock swing 39–132 s at byte-identical work (run
+    * progression in SURVEY §9.39); a production cluster's NVMe-backed
+    * shuffle dirs don't have this failure mode, and RAM-backed local
+    * dirs change neither plans nor shuffle bytes — only the timing
+    * noise floor.
+    */
+  def session(cpus: String, localDir: String): SparkSession = {
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = (if (localDir == null) b0
+                 else b0.config("spark.local.dir", localDir))
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it as a
       // raw long with this flag (graft.model.Tables.withEventTime).
