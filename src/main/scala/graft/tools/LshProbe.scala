@@ -21,7 +21,8 @@ object LshProbe {
     val n = e.count()
     val planes =
       if (args.length > 1) args(1).toInt else Similarity.lshPlanesFor(n)
-    val occ = Similarity.lshBuckets(e, planes)
+    val tables = Similarity.lshTablesFor(planes) // width-coupled (round 11)
+    val occ = Similarity.lshBuckets(e, planes, tables)
       .groupBy("tbl", "bucket").count()
     val stats = occ.agg(
       count(lit(1)).as("n_buckets"),
@@ -30,10 +31,11 @@ object LshProbe {
       expr("percentile(count, 0.99)").as("p99"),
       sum(expr("count * (count - 1) div 2")).as("cand_pairs")).head()
     System.err.println(
-      s"[lshprobe] n=$n planes=$planes buckets=${stats.getLong(0)} " +
+      s"[lshprobe] n=$n planes=$planes tables=$tables " +
+        s"buckets=${stats.getLong(0)} " +
         s"maxOcc=${stats.getLong(1)} p50=${stats.getDouble(2)} " +
         s"p99=${stats.getDouble(3)} candPairs=${stats.getLong(4)} " +
-        s"(uniform would be ~${4L * n * n / (2L * (1L << planes))})")
+        s"(uniform would be ~${tables.toLong * n * n / (2L * (1L << planes))})")
     spark.stop()
   }
 }

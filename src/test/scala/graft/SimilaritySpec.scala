@@ -663,4 +663,41 @@ class SimilaritySpec extends SparkSpec {
         s"planes=$planes: analytic design-point recall $rec under target")
     }
   }
+
+  test("LshCodes expression is bit-identical to the literal-plane formula at every contract width") {
+    // the round-11 codegen'd bucket expression vs a DRIVER-SIDE recompute
+    // of the md5-plane formula with the same sequential fold — duplicated
+    // here on purpose (not calling planeValues) so a formula edit on
+    // either side fails the pin. Widths cover the floor and the adaptive
+    // picks at sf1/sf10 (7x11, 10x22 — the sizes whose unrolled form ran
+    // interpreted, which this expression exists to fix).
+    import graft.functions.Hashing
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", lit(1.0))
+    val vecs = e.select("vec_id", "v")
+      .as[(Long, Array[Double])].collect().toMap
+    def plane(t: Int, j: Int, k: Int): Double =
+      (Hashing.h48String(s"rp-$t-$j-$k") % 2001 - 1000) / 1000.0
+    for ((planes, tables) <- Seq((4, 4), (4, 5), (7, 11), (10, 22))) {
+      val got = Similarity.lshBuckets(e, planes, tables)
+        .select("vec_id", "tbl", "bucket")
+        .as[(Long, Int, Int)].collect().toSet
+      val want = (for {
+        (id, v) <- vecs.toSeq
+        t <- 0 until tables
+      } yield {
+        var code = 0
+        for (j <- 0 until planes) {
+          var acc = 0.0
+          for (k <- v.indices) acc += plane(t, j, k) * v(k)
+          if (acc >= 0.0) code |= (1 << j)
+        }
+        (id, t, code)
+      }).toSet
+      assert(got == want,
+        s"planes=$planes tables=$tables: codes diverge from the md5-plane formula")
+      assert(got.size == vecs.size * tables)
+    }
+  }
 }
