@@ -30,12 +30,24 @@ object Bench {
     // bench's own multi-GB sf10 shuffle files; bytes/plans unchanged)
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm)) {
+      // tmpfs only when it can hold the battery's worst shuffle
+      // footprint (~32 GiB at sf10): /dev/shm is typically capped at
+      // 50% of RAM, and silently defaulting to it on a smaller host
+      // turns a full disk into confusing no-space/OOM failures
+      // (round-11 ADVICE). SPARK_GRAFT_LOCAL_DIR overrides either way.
+      val need = 32L << 30
+      val fits =
+        try java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.getFileStore(shm).getUsableSpace >= need
+        catch { case _: Throwable => false }
+      if (fits) {
         val d = shm.resolve("graft-shuffle")
         try { java.nio.file.Files.createDirectories(d); Some(d.toString) }
         catch { case _: Throwable => None }
       } else None
     }.orNull
+    System.err.println("[bench] spark.local.dir = " +
+      (if (localDir == null) "<jvm default tmp>" else localDir))
     val spark = Verify.session(cpus, localDir)
     // CORPUS PRE-TOUCH: stream every input byte once so the OS page cache
     // holds the same corpus state for the 1st and the 178th query alike
@@ -205,7 +217,15 @@ object Bench {
       val qs = rows.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
       val sus = suspects(rows).map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"truncated":false,"suspect":$sus,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus,"full_record":"$latestPath"}"""
+      // a filtered dev run (SPARK_GRAFT_ONLY) must not point at
+      // BENCH_FULL_LATEST.json — this run did not write it, so a
+      // consumer following the pointer would read a STALE full record;
+      // it also self-declares "filtered":true so the subset-sized
+      // n_queries can't masquerade as a complete battery (round-11
+      // ADVICE)
+      val fullRef =
+        if (only.isEmpty) "\"" + latestPath + "\"" else "null"
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"truncated":false,"filtered":${only.nonEmpty},"suspect":$sus,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus,"full_record":$fullRef}"""
     }
     val shufJson = (results ++ cold).map { case (k, _) =>
       val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))

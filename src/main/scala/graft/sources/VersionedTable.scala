@@ -305,12 +305,24 @@ object VersionedTable {
   def checkpoint(dir: String): Int = {
     val v = currentVersion(dir)
     require(v >= 0, "cannot checkpoint an empty table")
-    val es = allJsonEntries(dir)
-    val live = es.filter(_.version <= v)
-      .foldLeft(Vector.empty[String]) { (acc, e) =>
-        acc.filterNot(e.removes.contains) ++ e.adds
-      }
-    val stats = live.map(f => es.flatMap(_.statsFor(f)).headOption)
+    // INCREMENTAL fold (round-11 ADVICE): start from the previous
+    // checkpoint + tail ([[entries]]), not the whole JSON history — the
+    // Nth auto-checkpoint costs O(entries since the last one), so
+    // checkpointing every k commits is O(k) per checkpoint instead of
+    // O(N) (cumulatively quadratic in table history, which defeated the
+    // millions-of-commits goal the READ path already achieved).
+    val es = entries(dir).filter(_.version <= v)
+    val live = es.foldLeft(Vector.empty[String]) { (acc, e) =>
+      acc.filterNot(e.removes.contains) ++ e.adds
+    }
+    // stats indexed by file name in ONE pass over the entries (first
+    // add wins — the same order statsFor's headOption scan produced),
+    // not an O(live × entries) per-file history scan
+    val statsIdx =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    for (e <- es; (f, i) <- e.adds.zipWithIndex if i < e.mins.length)
+      if (!statsIdx.contains(f)) statsIdx(f) = (e.mins(i), e.maxs(i))
+    val stats = live.map(statsIdx.get)
     val folded = Entry(v, "checkpoint", System.currentTimeMillis(),
       live, Nil,
       if (stats.forall(_.isDefined)) stats.map(_.get._1) else Nil,
