@@ -801,22 +801,73 @@ object Dedup {
     * so the downstream inverted index moves ~2.5× less data than the
     * full-shingle index while keeping the 6-token detection guarantee.
     */
-  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
-    val hs = col("hs")
-    val m = size(hs)
-    val windowMins = transform(sequence(lit(1), m - (WinnowW - 1)),
-      j => array_min(slice(hs, j, lit(WinnowW))))
-    val posHashes = transform(sequence(lit(1), size(col("t")) - 2),
+  /** Cap on the hot-gram mask (the Zipf head): the [[winnowOverlapFrom]]
+    * pre-pass collects at most this many gram hashes to the driver —
+    * a BOUNDED collect, like the stopword artifact and the classifier
+    * typedlit. Grams beyond the cap (df just above the ceiling, by the
+    * df-desc order) stay unmasked; the downstream posting ceiling still
+    * drops them, so the only cost of overflow is (bounded) minima
+    * displacement — the pre-round-12 behavior, now the overflow case
+    * instead of the default.
+    */
+  val HotMaskCap = 4096
+
+  /** Positional 3-gram hashes over the token array `t` — the winnow
+    * feature family, shared by selection and the hot-gram pre-pass.
+    */
+  private def winnowPosHashes: Column =
+    transform(sequence(lit(1), size(col("t")) - 2),
       i => Hashing.h48(concat_ws(" ",
         element_at(col("t"), i),
         element_at(col("t"), i + 1),
         element_at(col("t"), i + 2))))
+
+  /** HOT grams: positional 3-grams present in more than `maxDf`
+    * documents — boilerplate by the same definition the posting ceiling
+    * uses, computed in a pre-pass so [[winnowFingerprints]] can mask
+    * them BEFORE window-minimum selection (round-11 verdict ask #3: a
+    * hot gram's small hash displaces content minima from its windows,
+    * and when the ceiling then drops the hot posting, the displaced
+    * region has lost its content fingerprint — measured 5% content-pair
+    * recall loss on the planted-boilerplate corpus). Hottest-first,
+    * capped at [[HotMaskCap]], deterministic (df desc, h asc) — the
+    * DuckDB oracle recomputes the same list in SQL.
+    */
+  private[graft] def hotGrams(docs: DataFrame, maxDf: Int): Seq[Long] = {
+    tokens(docs).where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(winnowPosHashes)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .orderBy(col("df").desc, col("h"))
+      .limit(HotMaskCap)
+      .select("h").collect().map(_.getLong(0)).toSeq
+  }
+
+  private[graft] def winnowFingerprints(docs: DataFrame,
+      hot: Seq[Long] = Nil): DataFrame = {
+    val hs = col("hs")
+    val m = size(hs)
+    val windowMins = transform(sequence(lit(1), m - (WinnowW - 1)),
+      j => array_min(slice(hs, j, lit(WinnowW))))
+    // hot-gram mask: boilerplate hashes become NULL before selection, so
+    // each window's minimum falls back to its rarest NON-HOT gram
+    // (array_min skips nulls — the per-window fallback) and a masked
+    // gram can never displace content fingerprints. A window that is
+    // ALL boilerplate selects nothing (null, filtered) — exactly the
+    // mass the posting ceiling was going to drop anyway, minus the
+    // collateral. isInCollection over ≤ HotMaskCap literals plans as
+    // one InSet probe per element.
+    val masked =
+      if (hot.isEmpty) winnowPosHashes
+      else transform(winnowPosHashes, x =>
+        when(x.isInCollection(hot), lit(null).cast("long")).otherwise(x))
     tokens(docs)
       .where(size(col("t")) >= 3)
-      .select(col("doc_id"), posHashes.as("hs"))
+      .select(col("doc_id"), masked.as("hs"))
       .select(col("doc_id"), explode(array_distinct(
         when(m >= WinnowW, windowMins)
           .otherwise(array(array_min(hs))))).as("h"))
+      .where(col("h").isNotNull)
   }
 
   /** Local (substring-level) overlap detection via winnowed fingerprints
@@ -836,7 +887,12 @@ object Dedup {
       maxDf: Int = MaxShingleDf): DataFrame = {
     val ov = col("i").cast("double") /
       least(col("sza"), col("szb")).cast("double")
-    keyedPairIntersections(winnowFingerprints(docs),
+    // `maxDf` is the DECLARED ceiling parameter of this operator: it
+    // bounds hot postings downstream AND defines the hot-gram mask the
+    // selection pre-pass applies (round 12). At maxDf = Int.MaxValue
+    // both are inert and this is the unceilinged ground-truth form the
+    // CeilingRecall audit runs.
+    keyedPairIntersections(winnowFingerprints(docs, hotGrams(docs, maxDf)),
       maxDf, Some((1, 2))) // WinnowThreshold = 1/2, spec-pinned
       .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
         ov.as("overlap"))
@@ -851,12 +907,24 @@ object Dedup {
         hsq AS (SELECT doc_id,
             list_transform(range(1, n - 1), i -> $gram) AS hs
           FROM f2),
-        fp AS (SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(hs) >= $WinnowW
-              THEN list_transform(range(1, len(hs) - ${WinnowW - 2}),
-                j -> list_aggregate(hs[j:j+${WinnowW - 1}], 'min'))
-              ELSE [list_aggregate(hs, 'min')] END)) AS h
-          FROM hsq),
+        gdf AS (SELECT h, count(*) AS df FROM (
+            SELECT DISTINCT doc_id, h FROM (
+              SELECT doc_id, unnest(hs) AS h FROM hsq))
+          GROUP BY h),
+        hot AS (SELECT list(h ORDER BY df DESC, h) AS hl FROM (
+            SELECT h, df FROM gdf WHERE df > $MaxShingleDf
+            ORDER BY df DESC, h LIMIT $HotMaskCap)),
+        msk AS (SELECT doc_id, list_transform(hs, x ->
+              CASE WHEN list_contains(hot.hl, x) THEN NULL ELSE x END) AS hs
+          FROM hsq, hot),
+        fp AS (SELECT doc_id, h FROM (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(hs) >= $WinnowW
+                THEN list_transform(range(1, len(hs) - ${WinnowW - 2}),
+                  j -> list_aggregate(hs[j:j+${WinnowW - 1}], 'min'))
+                ELSE [list_aggregate(hs, 'min')] END)) AS h
+            FROM msk)
+          WHERE h IS NOT NULL),
         fdf AS (SELECT h, count(*) AS df FROM fp GROUP BY h),
         kept AS (SELECT fp.doc_id, fp.h FROM fp
           JOIN fdf ON fp.h = fdf.h WHERE fdf.df <= $MaxShingleDf),

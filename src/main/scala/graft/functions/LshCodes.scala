@@ -25,9 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * The planes are NOT data: they derive deterministically from
   * (table, plane, component) via the same md5 formula the DuckDB oracle
-  * regenerates in SQL — (h48("rp-t-j-k") mod 2001 − 1000)/1000 — so the
-  * expression carries only (nTables, nPlanes, dim) and equality /
-  * canonicalization work structurally (the matrix is a transient lazy).
+  * regenerates in SQL — (h48("<seed>-t-j-k") mod 2001 − 1000)/1000,
+  * seed family "rp" by default ("sq"/"sf" for the sharded index's
+  * routing/fine planes, which must be independent of each other and of
+  * the flat index's) — so the expression carries only (nTables,
+  * nPlanes, dim, seed) and equality / canonicalization work
+  * structurally (the matrix is a transient lazy).
   *
   * Numeric contract, bit-identical to the declarative form it replaces:
   * each dot accumulates left-to-right from +0.0 (the [[DotProduct]] /
@@ -35,11 +38,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * nulls that DOT, which contributes 0 to the code (the old form's
   * `when(null ≥ 0).otherwise(0)`), never nulls the code itself.
   */
-case class LshCodes(child: Expression, nTables: Int, nPlanes: Int, dim: Int)
+case class LshCodes(child: Expression, nTables: Int, nPlanes: Int, dim: Int,
+    seed: String = "rp")
     extends UnaryExpression {
 
   require(nTables > 0 && nPlanes > 0 && nPlanes <= 30 && dim > 0,
     s"bad LSH shape: tables=$nTables planes=$nPlanes dim=$dim")
+  require(seed.nonEmpty && !seed.contains("-"),
+    s"LSH seed family '$seed' must be a non-empty dash-free prefix " +
+      "(the plane id is '<seed>-t-j-k')")
 
   override def nullable: Boolean = child.nullable
 
@@ -65,7 +72,7 @@ case class LshCodes(child: Expression, nTables: Int, nPlanes: Int, dim: Int)
         var k = 0
         while (k < dim) {
           a((t * nPlanes + j) * dim + k) =
-            (Hashing.h48String(s"rp-$t-$j-$k") % 2001 - 1000) / 1000.0
+            (Hashing.h48String(s"$seed-$t-$j-$k") % 2001 - 1000) / 1000.0
           k += 1
         }
         j += 1

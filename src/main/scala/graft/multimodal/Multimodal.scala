@@ -550,4 +550,210 @@ object Multimodal {
           CAST(h % 2001 - 1000 AS DOUBLE) / 1000.0 AS f0,
           CAST((h // 2001) % 2001 - 1000 AS DOUBLE) / 1000.0 AS f1
         FROM d ORDER BY doc_id"""
+
+  // ======================================================== real PNG codec
+
+  /** Deterministic PNG payload for a doc id — real bytes of the real
+    * compressed format ([[Png.encode]]: DEFLATE, per-row filters cycling
+    * all five types, CRC'd chunks), pixels from the SAME id-seeded
+    * arithmetic as [[ppmPayload]] ((id·131 + k·31 + 17) mod 256) so the
+    * DuckDB oracle replays the DECODED values without a PNG decoder of
+    * its own — the round trip through deflate + filters is exactly what
+    * the correctness gate then proves. Corruption/variation classes
+    * (disjoint moduli from the PPM fixture's, so the two codecs' ok-sets
+    * differ and the queries aren't value-duplicates):
+    *  - id ≡ 7 (mod 31): one IDAT data byte flipped, CRC left stale —
+    *    the bit-rot corruption ("bad_crc");
+    *  - id ≡ 3 (mod 19): final third of the file cut — the
+    *    partial-download corruption ("truncated"; detection order is
+    *    decoder order: a cut chunk overruns before its CRC is read, so
+    *    truncation wins when both apply);
+    *  - id ≡ 0 (mod 11): compressed stream split across two IDAT
+    *    chunks (decoded identically — exercises concatenation);
+    *  - id ≡ 2 (mod 13): ancillary tEXt chunk (CRC-checked, skipped).
+    */
+  def pngPayload(id: Long): Array[Byte] = {
+    val w = (4 + (id * 31 + 7) % 32).toInt
+    val h = (4 + (id * 17 + 3) % 32).toInt
+    val raster =
+      Array.tabulate(3 * w * h)(k => ((id * 131 + k * 31 + 17) % 256).toByte)
+    val base = Png.encode(w, h, raster,
+      idatSplit = id % 11 == 0,
+      text = if (id % 13 == 2) Some("synthetic fixture") else None)
+    val flipped =
+      if (id % 31 != 7) base
+      else {
+        // locate the first IDAT by the chunk walk (never by byte search:
+        // a CRC could alias the ASCII pattern) and flip its first data
+        // byte, leaving the stored CRC stale
+        val out = base.clone()
+        var i = 8
+        var done = false
+        while (!done) {
+          val len = java.nio.ByteBuffer.wrap(out, i, 4).getInt
+          if (new String(out, i + 4, 4, "US-ASCII") == "IDAT") {
+            out(i + 8) = (out(i + 8) ^ 0xff).toByte
+            done = true
+          } else i += 12 + len
+        }
+        out
+      }
+    if (id % 19 == 3)
+      java.util.Arrays.copyOf(flipped, flipped.length - flipped.length / 3)
+    else flipped
+  }
+
+  /** doc ids → generated PNG payloads (binary column, spread-partitioned
+    * like [[ppmBlobs]]).
+    */
+  def pngBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaBlob(id, pngPayload(id))))
+  }
+
+  /** Decoded-PNG metadata over REAL reconstructed pixels: signature,
+    * CRC'd chunk walk, inflate, unfilter — then the same feature shape
+    * as [[ppmMeta]] (dims, 224-long-side resize, per-channel sums).
+    * Scale shape: input-partitioned scan, per-row CPU (the decode),
+    * no shuffle before the final order.
+    */
+  def pngMeta(spark: SparkSession, dir: String): DataFrame = {
+    val b = pngBlobs(spark, dir)
+    import b.sparkSession.implicits._
+    b.mapPartitions(it => it.flatMap { x =>
+      Png.decode(x.content).toOption.map { d =>
+        val a = d.raster
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var k = 0
+        while (k < a.length) {
+          val v = a(k) & 0xff
+          val m = k % 3
+          if (m == 0) sr += v else if (m == 1) sg += v else sb += v
+          k += 1
+        }
+        val long = math.max(d.width, d.height)
+        PpmMeta(x.doc_id, d.width, d.height,
+          d.width * 224 / long, d.height * 224 / long,
+          d.width.toLong * d.height, sr, sg, sb)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Frame sampling over DEFLATE-decoded rasters — the upgraded
+    * `q_multimodal_frames` body (round-11 verdict ask #6): every
+    * [[FrameStride]]-th reconstructed raster row becomes a frame row
+    * carrying the row's byte sum. Unlike the PPM sampler there is no
+    * header-only shortcut: rows only exist after the full inflate +
+    * unfilter, which is the production cost shape for compressed
+    * codecs. Undecodable payloads route to [[pngAudit]]'s quarantine
+    * rows and contribute nothing here.
+    */
+  def pngFrames(spark: SparkSession, dir: String): DataFrame = {
+    val b = pngBlobs(spark, dir)
+    import b.sparkSession.implicits._
+    b.mapPartitions(it => it.flatMap { x =>
+      Png.decode(x.content) match {
+        case Left(_) => Iterator.empty
+        case Right(d) =>
+          val stride = 3 * d.width
+          (0 until d.height by FrameStride).iterator.map { r =>
+            var sum = 0L
+            var k = r * stride
+            val end = (r + 1) * stride
+            while (k < end) { sum += (d.raster(k) & 0xff); k += 1 }
+            PpmFrame(x.doc_id, r, sum)
+          }
+      }
+    }).toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Quarantine audit over the PNG decoder's failures, per source.
+    * Output: (source, n_blobs, n_ok, n_bad_crc, n_truncated, fail_ppm).
+    */
+  def pngAudit(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val b = pngBlobs(spark, dir)
+    import b.sparkSession.implicits._
+    val st = b.mapPartitions(it => it.map { x =>
+      Png.decode(x.content) match {
+        case Left(r)  => DecodeStatus(x.doc_id, ok = false, r)
+        case Right(_) => DecodeStatus(x.doc_id, ok = true, null)
+      }
+    })
+    st.toDF().join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("reason") === "bad_crc", 1L).otherwise(0L))
+          .as("n_bad_crc"),
+        sum(when(col("reason") === "truncated", 1L).otherwise(0L))
+          .as("n_truncated"))
+      .select(col("source"), col("n_blobs"), col("n_ok"),
+        col("n_bad_crc"), col("n_truncated"),
+        expr("(n_blobs - n_ok) * 1000000 div n_blobs").as("fail_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle replay of [[pngMeta]]: the id-seeded dims/pixel arithmetic
+    * (shared with the PPM fixture) under the PNG corruption classes —
+    * DuckDB never decodes PNG; matching these sums means Spark's
+    * inflate + unfilter reconstructed every byte.
+    */
+  val pngMetaSql: String =
+    """WITH d AS (SELECT doc_id,
+              CAST(4 + (doc_id*31 + 7) % 32 AS INT) AS w,
+              CAST(4 + (doc_id*17 + 3) % 32 AS INT) AS h
+            FROM documents
+            WHERE doc_id % 31 <> 7 AND doc_id % 19 <> 3),
+        px AS (SELECT doc_id, w, h, unnest(range(0, 3*w*h)) AS k FROM d),
+        s AS (SELECT doc_id, w, h,
+              sum(CASE WHEN k % 3 = 0
+                THEN (doc_id*131 + k*31 + 17) % 256 END) AS sum_r,
+              sum(CASE WHEN k % 3 = 1
+                THEN (doc_id*131 + k*31 + 17) % 256 END) AS sum_g,
+              sum(CASE WHEN k % 3 = 2
+                THEN (doc_id*131 + k*31 + 17) % 256 END) AS sum_b
+            FROM px GROUP BY doc_id, w, h)
+        SELECT doc_id, w AS width, h AS height,
+          CAST(w * 224 // greatest(w, h) AS INT) AS resized_w,
+          CAST(h * 224 // greatest(w, h) AS INT) AS resized_h,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(sum_r AS BIGINT) AS sum_r,
+          CAST(sum_g AS BIGINT) AS sum_g,
+          CAST(sum_b AS BIGINT) AS sum_b
+        FROM s ORDER BY doc_id"""
+
+  val pngFramesSql: String =
+    s"""WITH d AS (SELECT doc_id,
+              CAST(4 + (doc_id*31 + 7) % 32 AS INT) AS w,
+              CAST(4 + (doc_id*17 + 3) % 32 AS INT) AS h
+            FROM documents
+            WHERE doc_id % 31 <> 7 AND doc_id % 19 <> 3),
+        f AS (SELECT doc_id, w, unnest(range(0, h, $FrameStride)) AS r
+            FROM d),
+        px AS (SELECT doc_id, r,
+              unnest(range(3*r*w, 3*(r+1)*w)) AS k
+            FROM f)
+        SELECT doc_id, CAST(r AS INT) AS frame_idx,
+          CAST(sum((doc_id*131 + k*31 + 17) % 256) AS BIGINT) AS row_sum
+        FROM px GROUP BY doc_id, r ORDER BY doc_id, frame_idx"""
+
+  val pngAuditSql: String =
+    """WITH d AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 19 = 3 THEN 'truncated'
+                   WHEN doc_id % 31 = 7 THEN 'bad_crc' END AS reason
+            FROM documents)
+        SELECT source, count(*) AS n_blobs,
+          CAST(sum(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ok,
+          CAST(sum(CASE WHEN reason = 'bad_crc' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_crc,
+          CAST(sum(CASE WHEN reason = 'truncated' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_truncated,
+          CAST(sum(CASE WHEN reason IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS fail_ppm
+        FROM d GROUP BY source ORDER BY source"""
 }

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Diagnostic: measured design-point RECALL of the SHARDED embedding
+  * near-dup index vs the FLAT (table-capped) form on a planted corpus
+  * past the flat guarantee's 5·10⁵-vector boundary — the number behind
+  * the round-12 sharded-index contract (SURVEY §9), plus the pair-volume
+  * bill the sharding pays for it.
+  *
+  * Ground truth is [[graft.tools.EmbedAmplify]]'s planted pair table
+  * with cosines recomputed EXACTLY from the stored floats (the plant is
+  * only the generator), filtered to the ≥ NearDupCosine guarantee band
+  * and reported per cosine sub-band. Brute force is impossible here by
+  * design (10⁶ vectors ≈ 5·10¹¹ pairs) — that is the point: this is the
+  * regime the sharding exists for, and planted truth is how recall
+  * stays measurable in it.
+  *
+  * The cost bill is measured as bucket-level candidate PAIR-SLOTS
+  * (Σ c·(c−1)/2 over join-key cells — the exact number of cosine
+  * evaluations the self-join performs), counted from occupancy alone so
+  * the probe itself never joins anything wide, plus the wall seconds of
+  * each full pair job.
+  *
+  * Usage: runMain graft.tools.ShardedRecall [dir]
+  */
+object ShardedRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "scaledata/embed1m"
+    // multi-GB shuffles: point local dirs at tmpfs when it fits (the
+    // sandbox disk write-throttles; same rationale + guard as Bench)
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val fits =
+        try java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.getFileStore(shm).getUsableSpace >= (32L << 30)
+        catch { case _: Throwable => false }
+      if (fits) {
+        val d = shm.resolve("graft-shuffle")
+        try { java.nio.file.Files.createDirectories(d); Some(d.toString) }
+        catch { case _: Throwable => None }
+      } else None
+    }.orNull
+    val spark = graft.Verify.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), localDir)
+    import graft.similarity.Similarity
+    import graft.dedup.Dedup
+
+    val e = graft.model.Tables.loadSpread(spark, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    val n = e.count()
+    val w = Similarity.lshPlanesFor(n)
+    val ps = Similarity.shardedParamsFor(w)
+    System.err.println(s"[shardedrecall] dir=$dir n=$n w=$w params=$ps " +
+      s"flatTables=${Similarity.lshTablesFor(w)}")
+
+    // exact truth cosines from the stored floats; ≥ NearDupCosine only
+    // (the guarantee band — pairs the λ mix scattered below it are not
+    // part of the contract under test)
+    val t0 = spark.read.parquet(s"$dir/planted_truth.parquet")
+    val truth = t0
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (Dedup.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= Similarity.NearDupCosine)
+      .withColumn("band",
+        when(col("cos") >= 0.95, "0.95-1.00")
+          .when(col("cos") >= 0.90, "0.90-0.95")
+          .when(col("cos") >= 0.85, "0.85-0.90")
+          .otherwise("0.80-0.85"))
+      .localCheckpoint(true)
+    val truthRows = truth.select("vec_a", "vec_b", "band")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    System.err.println(s"[shardedrecall] designBandTruth=${truthRows.length}")
+
+    def pct(num: Long, den: Long): String =
+      String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(num.toDouble / math.max(1L, den)))
+
+    def measure(name: String, pairs: DataFrame): Unit = {
+      val t0ms = System.nanoTime()
+      // found ∩ truth via a broadcast semi-join over the (huge) pair
+      // stream — the truth side is tiny, the found side never collects
+      val hits = pairs.select("vec_a", "vec_b")
+        .join(broadcast(truth.select("vec_a", "vec_b")),
+          Seq("vec_a", "vec_b"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val secs = (System.nanoTime() - t0ms) / 1e9
+      val byBand = truthRows.groupBy(_._3).toSeq.sortBy(_._1)
+      val tot = truthRows.length.toLong
+      val hit = truthRows.count(t => hits.contains((t._1, t._2))).toLong
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[shardedrecall] %s: designRecall=%s (%d/%d) wallSec=%.1f",
+        name, pct(hit, tot), Long.box(hit), Long.box(tot),
+        Double.box(secs)))
+      byBand.foreach { case (band, rows) =>
+        val h = rows.count(t => hits.contains((t._1, t._2))).toLong
+        System.err.println(s"[shardedrecall]   $name band=$band " +
+          s"truth=${rows.length} found=$h recall=${pct(h, rows.length)}")
+      }
+    }
+
+    def bill(name: String, bx: DataFrame, keys: Seq[String]): Unit = {
+      val occ = bx.groupBy(keys.map(col): _*).count()
+      val st = occ.agg(
+        count(lit(1)).as("cells"),
+        max("count").as("maxOcc"),
+        sum(expr("count * (count - 1) div 2")).as("pairSlots")).head()
+      System.err.println(s"[shardedrecall] $name bill: " +
+        s"bucketRows=${bx.count()} cells=${st.getLong(0)} " +
+        s"maxOcc=${st.getLong(1)} candPairSlots=${st.getLong(2)}")
+    }
+
+    // the bill, occupancy-only (narrow rows, no vectors ride this probe)
+    val narrow = e.select(col("vec_id"), col("v"), col("nrm"))
+    bill("sharded", Similarity.shardedLshBuckets(narrow, ps)
+      .select("rep", "shard", "tbl", "bucket"),
+      Seq("rep", "shard", "tbl", "bucket"))
+    bill("flat", Similarity
+      .lshBuckets(narrow, w, Similarity.lshTablesFor(w))
+      .select("tbl", "bucket"), Seq("tbl", "bucket"))
+
+    measure("sharded", Similarity.shardedNearDupPairs(spark, dir))
+    measure("flat", Similarity.lshNearDupPairs(spark, dir))
+    spark.stop()
+  }
+}

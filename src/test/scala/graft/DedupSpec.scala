@@ -340,6 +340,55 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("planted near-dups: SHARDED index clears the recall target at widths past the flat boundary") {
+    import graft.similarity.Similarity
+    // same planted construction as the flat test above (240 near-copies
+    // at cosines ~0.80..0.97 over 3000 Gaussian base vectors), but run
+    // through the SHARDED operator at composite widths 13 and 14 — the
+    // territory (n ≳ 10⁶ / 2·10⁶ vectors) where the FLAT index's
+    // guarantee decays to 0.879 / 0.733 by its own analytic model. The
+    // sharded construction's recall depends only on (width, params),
+    // never on n, so the guarantee is measurable on a small corpus; the
+    // ≥10⁶-vector end-to-end measurement incl. the occupancy/cost bill
+    // is graft.tools.ShardedRecall's job (SURVEY §9).
+    val rnd = new java.util.Random(43)
+    val dim = Similarity.Dim
+    val base = Array.tabulate(3000)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val lams = Array(0.20, 0.25, 0.30, 0.35, 0.40)
+    val planted = (0 until 240).map { k =>
+      val (bid, v) = base(k * 12)
+      val lam = lams(k % lams.length)
+      val w = Array.tabulate(dim)(i => v((i + 32) % dim))
+      (10000L + bid, Array.tabulate(dim)(i => (1 - lam) * v(i) + lam * w(i)))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = planted.flatMap { case (pid, pv) =>
+      val (bid, bv) = base(((pid - 10000).toInt))
+      val c = cos(bv, pv)
+      if (c >= 0.81) Some((bid, pid)) else None
+    }
+    assert(truth.size >= 150, s"planted truth too thin: ${truth.size}")
+    val dir = java.nio.file.Files.createTempDirectory("plantedsh").toString
+    (base ++ planted).toSeq
+      .map { case (id, v) => (id, v.map(_.toFloat), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    for (w <- Seq(Similarity.LshPlanes, 13, 14)) {
+      val ps = Similarity.shardedParamsFor(w)
+      val found = Similarity.shardedNearDupPairsWith(spark, dir, w)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val recall = truth.count(found.contains).toDouble / truth.size
+      assert(recall >= Similarity.LshRecallTarget,
+        s"w=$w $ps: measured recall $recall below the declared guarantee " +
+          s"${Similarity.LshRecallTarget} at cosine ≥ ${Similarity.NearDupCosine}")
+    }
+  }
+
   test("prefix filtering is lossless: thresholded pairs identical to the full index, all three measures") {
     // the Bayardo/PPJoin pigeonhole guarantee, checked on real data at
     // sf0.1 for every (pipeline, threshold) the engine declares: the
@@ -465,6 +514,48 @@ class DedupSpec extends SparkSpec {
     // whole-doc jaccard at 0.8 is silent on the same fixture — the local
     // detector adds coverage, it doesn't duplicate it
     assert(Dedup.jaccardPairs(spark, dir).collect().isEmpty)
+  }
+
+  test("winnow hot-gram mask: planted boilerplate cannot displace content fingerprints (recall floor 1.0)") {
+    // the round-11 §9.37 finding, CLOSED: hot grams used to displace
+    // content minima from their windows, and when the posting ceiling
+    // then dropped the hot feature, the displaced region had lost its
+    // fingerprint — 5% content-pair recall loss on the planted corpus.
+    // Round 12 masks hot grams BEFORE selection (per-window fallback to
+    // the rarest non-hot gram), so on this fixture recall 1.0 is
+    // GUARANTEED, not just expected: windows fully inside a pair's
+    // 20-token shared run select ≥ ceil(15/4) ≥ 4 identical values in
+    // both docs (one value can be the minimum of at most W consecutive
+    // windows), each doc adds ≤ 2 non-shared selections from its
+    // 2-token unique prefix, so overlap ≥ 4/6 > 0.5 at ANY hash draw.
+    val boiler = (0 until 30).map(i => s"boiler$i").mkString(" ")
+    val docs = (0 until 300).flatMap { p =>
+      val shared = (0 until 20).map(i => s"p${p}s$i").mkString(" ")
+      Seq((2L * p, s"p${p}a0 p${p}a1 $shared $boiler"),
+        (2L * p + 1, s"p${p}b0 p${p}b1 $shared $boiler"))
+    }.toDF("doc_id", "text")
+    // the pre-pass finds exactly the 28 boilerplate-interior grams
+    // (df = 600 > MaxShingleDf); junction grams carry pair-unique
+    // tokens (df = 2) and stay
+    val hot = Dedup.hotGrams(docs, Dedup.MaxShingleDf)
+    assert(hot.size == 28, s"hot set ${hot.size} != 28")
+    // masked fingerprints never contain a hot value (so the downstream
+    // ceiling is provably inert on them)
+    val hotSet = hot.toSet
+    val fps = Dedup.winnowFingerprints(docs, hot)
+      .select("h").as[Long].collect()
+    assert(!fps.exists(hotSet.contains), "a hot gram survived the mask")
+    // every content pair found, and ONLY content pairs (cross-pair docs
+    // share nothing but masked boilerplate)
+    val pairs = Dedup.winnowOverlapFrom(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 300).map(p => (2L * p, 2L * p + 1)).toSet
+    assert(pairs == want,
+      s"lost=${(want -- pairs).take(5)} extra=${(pairs -- want).take(5)}")
+    // a corpus with no hot grams masks nothing: selection is the
+    // pre-round-12 one bit-for-bit
+    val clean = graft.model.Tables.load(spark, sf, "documents")
+    assert(Dedup.hotGrams(clean, Dedup.MaxShingleDf).isEmpty)
   }
 
   test("dedup survivors: total decision table, kept iff own canonical") {

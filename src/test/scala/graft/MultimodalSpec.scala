@@ -194,4 +194,140 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
     assert(audit == ((st.size.toLong, failed.toLong)))
   }
+  test("png codec: each filter branch round-trips a raster exactly") {
+    import graft.multimodal.Png
+    // per-filter fixtures (round-11 verdict ask #6): one image per
+    // filter TYPE, all rows forced to that filter, so a broken branch
+    // fails alone instead of hiding behind the default row%5 cycling
+    val rnd = new java.util.Random(7)
+    for (ft <- 0 to 4) {
+      val (w, h) = (9, 7)
+      val raster = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val png = Png.encode(w, h, raster, filterFor = _ => ft)
+      Png.decode(png) match {
+        case Right(d) =>
+          assert(d.width == w && d.height == h)
+          assert(java.util.Arrays.equals(d.raster, raster),
+            s"filter $ft did not round-trip")
+        case Left(r) => fail(s"filter $ft failed to decode: $r")
+      }
+    }
+    // 1x1 and 1xN edges (no left / no up neighbours) under every filter
+    for (ft <- 0 to 4; (w, h) <- Seq((1, 1), (1, 6), (6, 1))) {
+      val raster = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val d = Png.decode(Png.encode(w, h, raster, filterFor = _ => ft))
+      assert(d.exists(x => java.util.Arrays.equals(x.raster, raster)),
+        s"filter $ft at ${w}x$h: $d")
+    }
+  }
+
+  test("png codec: cross-validated against the JDK ImageIO reference decoder") {
+    import graft.multimodal.Png
+    // independent implementation check: javax.imageio's PNG reader (a
+    // different codebase entirely) must reconstruct the same pixels from
+    // our encoder's bytes as our decoder does — catches complementary
+    // encode/decode bugs that round-trip tests cannot see
+    for (id <- 0L until 40L if id % 31 != 7 && id % 19 != 3) {
+      val png = Multimodal.pngPayload(id)
+      val ours = Png.decode(png).toOption.get
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected payload $id")
+      assert(img.getWidth == ours.width && img.getHeight == ours.height)
+      for (y <- 0 until ours.height; x <- 0 until ours.width) {
+        val rgb = img.getRGB(x, y)
+        val base = 3 * (y * ours.width + x)
+        val want = ((ours.raster(base) & 0xff) << 16) |
+          ((ours.raster(base + 1) & 0xff) << 8) |
+          (ours.raster(base + 2) & 0xff) | 0xff000000
+        assert(rgb == want, s"id=$id pixel ($x,$y): imageio=$rgb ours=$want")
+      }
+    }
+  }
+
+  test("png decoder: every failure class detected from a crafted payload") {
+    import graft.multimodal.Png
+    val raster = Array.tabulate(3 * 8 * 8)(k => (k * 37 + 5).toByte)
+    val good = Png.encode(8, 8, raster)
+    assert(Png.decode(good).isRight)
+    // bad signature
+    val sig = good.clone(); sig(0) = 0x42
+    assert(Png.decode(sig) == Left("bad_signature"))
+    // stale CRC (flip an IHDR data byte)
+    val crc = good.clone(); crc(8 + 8 + 8) = (crc(8 + 8 + 8) ^ 0x01).toByte
+    assert(Png.decode(crc) == Left("bad_crc"))
+    // truncated mid-chunk
+    assert(Png.decode(java.util.Arrays.copyOf(good, good.length - 20))
+      == Left("truncated"))
+    // unsupported profile (greyscale color type, CRC re-fixed so the
+    // walk reaches the IHDR check)
+    val grey = {
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(8).putInt(8).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      val c = Png.chunk("IHDR", ihdr.array())
+      val out = good.clone()
+      System.arraycopy(c, 0, out, 8, c.length)
+      out
+    }
+    assert(Png.decode(grey) == Left("unsupported"))
+    // short compressed stream: IDAT carries half the deflate bytes
+    val shortIdat = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.util.zip.DeflaterOutputStream(bos)
+      val scan = new Array[Byte](8 * (1 + 24)) // all-zero rows, filter 0
+      dos.write(scan); dos.close()
+      val z = bos.toByteArray
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(8).putInt(8).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      Png.Signature ++ Png.chunk("IHDR", ihdr.array()) ++
+        Png.chunk("IDAT", java.util.Arrays.copyOf(z, z.length / 2)) ++
+        Png.chunk("IEND", Array.emptyByteArray)
+    }
+    assert(Png.decode(shortIdat) == Left("truncated_idat"))
+    // invalid filter type on the first scanline
+    val badFilter = {
+      val scan = new Array[Byte](8 * (1 + 24))
+      scan(0) = 9
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.util.zip.DeflaterOutputStream(bos)
+      dos.write(scan); dos.close()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(8).putInt(8).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      Png.Signature ++ Png.chunk("IHDR", ihdr.array()) ++
+        Png.chunk("IDAT", bos.toByteArray) ++
+        Png.chunk("IEND", Array.emptyByteArray)
+    }
+    assert(Png.decode(badFilter) == Left("bad_filter"))
+    // not-deflate IDAT bytes
+    val junk = Png.Signature ++ {
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(8).putInt(8).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      Png.chunk("IHDR", ihdr.array())
+    } ++ Png.chunk("IDAT", Array.fill(40)(0x55.toByte)) ++
+      Png.chunk("IEND", Array.emptyByteArray)
+    assert(Png.decode(junk) == Left("bad_deflate"))
+  }
+
+  test("png corpus: corruption classes, multi-IDAT and tEXt payloads behave per the generator contract") {
+    import graft.multimodal.Png
+    for (id <- 0L until 150L) {
+      val d = Png.decode(Multimodal.pngPayload(id))
+      if (id % 19 == 3) assert(d == Left("truncated"), s"id=$id: $d")
+      else if (id % 31 == 7) assert(d == Left("bad_crc"), s"id=$id: $d")
+      else {
+        val dec = d.toOption.get
+        // decoded pixels replay the generator formula exactly
+        val w = (4 + (id * 31 + 7) % 32).toInt
+        val h = (4 + (id * 17 + 3) % 32).toInt
+        assert(dec.width == w && dec.height == h)
+        for (k <- 0 until 3 * w * h)
+          assert((dec.raster(k) & 0xff) == ((id * 131 + k * 31 + 17) % 256),
+            s"id=$id byte $k")
+      }
+    }
+  }
 }

@@ -700,4 +700,61 @@ class SimilaritySpec extends SparkSpec {
       assert(got.size == vecs.size * tables)
     }
   }
+  test("sharded LSH params pinned to the routing-level Indyk-Motwani closed form") {
+    import Similarity.{ShardParams, ShardedLshParams}
+    // hand-computed (shardBits, finePlanes, fineTables, replicas) — NOT
+    // recomputed from the same code, so a formula edit fails here
+    val pinned = Map(
+      4 -> ShardParams(1, 3, 4, 2), 5 -> ShardParams(1, 4, 5, 2),
+      8 -> ShardParams(1, 7, 11, 2), 12 -> ShardParams(1, 11, 28, 2),
+      13 -> ShardParams(2, 11, 28, 3), 14 -> ShardParams(3, 11, 28, 4),
+      20 -> ShardParams(9, 11, 28, 19), 30 -> ShardParams(19, 11, 28, 198))
+    pinned.foreach { case (w, want) =>
+      assert(Similarity.shardedParamsFor(w) == want,
+        s"w=$w: ${Similarity.shardedParamsFor(w)} != $want")
+    }
+    val p = 1.0 - math.acos(Similarity.NearDupCosine) / math.Pi
+    for (w <- Similarity.LshPlanes to 30) {
+      val ps = ShardedLshParams(w)
+      // composite width = the flat occupancy law; every sub-index within
+      // the table budget; fine width never past the ceiling
+      assert(ps.shardBits >= 1 && ps.shardBits + ps.finePlanes == w)
+      assert(ps.finePlanes <= Similarity.FineCeilPlanes)
+      assert(ps.fineTables == Similarity.lshTablesFor(ps.finePlanes))
+      assert(ps.fineTables <= Similarity.MaxLshTables)
+      // closed-form design-point recall clears the target at EVERY width
+      // — the property the flat index loses at planes >= 12
+      val g = 1.0 - math.pow(1.0 - math.pow(p, ps.finePlanes), ps.fineTables)
+      val rec =
+        1.0 - math.pow(1.0 - math.pow(p, ps.shardBits) * g, ps.replicas)
+      assert(rec >= Similarity.LshRecallTarget,
+        s"w=$w: analytic design-point recall $rec under target")
+    }
+    // FineCeilPlanes is exactly the budget boundary: one plane wider and
+    // the Indyk-Motwani table count (uncapped) exceeds MaxLshTables
+    val uncapped12 =
+      math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, 12))).toInt
+    assert(uncapped12 > Similarity.MaxLshTables, s"uncapped T(12)=$uncapped12")
+    assert(Similarity.lshTablesFor(Similarity.FineCeilPlanes)
+      <= Similarity.MaxLshTables)
+  }
+
+  test("sharded near-dups: declared = explicit width, precision 1.0 vs brute force") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val declared = Similarity.shardedNearDupPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val explicitW = Similarity
+      .shardedNearDupPairsWith(spark, sf, Similarity.lshPlanesFor(n))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(declared == explicitW)
+    // precision 1.0 at every width: the exact in-plan cosine gate means
+    // no emitted pair can be outside the brute-force truth
+    val truth = Dedup.embeddingPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(declared.subsetOf(truth),
+      s"sharded form invented pairs: ${declared -- truth}")
+    val wide = Similarity.shardedNearDupPairsWith(spark, sf, 13)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(wide.subsetOf(truth), s"w=13 invented pairs: ${wide -- truth}")
+  }
 }
