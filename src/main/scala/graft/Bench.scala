@@ -22,6 +22,28 @@ object Bench {
   private def fmt(v: Double, dec: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
+  /** Byte-based regression gate (round-11 verdict ask #5): wall-clock
+    * lost cross-round meaning on this host (SURVEY §9.39 — a fixed-work
+    * plan swung 39–90 s at byte-identical shuffle), but shuffle bytes
+    * are deterministic and host-independent, so the official record now
+    * self-reports byte drift against the previously COMMITTED official
+    * record. A query regresses when its total shuffle (read + write MB)
+    * grows more than 10% over the prior record AND by more than 1 MB
+    * absolute (AQE/stat jitter on tiny exchanges is not a plan change).
+    * New queries (no prior entry) are not regressions — they have no
+    * committed baseline yet. Returns (name, prior_mb, current_mb),
+    * name-sorted.
+    */
+  private[graft] def byteRegressions(
+      prior: Map[String, (Double, Double)],
+      cur: Map[String, (Double, Double)]): Seq[(String, Double, Double)] =
+    cur.toSeq.flatMap { case (name, (r, w)) =>
+      prior.get(name).flatMap { case (pr, pw) =>
+        val p = pr + pw; val c = r + w
+        if (c > p * 1.10 && c - p > 1.0) Some((name, p, c)) else None
+      }
+    }.sortBy(_._1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -171,7 +193,8 @@ object Bench {
     // a 50 ms query is scheduler noise, not contention). A contention-
     // poisoned run now arrives with its own suspect list instead of
     // needing a judge re-run to spot (round-8 verdict ask).
-    val prior: Map[String, Double] = try {
+    val (prior: Map[String, Double],
+         priorShuf: Map[String, (Double, Double)]) = try {
       val repoDir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."))
       val rx = "BENCH_LOCAL_r(\\d+)\\.json".r
@@ -194,13 +217,25 @@ object Bench {
         // same-sf runs
         val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
           .forall(_.group(1) == sfDir)
-        if (!sfOk) Map.empty[String, Double]
+        if (!sfOk) (Map.empty[String, Double], Map.empty[String, (Double, Double)])
         else {
           val kv = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-          kv.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val secs = kv.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // per-query [read_mb, write_mb] from the committed record's
+          // shuffle_mb_rw map — the host-independent observable the
+          // byte-regression gate diffs against (round-11 verdict ask #5)
+          val sh = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*\\[([0-9.]+),([0-9.]+)\\]".r
+          val shuf = sh.findAllMatchIn(s)
+            .map(m => m.group(1) -> ((m.group(2).toDouble, m.group(3).toDouble)))
+            .toMap
+          (secs, shuf)
         }
-      }.getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty[String, Double] }
+      }.getOrElse(
+        (Map.empty[String, Double], Map.empty[String, (Double, Double)]))
+    } catch { case _: Throwable =>
+      (Map.empty[String, Double], Map.empty[String, (Double, Double)])
+    }
     def suspects(rows: Seq[(String, Double)]): Seq[String] =
       rows.collect {
         case (n, v) if v > 0.5 && prior.get(n).exists(p => v > 3 * p) => n
@@ -231,8 +266,16 @@ object Bench {
       val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))
       "\"" + k + "\":[" + fmt(r, 2) + "," + fmt(w, 2) + "]"
     }.mkString("{", ",", "}")
+    val regs = byteRegressions(priorShuf, shuffleMb.toMap)
+    if (regs.nonEmpty)
+      System.err.println(s"[bench] BYTE REGRESSIONS vs committed record: " +
+        regs.map { case (n, p, c) =>
+          s"$n ${fmt(p, 1)}->${fmt(c, 1)} MB" }.mkString("; "))
+    val regsJson = regs.map { case (n, p, c) =>
+      "\"" + n + "\":[" + fmt(p, 2) + "," + fmt(c, 2) + "]"
+    }.mkString("{", ",", "}")
     val full = json(results ++ cold).dropRight(1) +
-      s""","shuffle_mb_rw":$shufJson}"""
+      s""","byte_regressions":$regsJson,"shuffle_mb_rw":$shufJson}"""
     // complete record → files. The timestamped copy is APPEND-ONLY
     // (CREATE_NEW: two runs — the driver's and the judge's — can never
     // clobber each other; a plain BENCH_FULL.json overwrote on every

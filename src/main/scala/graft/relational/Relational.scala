@@ -63,13 +63,13 @@ object Relational {
     * `customer` is the broadcast side — the orders fact never shuffles.
     */
   def joinRevenueBySegment(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
-    val c = Tables.load(spark, dir, "customer")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
-      .orderBy("c_mktsegment")
+    // dual-use SQL since round 12: one text, both engines; the explicit
+    // broadcast() hint became Catalyst's own call (customer is far under
+    // the auto-broadcast threshold at catalog scale, and AQE re-decides
+    // from runtime stats at any other)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(joinRevenueBySegmentSql)
   }
 
   val joinRevenueBySegmentSql: String =
@@ -109,25 +109,14 @@ object Relational {
     * exchange. Revenue cent-floored in the decimal domain.
     */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val o = Tables.load(spark, dir, "orders")
-    val c = Tables.load(spark, dir, "customer")
-    val s = Tables.load(spark, dir, "supplier")
-    val n = Tables.load(spark, dir, "nation")
-    val r = Tables.load(spark, dir, "region")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .where(o("o_orderdate") >= expr("TIMESTAMP '1995-01-01'") &&
-        o("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
-        c("c_nationkey") === s("s_nationkey"))
-      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .where(r("r_name") === "ASIA")
-      .groupBy("n_name")
-      .agg((floor(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))) * 100)
-        .cast("double") / 100.0).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+    // dual-use SQL since round 12: one text, both engines. Plan shape is
+    // preserved declaratively — Catalyst broadcasts every dim in the
+    // customer -> nation -> region chain on its own (all far under the
+    // threshold), keeping the single fact-fact shuffle the DF form had.
+    for (t <- Seq("lineitem", "orders", "customer", "supplier",
+        "nation", "region"))
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    spark.sql(localSupplierVolumeSql)
   }
 
   val localSupplierVolumeSql: String =
@@ -160,16 +149,9 @@ object Relational {
     * revenue of small-quantity lines, line count).
     */
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val pa = l.groupBy("l_partkey")
-      .agg((sum(dec2(col("l_quantity"))).cast("double") /
-        count(lit(1)).cast("double")).as("avg_qty"))
-    l.join(pa, Seq("l_partkey"))
-      .where(col("l_quantity").cast("double") < lit(0.5) * col("avg_qty"))
-      .agg(
-        (floor(sum(dec2(col("l_extendedprice"))) * 100).cast("double") / 100.0)
-          .as("small_qty_revenue"),
-        count(lit(1)).as("n_lines"))
+    // dual-use SQL since round 12: one text, both engines
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(smallQuantityRevenueSql)
   }
 
   val smallQuantityRevenueSql: String =
@@ -340,12 +322,10 @@ object Relational {
     * orders with no lineitems — `count(l_orderkey)` skips the null row).
     */
   def joinOuterLineCounts(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
-    val l = Tables.load(spark, dir, "lineitem")
-    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
-      .groupBy("o_orderkey")
-      .agg(count(col("l_orderkey")).as("n_lines"))
-      .orderBy("o_orderkey")
+    // dual-use SQL since round 12: one text, both engines
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(joinOuterLineCountsSql)
   }
 
   val joinOuterLineCountsSql: String =
@@ -426,12 +406,10 @@ object Relational {
 
   /** CUBE over (status, priority) — all 2^2 grouping sets. */
   def cubeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
-    o.cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-        col("o_orderpriority").asc_nulls_first)
+    // dual-use SQL since round 12: one text, both engines (GROUP BY
+    // CUBE is dialect-common)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(cubeOrdersSql)
   }
 
   val cubeOrdersSql: String =
@@ -473,23 +451,16 @@ object Relational {
     * gate; the sketch twin (`q_approx_stats`) shows the HLL swap.
     */
   def profileDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.loadSpread(spark, dir, "documents", "doc_id")
-    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-    // aggregate in the column's NATIVE type, stringify the RESULT —
-    // min(cast-to-string) would rank numerics lexicographically
-    // ("99" > "499"), and the unified string output type is only needed
-    // after the aggregation
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-      count_distinct(col(c)).as(s"${c}_distinct"),
-      min(col(c)).cast("string").as(s"${c}_min"),
-      max(col(c)).cast("string").as(s"${c}_max")))
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
-    d.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
-        "(col_name, n_nulls, n_distinct, min_val, max_val)")
-      .orderBy("col_name")
+    // dual-use SQL since round 12: one text, both engines. The 20-stat
+    // single-aggregate shape survives the conversion: Spark plans the
+    // five exact count-distincts through one Expand over one scan, and
+    // the UNION ALL pivot reads the one-row CTE five times — same plan
+    // family the DF stack() form produced. Aggregation stays in each
+    // column's NATIVE type with the RESULT stringified (min of a
+    // cast-to-string would rank numerics lexicographically).
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
+      .createOrReplaceTempView("documents")
+    spark.sql(profileDocsSql)
   }
 
   val profileDocsSql: String = {
@@ -498,8 +469,8 @@ object Relational {
       s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
             AS ${c}_nulls,
           CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_distinct,
-          CAST(min($c) AS VARCHAR) AS ${c}_min,
-          CAST(max($c) AS VARCHAR) AS ${c}_max""").mkString(", ")
+          CAST(min($c) AS STRING) AS ${c}_min,
+          CAST(max($c) AS STRING) AS ${c}_max""").mkString(", ")
     val rows = cols.map(c =>
       s"""SELECT '$c' AS col_name, ${c}_nulls AS n_nulls,
           ${c}_distinct AS n_distinct, ${c}_min AS min_val,
@@ -514,16 +485,20 @@ object Relational {
     * on a float boundary. One partial-aggregated groupBy — the histogram
     * of a 100 TB column costs one narrow scan + one tiny shuffle.
     */
-  def eventsHistogram(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
-      .select(col("event_type"),
-        expr("CAST(round(value * 100, 0) AS BIGINT) div 500").as("bucket"))
-      .groupBy("event_type", "bucket")
-      .agg(count(lit(1)).as("n"))
-      .orderBy("event_type", "bucket")
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    // dual-use SQL since round 12: one text, both engines. The bucket
+    // division became floor(cents/500) — exact for any |cents| < 2^52
+    // (the quotient of exactly-representable ints can only round to the
+    // boundary integer when it IS that integer), and identical to the
+    // previous div/'//' pair on the non-negative value domain
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(eventsHistogramSql)
+  }
 
   val eventsHistogramSql: String =
-    """SELECT event_type, CAST(round(value*100) AS BIGINT) // 500 AS bucket,
+    """SELECT event_type,
+       CAST(floor(CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT)
+         AS bucket,
        count(*) AS n
        FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""
 
@@ -1490,13 +1465,11 @@ object Relational {
     * `unpivot` desugars to).
     */
   def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    l.groupBy("l_returnflag")
-      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"))
-      .unpivot(Array(col("l_returnflag")),
-        Array(col("sum_qty"), col("sum_base_price")), "metric", "value")
-      .orderBy("l_returnflag", "metric")
+    // dual-use SQL since round 12: one text, both engines — the UNION
+    // ALL pivot plans the same one-aggregate-two-projections shape the
+    // DF .unpivot produced (base is a CTE over one groupBy)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(unpivotMetricsSql)
   }
 
   val unpivotMetricsSql: String =
@@ -1567,21 +1540,21 @@ object Relational {
     * acceptable (not declared — not hash-checkable).
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    l.groupBy("l_returnflag")
-      .agg(
-        percentile(col("l_quantity"), lit(0.25)).as("q1"),
-        percentile(col("l_quantity"), lit(0.5)).as("median"),
-        percentile(col("l_quantity"), lit(0.75)).as("q3"),
-        count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+    // dual-use SQL since round 12: one text, both engines — the
+    // standard-SQL percentile_cont(p) WITHIN GROUP form parses in both
+    // (previously Spark percentile() vs DuckDB quantile_cont twins)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(percentilesSql)
   }
 
   val percentilesSql: String =
     """SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.25) AS q1,
-       quantile_cont(l_quantity, 0.5) AS median,
-       quantile_cont(l_quantity, 0.75) AS q3,
+       CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)
+         AS DOUBLE) AS q1,
+       CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+         AS DOUBLE) AS median,
+       CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)
+         AS DOUBLE) AS q3,
        count(*) AS n
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
@@ -1885,14 +1858,11 @@ object Relational {
     * (same Catalyst plan as the DataFrame form).
     */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
-    spark.sql(
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-         FROM orders_v
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                                 (o_orderstatus, o_orderpriority))
-         ORDER BY o_orderstatus ASC NULLS FIRST,
-                  o_orderpriority ASC NULLS FIRST""")
+    // dual-use SQL since round 12: ONE text, both engines (previously
+    // spark.sql of a near-twin over a differently-named view — the
+    // one-text contract removes the drift surface)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(groupingSetsSql)
   }
 
   val groupingSetsSql: String =
