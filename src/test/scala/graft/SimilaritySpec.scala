@@ -757,4 +757,48 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(wide.subsetOf(truth), s"w=13 invented pairs: ${wide -- truth}")
   }
+  test("semantic dedup: adaptive cluster law pinned, NearestCentroid equals the struct-argmax form") {
+    // the cluster-count law (round 12: the fixed-C within-cluster
+    // all-pairs was an n^2 law, measured 85x over the sf1->sf10 decade)
+    // — hand-computed pins, not recomputed from the same code
+    val pins = Map(500L -> 8, 2000L -> 8, 16384L -> 8, 16385L -> 9,
+      20000L -> 10, 200000L -> 98, 1050000L -> 513,
+      1000000000L -> 4096 /* cap */)
+    pins.foreach { case (n, c) =>
+      assert(Similarity.semClustersFor(n) == c,
+        s"semClustersFor($n) = ${Similarity.semClustersFor(n)}, want $c")
+    }
+    // the codegen'd loop expression must be BIT-identical to the
+    // declarative struct-argmax it replaces (same fold order, same
+    // tie-to-lowest-cid), at the floor width AND a wider-than-floor one
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    def centsAt(c: Int): Array[(Int, Array[Double], Double)] =
+      e.orderBy(col("vec_id").desc).limit(c).select(col("v")).collect()
+        .zipWithIndex.map { case (r, i) =>
+          val v = r.getSeq[Double](0).toArray
+          var d = 0.0; v.foreach(x => d += x * x)
+          (i, v, math.sqrt(d))
+        }
+    for (c <- Seq(8, 37)) {
+      val cents = centsAt(c)
+      val loop = column(graft.functions.NearestCentroid(
+        expression(col("v")),
+        cents.flatMap(_._2).toIndexedSeq,
+        cents.map(_._3).toIndexedSeq, Similarity.Dim))
+      val entries = cents.map { case (i, cv, cn) =>
+        struct((Dedup.dot(col("v"), lit(cv)) / (col("nrm") * lit(cn))).as("c"),
+          lit(-i).as("ni"))
+      }
+      val both = e.select(col("vec_id"), loop.as("cid_loop"),
+          (-array_max(array(entries.toIndexedSeq: _*)).getField("ni")).as("cid_structs"))
+        .as[(Long, Int, Int)].collect()
+      assert(both.nonEmpty)
+      both.foreach { case (id, l, st) =>
+        assert(l == st, s"C=$c vec $id: loop=$l structs=$st")
+      }
+    }
+  }
 }
