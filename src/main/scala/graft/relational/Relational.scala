@@ -2183,4 +2183,231 @@ object Relational {
        WHERE l_partkey IN (SELECT p_partkey FROM part
                            WHERE p_size >= $BloomMinSize)
        GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ------------------------------------------------------------------
+  // TPC-H classic shapes, round-12 second tranche — each a DUAL-USE SQL
+  // query (the q_sql_shipping contract: ONE ANSI text is both the
+  // spark.sql plan and the DuckDB oracle, so the parity gate proves the
+  // SQL front end on that construct). The tranche targets the SQL
+  // constructs the family did not yet cover: a two-alias dimension
+  // (nation n1/n2, Q7), a correlated scalar-min subquery (Q2), a scalar
+  // subquery against a CTE (Q15), EXISTS (Q4), date-bounded NOT EXISTS
+  // under a global-average threshold (Q22), and a disjunction of
+  // conjunctive ranges that must push through a join (Q19).
+  // ------------------------------------------------------------------
+
+  private def viewAll(spark: SparkSession, dir: String, ts: String*): Unit =
+    ts.foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+
+  /** TPC-H Q7-shaped volume shipping: bilateral trade revenue per
+    * (supplier nation, customer nation, ship year) between two named
+    * nations. The construct under test is the TWO-ALIAS dimension — the
+    * nation table joins twice (n1 via supplier, n2 via customer), which
+    * the planner must treat as independent relations. Plan shape: the
+    * one fact-fact shuffle (lineitem ⋈ orders on the 8-byte orderkey);
+    * customer/supplier/nation broadcast — the nation-pair disjunction
+    * evaluates AFTER both broadcast hops on dim columns only, shedding
+    * ~all rows before the aggregate. Revenue cent-floored in the decimal
+    * domain per the engine-wide money convention.
+    */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir,
+      "lineitem", "orders", "customer", "supplier", "nation")
+    spark.sql(volumeShippingSql)
+  }
+
+  val volumeShippingSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+       CAST(floor(sum(vol) * 100) AS DOUBLE) / 100.0 AS revenue
+       FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(6,4))) AS vol
+         FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation n1 ON n1.n_nationkey = s_nationkey
+         JOIN nation n2 ON n2.n_nationkey = c_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** TPC-H Q14-shaped promotion effect: monthly share of revenue from
+    * PROMO-type parts. Per-row cent-floored BIGINT revenue makes both
+    * the share numerator and denominator exact integers, so the single
+    * closing division is bit-equal across engines; the CASE/sum pair is
+    * the conditional-aggregate idiom riding one fact⋈dim broadcast join
+    * (part is the broadcast side; lineitem never shuffles — the date
+    * window pushes into its scan).
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir, "lineitem", "part")
+    spark.sql(promoShareSql)
+  }
+
+  val promoShareSql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       CAST(100 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+           AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS promo_pct,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+       FROM (
+         SELECT l_shipdate, l_partkey,
+           CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(6,4))) * 100) AS BIGINT)
+             AS cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01') l
+       JOIN part ON p_partkey = l_partkey
+       GROUP BY ship_month ORDER BY ship_month"""
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) with maximum revenue
+    * over a half-year window, via a SCALAR SUBQUERY against a CTE (the
+    * view in spec Q15). Revenue accumulates as per-row cent-floored
+    * BIGINTs, so the max-equality predicate is engine-exact — the
+    * classic Q15 pitfall (float revenue makes "= max" nondeterministic)
+    * is closed by construction. Plan: one suppkey exchange builds the
+    * revenue CTE, its 1-row max broadcasts back over it, supplier
+    * broadcasts onto the surviving row(s).
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir, "lineitem", "supplier")
+    spark.sql(topSupplierSql)
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey,
+           sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(6,4))) * 100) AS BIGINT))
+             AS rev_cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-07-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name,
+         CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
+       FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+       ORDER BY s_suppkey"""
+
+  /** TPC-H Q4-shaped order-priority check: orders in a one-year window
+    * with at least one line shipped after the order date, counted per
+    * priority. The construct under test is correlated EXISTS, which
+    * Catalyst plans as a LEFT SEMI join on the 8-byte orderkey — the
+    * shuffleable form (IN would do too; EXISTS is the spec's spelling).
+    * The lineitem side projects two columns and semi-join semantics stop
+    * probing a key at its first match.
+    */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir, "orders", "lineitem")
+    spark.sql(orderPrioritySql)
+  }
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** TPC-H Q22-shaped idle wealthy customers: per nation, customers
+    * whose balance exceeds the positive-balance average and who placed
+    * no order after a cutoff date. Two constructs compose: SCALAR
+    * SUBQUERIES against a one-row CTE (each plans as a broadcast
+    * subquery result riding the filter — no join node, where the CROSS
+    * JOIN spelling would plan a PlanAudit-banned nested loop), and a
+    * DATE-BOUNDED correlated NOT EXISTS (left anti join with the date
+    * predicate pushed into the orders scan — only recent orders ride the
+    * anti join's build side). The average test runs all-integer:
+    * cents·n_pos > total_cents avoids the decimal-division scale rules
+    * the engines disagree on.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir, "customer", "nation", "orders")
+    spark.sql(idleRichCustomersSql)
+  }
+
+  val idleRichCustomersSql: String =
+    """WITH pos AS (
+         SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_cents,
+                count(*) AS n_pos
+         FROM customer WHERE c_acctbal > 0.0)
+       SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS totacctbal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+             * (SELECT n_pos FROM pos) > (SELECT total_cents FROM pos)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1999-06-01')
+       GROUP BY n_name ORDER BY n_name"""
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for each part in a slice,
+    * the supplier(s) quoting the minimum observed price — the CORRELATED
+    * SCALAR-MIN subquery (the construct spec Q2 exists to test), which
+    * Catalyst decorrelates into a per-part min aggregate joined back.
+    * The catalog derives from lineitem (this schema carries no partsupp
+    * table): per (part, supplier) the minimum observed line price in
+    * exact cents, so the min-equality is engine-exact. Plan: one
+    * (partkey, suppkey) exchange builds the catalog, the decorrelated
+    * per-part min reuses its partkey prefix, part/supplier/nation
+    * broadcast onto the survivors.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir, "lineitem", "part", "supplier", "nation")
+    spark.sql(minCostSupplierSql)
+  }
+
+  val minCostSupplierSql: String =
+    """WITH ps AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+         FROM lineitem GROUP BY l_partkey, l_suppkey)
+       SELECT p_partkey, p_name, s_name, n_name,
+         CAST(cost_cents AS DOUBLE) / 100.0 AS min_cost
+       FROM ps
+       JOIN part ON p_partkey = ps_partkey
+       JOIN supplier ON s_suppkey = ps_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+       WHERE p_size <= 10 AND p_type = 'LARGE'
+         AND cost_cents = (SELECT min(ps2.cost_cents) FROM ps ps2
+                           WHERE ps2.ps_partkey = ps.ps_partkey)
+       ORDER BY p_partkey, s_name LIMIT 100"""
+
+  /** TPC-H Q19-shaped disjunctive-predicate join: revenue over three
+    * OR'd conjunctions of (brand, size range, quantity range). The
+    * construct under test is a DISJUNCTION SPANNING BOTH JOIN SIDES:
+    * the planner must still split it — the quantity bounds' common hull
+    * pushes to the lineitem scan, the brand/size hull to the part scan —
+    * while the exact three-way disjunction evaluates after the join.
+    * Part broadcasts; lineitem never shuffles.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir, "lineitem", "part")
+    spark.sql(disjunctiveRevenueSql)
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS DOUBLE) / 100.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1.0 AND 25.0)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10.0 AND 35.0)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+              AND l_quantity BETWEEN 20.0 AND 45.0)"""
 }

@@ -528,6 +528,122 @@ object StreamingOps {
     w.start()
   }
 
+  /** One micro-batch of the streaming NEAR-DUP GATE at vector ingest —
+    * the sharded index's online lifecycle twin (what
+    * [[ivfIngestStream]] is to the IVF index): the index admits a new
+    * vector only if nothing near-duplicate is already stored, and the
+    * admitted vectors immediately extend the index the NEXT batch is
+    * gated against. Steps:
+    *
+    *  1. code the batch at the index's FROZEN composite width `w`
+    *     (params freeze when the index is created — the
+    *     [[graft.similarity.Similarity.shardedIndexWrite]] convention),
+    *     storing the R·T (rep, shard, tbl, bucket) cells as ONE
+    *     array-of-structs column per vector;
+    *  2. drop within-batch near-dups greedily (a vector near one with a
+    *     smaller vec_id is dropped — the SemDeDup min-id convention),
+    *     via the batch's own bucket self-join;
+    *  3. probe survivors against the persisted index: candidate
+    *     generation reads ONLY (vec_id, buckets) — columnar pruning
+    *     keeps the 512-byte vectors out of the scan — and exact cosines
+    *     re-attach stored vectors candidate-driven; the batch side
+    *     broadcasts, the stored side never shuffles and is NEVER
+    *     re-coded;
+    *  4. append gate-passers (vec_id, v, nrm, buckets) via
+    *     [[graft.sources.VersionedTable.idempotentAppend]] keyed by
+    *     batchId — ONE atomic commit covers codes and vectors together
+    *     (the single-table layout exists exactly so a crash cannot
+    *     strand half an index update), and a crash-replayed batch loses
+    *     to its own earlier commit.
+    *
+    * Returns true when this call committed. The single-table layout
+    * trades the batch index's hive-partitioned bucket files for commit
+    * atomicity; parquet column pruning preserves both probe properties
+    * (narrow candidate scan, candidate-driven vector reads).
+    */
+  def shardedGateBatch(batch: DataFrame, indexDir: String, w: Int,
+      batchId: Long): Boolean = {
+    import graft.similarity.Similarity
+    import graft.sources.VersionedTable
+    val spark = batch.sparkSession
+    val ps = Similarity.shardedParamsFor(w)
+    val v = Similarity.withNorm(batch)
+    val routing = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LshCodes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+        ps.replicas, ps.shardBits, Similarity.Dim, "sq"))
+    val fine = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LshCodes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+        ps.replicas * ps.fineTables, ps.finePlanes, Similarity.Dim, "sf"))
+    val t = ps.fineTables
+    val coded = v.withColumn("rc", routing).withColumn("fc", fine)
+      .withColumn("buckets", expr(
+        s"""transform(sequence(0, ${ps.replicas * t - 1}), u -> named_struct(
+            'rep', CAST(u div $t AS INT), 'shard', rc[CAST(u div $t AS INT)],
+            'tbl', CAST(u % $t AS INT), 'bucket', fc[u]))"""))
+      .drop("rc", "fc")
+    def cells(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), explode(col("buckets")).as("b"))
+        .select(col(idAs), col("b.rep").as("rep"), col("b.shard").as("shard"),
+          col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val cos = graft.dedup.Dedup.dot(col("nv"), col("sv")) /
+      (col("nnrm") * col("snrm"))
+    def vecs(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.select(col("vec_id").as(idAs), col("v").as(vAs), col("nrm").as(nAs))
+    // within-batch greedy dedup (the batch is bounded: plain joins)
+    val bc = cells(coded, "vec_id")
+    val inBatchDrop = bc.as("a")
+      .join(bc.toDF("vec_id2", "rep", "shard", "tbl", "bucket").as("b"),
+        Seq("rep", "shard", "tbl", "bucket"))
+      .where(col("a.vec_id") < col("vec_id2"))
+      .select(col("a.vec_id").as("keep_id"), col("vec_id2").as("vec_id"))
+      .distinct()
+      .join(vecs(coded, "keep_id", "sv", "snrm"), "keep_id")
+      .join(vecs(coded, "vec_id", "nv", "nnrm"), "vec_id")
+      .where(cos >= graft.dedup.Dedup.CosineThreshold)
+      .select("vec_id").distinct()
+    val afterBatch = coded.join(inBatchDrop, Seq("vec_id"), "left_anti")
+    // cross-index gate (skipped for the genesis batch of a new index)
+    val admitted =
+      if (VersionedTable.currentVersion(indexDir) < 0) afterBatch
+      else {
+        val stored = VersionedTable.read(spark, indexDir)
+        val nb = broadcast(cells(afterBatch, "new_id"))
+        val cand = cells(stored, "stored_id")
+          .join(nb, Seq("rep", "shard", "tbl", "bucket"))
+          .select(col("new_id"), col("stored_id"))
+          .distinct()
+        val dups = cand
+          .join(broadcast(vecs(afterBatch, "new_id", "nv", "nnrm")), "new_id")
+          .join(vecs(stored, "stored_id", "sv", "snrm"), "stored_id")
+          .where(cos >= graft.dedup.Dedup.CosineThreshold)
+          .select(col("new_id").as("vec_id")).distinct()
+        afterBatch.join(dups, Seq("vec_id"), "left_anti")
+      }
+    VersionedTable.idempotentAppend(admitted, indexDir, batchId)
+  }
+
+  /** Streaming wrapper of [[shardedGateBatch]]: readStream →
+    * foreachBatch(gate) with a resumable checkpoint, so the crash-replay
+    * contract is the [[versionedIngest]] one (StreamingSpec forces the
+    * crash window and proves convergence).
+    *
+    * @param vectors streaming DataFrame with (vec_id LONG,
+    *                embedding ARRAY<numeric>)
+    */
+  def shardedGateStream(vectors: DataFrame, indexDir: String, w: Int,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wr = vectors.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        shardedGateBatch(batch, indexDir, w, batchId)
+        ()
+    }
+    checkpoint.foreach(wr.option("checkpointLocation", _))
+    wr.start()
+  }
+
   /** One micro-batch of streaming MV maintenance — the
     * [[graft.relational.Temporal.mvIncremental]] algebra applied at
     * micro-batch cadence with EXACTLY-ONCE semantics: the level-1 MV

@@ -1449,6 +1449,49 @@ object CorpusOps {
         SELECT source, doc_id, h, CAST(rk AS INT) AS rk
         FROM r WHERE rk <= $InspectK ORDER BY source, rk"""
 
+  /** Weighted-sample size. */
+  val WeightedK = 50
+
+  /** WEIGHTED reproducible sampling (Efraimidis–Spirakis A-ES): draw
+    * [[WeightedK]] docs with probability proportional to weight — here
+    * n_chars, the "sample by token mass" convention a distillation seed
+    * set or an eyeball audit of WHAT THE MODEL WILL ACTUALLY SEE wants
+    * (uniform doc sampling over-represents short docs relative to their
+    * training contribution). A-ES: key_i = u_i^(1/w_i) and keep the k
+    * largest, which order-equals ln(u_i)/w_i — one weighted draw WITHOUT
+    * replacement, streamable, and a pure function of the data: u_i
+    * derives from h48("wsample-"‖doc_id), so reruns, retries and both
+    * engines select the identical set (`TABLESAMPLE`/`rand()` is none of
+    * that). Parity discipline: ln rounded to 10 decimals then
+    * decimal(28,12)-snapped (the transcendental convention — JVM log and
+    * libm disagree by an ulp on some arguments), the closing division by
+    * the exact integer weight IEEE-deterministic on bit-equal operands.
+    * Plan: one narrow scan → global top-k as TakeOrdered (never a sort;
+    * k rows per map task reduce to one k-row result — the same shape at
+    * any corpus size).
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    // u ∈ (0, 1]: h48 is a 48-bit value, so the scale is 2^48 (a 31-bit
+    // divisor would make u > 1, flip ln(u) positive and invert the tilt)
+    val u = (Hashing.h48(concat(lit("wsample-"), col("doc_id"))) + lit(1L))
+      .cast("double") / lit(281474976710656.0)
+    val priority = round(log(u), 10).cast("decimal(28,12)").cast("double") /
+      greatest(col("n_chars"), lit(1L)).cast("double")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        priority.as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WeightedK)
+  }
+
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, source, n_chars,
+          CAST(CAST(round(ln(CAST(${duckH48("concat('wsample-', doc_id)")}
+              + 1 AS DOUBLE) / 281474976710656.0), 10) AS DECIMAL(28,12))
+            AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id LIMIT $WeightedK"""
+
   // -------------------------------------------------- signal correlation
 
   /** Spearman rank correlation between two curation signals per source —

@@ -740,4 +740,31 @@ class CorpusOpsSpec extends SparkSpec {
       assert(ranked.exists(_._7) && ranked.exists(!_._7), s"$src boundary")
     }
   }
+
+  test("weighted sample: A-ES keys match a driver replay, weight monotone") {
+    val sf = "/root/testdata/sf0.001"
+    val got = CorpusOps.weightedSample(spark, sf)
+      .as[(Long, String, Long, Double)].collect()
+    assert(got.length == CorpusOps.WeightedK)
+    // driver replay: same hash, same rounded-ln, same division
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    def prio(id: Long, w: Long): Double = {
+      val u = (graft.functions.Hashing.h48String(s"wsample-$id") + 1)
+        .toDouble / 281474976710656.0
+      val lnr = BigDecimal(math.log(u))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      lnr.setScale(12).toDouble / math.max(w, 1L).toDouble
+    }
+    val expect = docs.map { case (id, w) => (id, prio(id, w)) }
+      .sortBy { case (id, p) => (-p, id) }.take(CorpusOps.WeightedK)
+    assert(got.map(r => (r._1, r._4)).toSeq == expect.toSeq)
+    // the sample is genuinely weight-tilted: mean n_chars of selected
+    // docs exceeds the corpus mean (n_chars spans a wide range, k=50 of
+    // 500 — a uniform draw matching this deterministic one is absurd)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }

@@ -290,4 +290,47 @@ class RelationalSpec extends SparkSpec {
       assert(rank >= 1 && rank <= 10)
     }
   }
+
+  test("TPC-H tranche: subquery constructs plan as hash joins, not loops") {
+    val sf = "/root/testdata/sf0.001"
+    def phys(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // Q4: correlated EXISTS becomes a shuffleable left semi hash join
+    val q4 = phys(Relational.orderPriority(spark, sf))
+    assert(q4.contains("LeftSemi"), q4.take(600))
+    assert(!q4.contains("NestedLoop"))
+    // Q22: date-bounded NOT EXISTS becomes a left anti hash join with the
+    // date predicate pushed below it (into the orders side), and the
+    // scalar-subquery threshold introduces no join node for the CTE
+    val q22 = phys(Relational.idleRichCustomers(spark, sf))
+    assert(q22.contains("LeftAnti"), q22.take(600))
+    assert(!q22.contains("NestedLoop"))
+    assert(q22.contains("Subquery") || q22.contains("subquery"))
+    // Q2: the correlated scalar-min decorrelates into an aggregate+join
+    val q2 = phys(Relational.minCostSupplier(spark, sf))
+    assert(!q2.contains("NestedLoop"))
+    assert(q2.contains("HashAggregate"))
+  }
+
+  test("TPC-H tranche: Q2 min-equality keeps every tied min-cost supplier") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Relational.minCostSupplier(spark, sf)
+      .select("p_partkey", "min_cost").as[(Long, Double)].collect()
+    // within one part every emitted row carries the same (minimum) cost
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).distinct.length == 1)
+    }
+    // and it matches an independent per-part minimum over the catalog
+    import graft.model.Tables
+    val mins = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("l_partkey")
+      .agg(org.apache.spark.sql.functions.min("cents").as("mc"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (pk, cost) =>
+      assert(math.round(cost * 100) == mins(pk))
+    }
+  }
 }

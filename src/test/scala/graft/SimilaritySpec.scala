@@ -801,4 +801,43 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("sharded incremental: persisted index probe equals in-plan, stored side never recoded") {
+    // in-plan declared twin
+    val inPlan = Similarity.shardedIncrementalNear(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inPlan.nonEmpty) // sf0.001 plants real cross-split near-dups
+    // every emitted pair crosses the split and is a true near-dup
+    inPlan.foreach { case (n, s, c) =>
+      assert(n % 10 >= 8 && s % 10 < 8)
+      assert(c >= graft.dedup.Dedup.CosineThreshold)
+    }
+    // recall vs brute force: within a shard the fine index holds the flat
+    // guarantee, so the cross-split subset of the brute-force truth must
+    // be recovered at the planted-fixture scale (here: exactly)
+    val truth = Dedup.embeddingPairs(spark, sf)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)]
+      .collect()
+      .flatMap { case (a, b, c) =>
+        if (a % 10 >= 8 && b % 10 < 8) Some((a, b, c))
+        else if (b % 10 >= 8 && a % 10 < 8) Some((b, a, c))
+        else None
+      }.toSet
+    assert(inPlan.subsetOf(truth), s"invented pairs: ${inPlan -- truth}")
+    // persisted path: write the index, probe the new batch against it
+    val idx = java.nio.file.Files.createTempDirectory("sharded_idx").toString
+    Similarity.shardedIndexWrite(spark, sf, idx)
+    val e = Similarity.embeddings(spark, sf)
+    val stored = e.where(pmod(col("vec_id"), lit(10)) < 8)
+    val fresh = e.where(pmod(col("vec_id"), lit(10)) >= 8)
+    val w = Similarity.lshPlanesFor(stored.count())
+    val probed = Similarity.shardedIncrementalFromIndex(spark, idx, fresh, w)
+    assert(probed.as[(Long, Long, Double)].collect().toSet == inPlan)
+    // plan proof: stored side scans the index parquet (no embeddings
+    // table feeds it) and the probe joins by broadcast
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("sharded_idx"), s"no index scan in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"no broadcast probe in plan:\n$plan")
+  }
 }

@@ -460,6 +460,70 @@ class StreamingSpec extends SparkSpec {
     assert(ledger == twin)
   }
 
+  test("streaming near-dup gate: within-batch and cross-index dups rejected exactly-once") {
+    import graft.sources.VersionedTable
+    import graft.similarity.Similarity
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val srcDir = s"$base/src"; val cpDir = s"$base/cp"; val idx = s"$base/idx"
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(Similarity.Dim)(i =>
+        (graft.functions.Hashing.h48String(s"gatevec-$seed-$i") % 1000)
+          .toDouble / 500.0 - 1.0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // fixture guard: distinct seeds are genuinely unrelated, duplicates
+    // (same seed, different id) are cosine-1.0 — the gate must drop them
+    val th = graft.dedup.Dedup.CosineThreshold
+    for (a <- Seq(1L, 2L, 4L); b <- Seq(1L, 2L, 4L) if a < b)
+      assert(cos(vec(a), vec(b)) < th, s"fixture seeds $a,$b too close")
+    val w = Similarity.lshPlanesFor(5)
+    val sch = spark.createDataFrame(Seq((1L, vec(1))).map(t => (t._1, t._2)))
+      .toDF("vec_id", "embedding").schema
+    def write(rows: Seq[(Long, Array[Double])]): Unit =
+      rows.toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    def start() = StreamingOps.shardedGateStream(
+      spark.readStream.schema(sch).parquet(srcDir), idx, w, Some(cpDir))
+    // batch 0: two unrelated vectors — both admitted
+    write(Seq(1L -> vec(1), 2L -> vec(2)))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(VersionedTable.currentVersion(idx) == 0)
+    assert(VersionedTable.read(spark, idx).select("vec_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // forced crash window: index committed, offset commit deleted
+    val commits = new java.io.File(s"$cpDir/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent,
+      "." + commits.last.getName + ".crc").delete()
+    // batch 1 arrives while the gate is down: an exact copy of stored
+    // vector 1 (cross-index dup), a fresh vector, and a within-batch
+    // copy of that fresh vector
+    write(Seq(3L -> vec(1), 4L -> vec(4), 5L -> vec(4)))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // exactly-once across the replay: batch 0 no-ops (its own rows are
+    // in the index and would self-dup, but the txn stamp wins first),
+    // batch 1 admits ONLY the fresh vector
+    assert(VersionedTable.entries(idx).map(_.version) == Seq(0, 1))
+    val ids = VersionedTable.read(spark, idx)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L),
+      s"gate admitted the wrong set: $ids")
+    // manual replay of batch 1 is refused by the txn stamp
+    val batch1 = Seq(3L -> vec(1), 4L -> vec(4), 5L -> vec(4))
+      .toDF("vec_id", "embedding")
+    assert(!StreamingOps.shardedGateBatch(batch1, idx, w, 1L))
+    // the persisted rows carry the full working shape (vec_id, v, nrm,
+    // buckets) — the next batch's probe needs no recoding of any of them
+    val storedCols = VersionedTable.read(spark, idx).columns.toSet
+    assert(Set("vec_id", "v", "nrm", "buckets").subsetOf(storedCols))
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once, no replays") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
