@@ -177,6 +177,33 @@ object StreamProbe {
         },"table_mb":${fmt(dirMb(dir), 2)}""")
     }
 
+    // ---- sharded near-dup ingest gate (foreachBatch probe + append);
+    // state = the single-table index itself: versions, on-disk bytes and
+    // the ADMISSION count (rows that survived both dedup gates) — the
+    // rows/s here prices the full gate (code + within-batch dedup +
+    // cross-index probe + commit) per arriving vector
+    locally {
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val vecBatches = vecs.zipWithIndex
+        .groupBy(_._2 % nBatches).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1).toSeq)
+      val w = graft.similarity.Similarity.lshPlanesFor(vecs.length.toLong)
+      val dir = java.nio.file.Files.createTempDirectory("sp_gate").toString
+      val mem = MemoryStream[(Long, Array[Double])]
+      drive("sharded_gate", vecBatches, mem,
+        graft.streaming.StreamingOps.shardedGateStream(
+          mem.toDF().toDF("vec_id", "embedding"), dir, w,
+          Some(java.nio.file.Files.createTempDirectory("sp_gatecp").toString)),
+        extra = s""","table_versions":${
+          graft.sources.VersionedTable.currentVersion(dir) + 1
+        },"table_mb":${fmt(dirMb(dir), 2)},"admitted":${
+          graft.sources.VersionedTable.read(spark, dir).count()
+        },"width":$w""")
+    }
+
     val opsJson = results.map { case (name, rows, sec, batches, extra) =>
       val bj = batches.map(b =>
         s"""{"rows":${b.rows},"sec":${fmt(b.sec, 3)},"batch_ms":${b.batchMs
