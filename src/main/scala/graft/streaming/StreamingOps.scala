@@ -593,12 +593,15 @@ object StreamingOps {
       df.select(col("vec_id").as(idAs), col("v").as(vAs), col("nrm").as(nAs))
     // within-batch greedy dedup (the batch is bounded: plain joins)
     val bc = cells(coded, "vec_id")
+    // candidate SLOTS stream through the cosine gate; only survivors are
+    // distinct'd — deduping bare id pairs first would materialize the
+    // full R·T·occupancy slot volume into a hash distinct (measured as
+    // an OOM kill on the declared twin at sf10, SURVEY §9.52)
     val inBatchDrop = bc.as("a")
       .join(bc.toDF("vec_id2", "rep", "shard", "tbl", "bucket").as("b"),
         Seq("rep", "shard", "tbl", "bucket"))
       .where(col("a.vec_id") < col("vec_id2"))
       .select(col("a.vec_id").as("keep_id"), col("vec_id2").as("vec_id"))
-      .distinct()
       .join(vecs(coded, "keep_id", "sv", "snrm"), "keep_id")
       .join(vecs(coded, "vec_id", "nv", "nnrm"), "vec_id")
       .where(cos >= graft.dedup.Dedup.CosineThreshold)
@@ -608,15 +611,21 @@ object StreamingOps {
     val admitted =
       if (VersionedTable.currentVersion(indexDir) < 0) afterBatch
       else {
+        // cosine computes INSIDE the cell join (stored v/nrm ride the
+        // bucket explode in flight, batch v/nrm ride the broadcast) —
+        // a slot stream re-attached to vectors by join sorts wide rows
+        // at index scale (the in-plan incremental twin's §9.52 lesson)
         val stored = VersionedTable.read(spark, indexDir)
-        val nb = broadcast(cells(afterBatch, "new_id"))
-        val cand = cells(stored, "stored_id")
+        val sc = stored.select(col("vec_id").as("stored_id"),
+            col("v").as("sv"), col("nrm").as("snrm"),
+            explode(col("buckets")).as("b"))
+          .select(col("stored_id"), col("sv"), col("snrm"),
+            col("b.rep").as("rep"), col("b.shard").as("shard"),
+            col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+        val nb = broadcast(cells(afterBatch, "new_id")
+          .join(vecs(afterBatch, "new_id", "nv", "nnrm"), "new_id"))
+        val dups = sc
           .join(nb, Seq("rep", "shard", "tbl", "bucket"))
-          .select(col("new_id"), col("stored_id"))
-          .distinct()
-        val dups = cand
-          .join(broadcast(vecs(afterBatch, "new_id", "nv", "nnrm")), "new_id")
-          .join(vecs(stored, "stored_id", "sv", "snrm"), "stored_id")
           .where(cos >= graft.dedup.Dedup.CosineThreshold)
           .select(col("new_id").as("vec_id")).distinct()
         afterBatch.join(dups, Seq("vec_id"), "left_anti")
