@@ -2385,6 +2385,37 @@ object Relational {
                            WHERE ps2.ps_partkey = ps.ps_partkey)
        ORDER BY p_partkey, s_name LIMIT 100"""
 
+  /** TPC-H Q21-shaped waiting-supplier audit: per supplier, finished
+    * orders where THIS supplier shipped strictly last among MULTIPLE
+    * suppliers (this schema carries no receipt/commit dates, so "kept
+    * the order waiting" = sole latest shipper — same construct,
+    * different clock). The construct under test is TWO correlated
+    * subqueries against the SAME fact table with a NON-EQUI correlation
+    * (l3.l_shipdate >= l1.l_shipdate): EXISTS plans as a left semi on
+    * the 8-byte orderkey, NOT EXISTS as a left ANTI whose extra
+    * inequality rides the join condition — three passes over lineitem,
+    * all sharing the orderkey exchange, never a cartesian.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir, "lineitem", "orders", "supplier")
+    spark.sql(waitingSuppliersSql)
+  }
+
+  val waitingSuppliersSql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM lineitem l1
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE o_orderstatus = 'F'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate >= l1.l_shipdate)
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+
   /** TPC-H Q19-shaped disjunctive-predicate join: revenue over three
     * OR'd conjunctions of (brand, size range, quantity range). The
     * construct under test is a DISJUNCTION SPANNING BOTH JOIN SIDES:

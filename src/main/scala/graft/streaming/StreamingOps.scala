@@ -543,12 +543,13 @@ object StreamingOps {
     *  2. drop within-batch near-dups greedily (a vector near one with a
     *     smaller vec_id is dropped — the SemDeDup min-id convention),
     *     via the batch's own bucket self-join;
-    *  3. probe survivors against the persisted index: candidate
-    *     generation reads ONLY (vec_id, buckets) — columnar pruning
-    *     keeps the 512-byte vectors out of the scan — and exact cosines
-    *     re-attach stored vectors candidate-driven; the batch side
-    *     broadcasts, the stored side never shuffles and is NEVER
-    *     re-coded;
+    *  3. probe survivors against the persisted index: stored (v, nrm)
+    *     ride the bucket-array explode IN FLIGHT so the exact cosine
+    *     computes inside the cell join itself — every candidate slot
+    *     dies in its join projection unless it passes (the §9.52
+    *     lesson: a slot stream re-attached to vectors by a later join
+    *     sorts wide rows at index scale); the batch side broadcasts,
+    *     the stored side never shuffles and is NEVER re-coded;
     *  4. append gate-passers (vec_id, v, nrm, buckets) via
     *     [[graft.sources.VersionedTable.idempotentAppend]] keyed by
     *     batchId — ONE atomic commit covers codes and vectors together

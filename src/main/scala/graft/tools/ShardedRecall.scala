@@ -127,6 +127,44 @@ object ShardedRecall {
 
     measure("sharded", Similarity.shardedNearDupPairs(spark, dir))
     measure("flat", Similarity.lshNearDupPairs(spark, dir))
+
+    // INCREMENTAL probe recall on the same corpus through an 8:2 HASH
+    // split (the declared query's id-residue split never crosses a
+    // planted pair here — the amplifier's replica offsets are ≡ 0
+    // mod 10), recall over the CROSS-SPLIT subset of the truth (pairs
+    // with exactly one side in the new batch — the only pairs the
+    // probe is asked to find). The probe runs at the width the STORED
+    // 80% fixes, so this measures the contract an ingest pipeline
+    // actually gets from q_dedup_embed_sharded_incr past the flat
+    // boundary.
+    locally {
+      import graft.functions.Hashing
+      def isNewId(id: Long): Boolean =
+        Hashing.h48String(s"incr-$id") % 10 >= 8
+      val crossTruth = truthRows.filter(t => isNewId(t._1) != isNewId(t._2))
+      System.err.println(
+        s"[shardedrecall] crossSplitTruth=${crossTruth.length}")
+      val t0ms = System.nanoTime()
+      val found = Similarity.shardedIncrementalNearBy(spark, dir,
+          Hashing.h48(concat(lit("incr-"), col("vec_id"))) % 10 >= 8)
+        .select(least(col("new_id"), col("stored_id")).as("vec_a"),
+          greatest(col("new_id"), col("stored_id")).as("vec_b"))
+        .join(broadcast(truth.select("vec_a", "vec_b")),
+          Seq("vec_a", "vec_b"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val secs = (System.nanoTime() - t0ms) / 1e9
+      val tot = crossTruth.length.toLong
+      val hit = crossTruth.count(t => found.contains((t._1, t._2))).toLong
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[shardedrecall] incremental: crossRecall=%s (%d/%d) wallSec=%.1f",
+        pct(hit, tot), Long.box(hit), Long.box(tot), Double.box(secs)))
+      crossTruth.groupBy(_._3).toSeq.sortBy(_._1).foreach {
+        case (band, rows) =>
+          val h = rows.count(t => found.contains((t._1, t._2))).toLong
+          System.err.println(s"[shardedrecall]   incremental band=$band " +
+            s"truth=${rows.length} found=$h recall=${pct(h, rows.length)}")
+      }
+    }
     spark.stop()
   }
 }
