@@ -1470,27 +1470,70 @@ object CorpusOps {
     * k rows per map task reduce to one k-row result — the same shape at
     * any corpus size).
     */
-  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+  /** A-ES priority ln(u)/w — see [[weightedSample]] for the contract. */
+  private def aesPriority: org.apache.spark.sql.Column = {
     // u ∈ (0, 1]: h48 is a 48-bit value, so the scale is 2^48 (a 31-bit
     // divisor would make u > 1, flip ln(u) positive and invert the tilt)
     val u = (Hashing.h48(concat(lit("wsample-"), col("doc_id"))) + lit(1L))
       .cast("double") / lit(281474976710656.0)
-    val priority = round(log(u), 10).cast("decimal(28,12)").cast("double") /
+    round(log(u), 10).cast("decimal(28,12)").cast("double") /
       greatest(col("n_chars"), lit(1L)).cast("double")
-    docs(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        priority.as("priority"))
-      .orderBy(col("priority").desc, col("doc_id"))
-      .limit(WeightedK)
   }
 
+  private val aesPrioritySql: String =
+    s"""CAST(CAST(round(ln(CAST(${duckH48("concat('wsample-', doc_id)")}
+          + 1 AS DOUBLE) / 281474976710656.0), 10) AS DECIMAL(28,12))
+        AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)"""
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        aesPriority.as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WeightedK)
+
   val weightedSampleSql: String =
-    s"""SELECT doc_id, source, n_chars,
-          CAST(CAST(round(ln(CAST(${duckH48("concat('wsample-', doc_id)")}
-              + 1 AS DOUBLE) / 281474976710656.0), 10) AS DECIMAL(28,12))
-            AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+    s"""SELECT doc_id, source, n_chars, $aesPrioritySql AS priority
         FROM documents
         ORDER BY priority DESC, doc_id LIMIT $WeightedK"""
+
+  /** Per-source weighted-sample size. */
+  val StratWeightedK = 5
+
+  /** PER-SOURCE weighted sampling — [[weightedSample]]'s stratified
+    * twin and [[inspectSample]]'s weighted upgrade: the
+    * [[StratWeightedK]] best A-ES draws per source (token-mass
+    * weighted, reproducible — the per-crawl eyeball set that reflects
+    * what each source actually contributes to training). Runs through
+    * the bounded-buffer [[graft.functions.TopK.TopKAggregator]] —
+    * ≤2k candidates per source per map task, no per-source window
+    * sort — so one pathological mega-source costs the same as any
+    * other (the `q_domain_caps` defense, reused). Tie rule matches
+    * the oracle's (priority DESC, doc_id ASC) via the aggregator's
+    * (score, zero-padded tag) order.
+    */
+  def weightedSamplePerSource(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("source"), col("doc_id"), aesPriority.as("priority"))
+    val fn = udaf(new graft.functions.TopK.TopKAggregator(StratWeightedK))
+    d.groupBy("source")
+      .agg(fn(lpad(col("doc_id").cast("string"), 20, "0"),
+        col("priority")).as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("i", "s")))
+      .select(col("source"), col("s.tag").cast("long").as("doc_id"),
+        col("s.score").as("priority"), (col("i") + 1).cast("int").as("rk"))
+      .orderBy("source", "rk")
+  }
+
+  val weightedSamplePerSourceSql: String =
+    s"""WITH d AS (SELECT source, doc_id, $aesPrioritySql AS priority
+          FROM documents),
+        r AS (SELECT source, doc_id, priority,
+          row_number() OVER (PARTITION BY source
+            ORDER BY priority DESC, doc_id) AS rk
+        FROM d)
+        SELECT source, doc_id, priority, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= $StratWeightedK ORDER BY source, rk"""
 
   // -------------------------------------------------- signal correlation
 

@@ -767,4 +767,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
+
+  test("stratified weighted sample: aggregator path equals a driver per-source replay") {
+    val sf = "/root/testdata/sf0.001"
+    val got = CorpusOps.weightedSamplePerSource(spark, sf)
+      .as[(String, Long, Double, Int)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+    def prio(id: Long, w: Long): Double = {
+      val u = (graft.functions.Hashing.h48String(s"wsample-$id") + 1)
+        .toDouble / 281474976710656.0
+      BigDecimal(math.log(u)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(12).toDouble / math.max(w, 1L).toDouble
+    }
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map { case (_, id, w) => (id, prio(id, w)) }
+        .sortBy { case (id, p) => (-p, id) }
+        .take(CorpusOps.StratWeightedK).zipWithIndex
+        .map { case ((id, p), i) => (src, id, p, i + 1) }
+    }.sortBy(r => (r._1, r._4))
+    assert(got.toSeq == expect)
+    // every source is represented with its full k (sf0.001 sources all
+    // carry > k docs) and ranks are dense 1..k
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._4).sorted.toSeq ==
+        (1 to CorpusOps.StratWeightedK), s"ranks for $src")
+    }
+  }
 }
