@@ -2253,7 +2253,7 @@ object Relational {
   val promoShareSql: String =
     """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
        CAST(100 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
-           AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS promo_pct,
+           AS DOUBLE) / CAST(NULLIF(sum(cents), 0) AS DOUBLE) AS promo_pct,
        CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
        FROM (
          SELECT l_shipdate, l_partkey,

@@ -540,16 +540,28 @@ object StreamingOps {
     *     [[graft.similarity.Similarity.shardedIndexWrite]] convention),
     *     storing the R·T (rep, shard, tbl, bucket) cells as ONE
     *     array-of-structs column per vector;
-    *  2. drop within-batch near-dups greedily (a vector near one with a
-    *     smaller vec_id is dropped — the SemDeDup min-id convention),
-    *     via the batch's own bucket self-join;
-    *  3. probe survivors against the persisted index: stored (v, nrm)
-    *     ride the bucket-array explode IN FLIGHT so the exact cosine
-    *     computes inside the cell join itself — every candidate slot
-    *     dies in its join projection unless it passes (the §9.52
+    *  2. probe the WHOLE batch against the persisted index: stored
+    *     (v, nrm) ride the bucket-array explode IN FLIGHT so the exact
+    *     cosine computes inside the cell join itself — every candidate
+    *     slot dies in its join projection unless it passes (the §9.52
     *     lesson: a slot stream re-attached to vectors by a later join
-    *     sorts wide rows at index scale); the batch side broadcasts,
-    *     the stored side never shuffles and is NEVER re-coded;
+    *     sorts wide rows at index scale); the stored side never
+    *     shuffles and is NEVER re-coded, and the batch side carries NO
+    *     forced broadcast hint — AQE broadcasts a true increment from
+    *     runtime sizes, and a crash-replay backfill (whose coded rows
+    *     can be gigabytes at R·T rows/vector) falls back to the
+    *     cell-key shuffle join instead of blowing the driver (the
+    *     round-12 ADVICE item; the in-plan incremental twin made the
+    *     same call for the same reason);
+    *  3. resolve within-batch near-dups by GREEDY MIN-ID ADMISSION
+    *     ([[greedyAdmission]]): a vector is dropped iff a near-dup with
+    *     a smaller id actually SURVIVES (is admitted or already
+    *     stored) — in the chain 1~2, 2~3, 1!~3 the gate admits {1, 3},
+    *     because 3's only near-dup, 2, is itself dropped and nothing
+    *     near 3 is ever stored. (The round-12 form dropped any vector
+    *     with ANY smaller-id within-batch near-dup — over-rejection
+    *     relative to the "admit unless a near-dup is already stored"
+    *     contract, flagged by the round-12 ADVICE and fixed here.);
     *  4. append gate-passers (vec_id, v, nrm, buckets) via
     *     [[graft.sources.VersionedTable.idempotentAppend]] keyed by
     *     batchId — ONE atomic commit covers codes and vectors together
@@ -592,13 +604,13 @@ object StreamingOps {
       (col("nnrm") * col("snrm"))
     def vecs(df: DataFrame, idAs: String, vAs: String, nAs: String) =
       df.select(col("vec_id").as(idAs), col("v").as(vAs), col("nrm").as(nAs))
-    // within-batch greedy dedup (the batch is bounded: plain joins)
-    val bc = cells(coded, "vec_id")
-    // candidate SLOTS stream through the cosine gate; only survivors are
+    // within-batch near-dup PAIRS (a < b, cosine-verified). Candidate
+    // SLOTS stream through the cosine gate; only survivors are
     // distinct'd — deduping bare id pairs first would materialize the
     // full R·T·occupancy slot volume into a hash distinct (measured as
     // an OOM kill on the declared twin at sf10, SURVEY §9.52)
-    val inBatchDrop = bc.as("a")
+    val bc = cells(coded, "vec_id")
+    val inBatchPairs = bc.as("a")
       .join(bc.toDF("vec_id2", "rep", "shard", "tbl", "bucket").as("b"),
         Seq("rep", "shard", "tbl", "bucket"))
       .where(col("a.vec_id") < col("vec_id2"))
@@ -606,16 +618,20 @@ object StreamingOps {
       .join(vecs(coded, "keep_id", "sv", "snrm"), "keep_id")
       .join(vecs(coded, "vec_id", "nv", "nnrm"), "vec_id")
       .where(cos >= graft.dedup.Dedup.CosineThreshold)
-      .select("vec_id").distinct()
-    val afterBatch = coded.join(inBatchDrop, Seq("vec_id"), "left_anti")
-    // cross-index gate (skipped for the genesis batch of a new index)
-    val admitted =
-      if (VersionedTable.currentVersion(indexDir) < 0) afterBatch
+      .select(col("keep_id").as("a"), col("vec_id").as("b")).distinct()
+    // cross-index drops over the WHOLE batch (skipped for the genesis
+    // batch of a new index): a vector near anything already stored can
+    // never be admitted, so it also never drops a within-batch neighbor
+    val crossDropped =
+      if (VersionedTable.currentVersion(indexDir) < 0)
+        spark.range(0).select(col("id").as("vec_id"))
       else {
         // cosine computes INSIDE the cell join (stored v/nrm ride the
-        // bucket explode in flight, batch v/nrm ride the broadcast) —
-        // a slot stream re-attached to vectors by join sorts wide rows
-        // at index scale (the in-plan incremental twin's §9.52 lesson)
+        // bucket explode in flight) — a slot stream re-attached to
+        // vectors by join sorts wide rows at index scale (the in-plan
+        // incremental twin's §9.52 lesson). No broadcast hint: AQE
+        // broadcasts a true increment from runtime sizes; a backfill
+        // micro-batch falls back to the cell-key shuffle join.
         val stored = VersionedTable.read(spark, indexDir)
         val sc = stored.select(col("vec_id").as("stored_id"),
             col("v").as("sv"), col("nrm").as("snrm"),
@@ -623,15 +639,66 @@ object StreamingOps {
           .select(col("stored_id"), col("sv"), col("snrm"),
             col("b.rep").as("rep"), col("b.shard").as("shard"),
             col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-        val nb = broadcast(cells(afterBatch, "new_id")
-          .join(vecs(afterBatch, "new_id", "nv", "nnrm"), "new_id"))
-        val dups = sc
-          .join(nb, Seq("rep", "shard", "tbl", "bucket"))
+        val nb = cells(coded, "new_id")
+          .join(vecs(coded, "new_id", "nv", "nnrm"), "new_id")
+        sc.join(nb, Seq("rep", "shard", "tbl", "bucket"))
           .where(cos >= graft.dedup.Dedup.CosineThreshold)
           .select(col("new_id").as("vec_id")).distinct()
-        afterBatch.join(dups, Seq("vec_id"), "left_anti")
       }
+    val dropped = greedyAdmission(inBatchPairs, crossDropped)
+    val admitted = coded.join(dropped, Seq("vec_id"), "left_anti")
     VersionedTable.idempotentAppend(admitted, indexDir, batchId)
+  }
+
+  /** Greedy min-id admission over a within-batch near-dup pair graph:
+    * processing ids ascending, a vector is DROPPED iff it is near
+    * something already stored (`crossDropped`) or near a smaller-id
+    * vector that is itself ADMITTED; otherwise it is admitted. Returns
+    * the dropped ids as a 1-column (vec_id) DataFrame.
+    *
+    * Fixed-point evaluation, all-DataFrame (the pair graph never
+    * collects): each round admits the MINIMAL vertices of the remaining
+    * graph (edge sources that are nobody's target), drops their
+    * targets, and deletes every edge touching a decided vertex — an
+    * edge from a dropped vertex constrains nobody, which is exactly the
+    * transitive-chain case the round-12 form got wrong. Each round
+    * decides at least the minimum remaining vertex, so rounds are
+    * bounded by the longest prune chain; a 48-round guard covers the
+    * adversarial batch (a 48-deep chain of pairwise near-dups inside
+    * ONE micro-batch), falling back to dropping the undecided remainder
+    * — conservative over-rejection on that pathological tail only,
+    * never under-admission of a true near-dup.
+    */
+  private[graft] def greedyAdmission(pairs: DataFrame,
+      crossDropped: DataFrame): DataFrame = {
+    val xd = crossDropped.select(col("vec_id")).localCheckpoint(true)
+    // edges between still-undecided vertices: a cross-dropped source
+    // drops nobody; a cross-dropped target is already decided
+    var remaining = pairs
+      .join(xd.withColumnRenamed("vec_id", "a"), Seq("a"), "left_anti")
+      .join(xd.withColumnRenamed("vec_id", "b"), Seq("b"), "left_anti")
+      .select("a", "b").localCheckpoint(true)
+    var dropped = xd
+    var rounds = 0
+    while (rounds < 48 && !remaining.isEmpty) {
+      val admit = remaining.select(col("a"))
+        .join(remaining.select(col("b").as("a")), Seq("a"), "left_anti")
+        .distinct()
+      val newDrop = remaining.join(admit, Seq("a"))
+        .select(col("b").as("vec_id")).distinct().localCheckpoint(true)
+      dropped = dropped.unionByName(newDrop)
+      // an edge whose source was ADMITTED has its target in newDrop, so
+      // filtering decided sources and targets covers all decided edges
+      remaining = remaining
+        .join(newDrop.withColumnRenamed("vec_id", "a"), Seq("a"), "left_anti")
+        .join(newDrop.withColumnRenamed("vec_id", "b"), Seq("b"), "left_anti")
+        .localCheckpoint(true)
+      rounds += 1
+    }
+    if (!remaining.isEmpty) // 48-deep chain guard: drop the undecided tail
+      dropped = dropped.unionByName(
+        remaining.select(col("b").as("vec_id")).distinct())
+    dropped.select("vec_id").distinct()
   }
 
   /** Streaming wrapper of [[shardedGateBatch]]: readStream →

@@ -830,8 +830,13 @@ class SimilaritySpec extends SparkSpec {
     val e = Similarity.embeddings(spark, sf)
     val stored = e.where(pmod(col("vec_id"), lit(10)) < 8)
     val fresh = e.where(pmod(col("vec_id"), lit(10)) >= 8)
-    val w = Similarity.lshPlanesFor(stored.count())
-    val probed = Similarity.shardedIncrementalFromIndex(spark, idx, fresh, w)
+    // the probe reads the frozen width from the index's own meta
+    // artifact (round-12 ADVICE: a caller-supplied w could silently
+    // mis-code the batch); check it matches the build-time derivation
+    val (metaW, metaN) = Similarity.shardedIndexMeta(spark, idx)
+    assert(metaW == Similarity.lshPlanesFor(stored.count()))
+    assert(metaN == stored.count())
+    val probed = Similarity.shardedIncrementalFromIndex(spark, idx, fresh)
     assert(probed.as[(Long, Long, Double)].collect().toSet == inPlan)
     // plan proof: stored side scans the index parquet (no embeddings
     // table feeds it) and the probe joins by broadcast
@@ -839,5 +844,55 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("sharded_idx"), s"no index scan in plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"no broadcast probe in plan:\n$plan")
+  }
+
+  test("sharded index: width drift detected and migration rebuilds at the fresh width") {
+    // a corpus sized just under a width boundary: lshPlanesFor picks w
+    // from ceil(log2(n/128)), so 128·2^4 = 2048 vectors is the last
+    // count at w=4+... use synthetic vectors (deterministic hash fill)
+    def vecs(n: Long): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), i -> " +
+          "CAST(pmod(hash(id * 64 + i), 1000) AS DOUBLE) / 500.0 - 1.0)")
+          .as("v"))
+        .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+    val small = vecs(600)
+    val big = vecs(9000) // 9000 div 128 = 70: a rebuild today picks w=6 > 4
+    val idx = java.nio.file.Files.createTempDirectory("drift_idx").toString
+    val w0 = Similarity.shardedIndexBuild(spark, small, idx)
+    assert(w0 == Similarity.lshPlanesFor(600))
+    // no drift while the stored corpus matches the build
+    val d0 = Similarity.shardedIndexDrift(spark, idx).head()
+    assert(!d0.getBoolean(4) && d0.getInt(0) == w0)
+    // simulate sustained ingest: the vector artifact grows past the
+    // frozen width's design point (append-only, as the gate does)
+    big.where(col("vec_id") >= 600).select("vec_id", "v", "nrm")
+      .write.mode("append").parquet(s"$idx/vectors")
+    val d1 = Similarity.shardedIndexDrift(spark, idx).head()
+    assert(d1.getBoolean(4), s"drift not detected: $d1")
+    assert(d1.getInt(0) == w0 && d1.getLong(2) == 9000L)
+    assert(d1.getInt(3) == Similarity.lshPlanesFor(9000))
+    // migrate: rebuild at the fresh width into a new location
+    val idx2 = java.nio.file.Files.createTempDirectory("drift_idx2").toString
+    val (oldW, newW) = Similarity.shardedIndexMigrate(spark, idx, idx2)
+    assert(oldW == w0 && newW == Similarity.lshPlanesFor(9000) && newW > oldW)
+    val (mw, mn) = Similarity.shardedIndexMeta(spark, idx2)
+    assert(mw == newW && mn == 9000L)
+    // the migrated index is drift-free and carries every vector
+    val d2 = Similarity.shardedIndexDrift(spark, idx2).head()
+    assert(!d2.getBoolean(4))
+    assert(spark.read.parquet(s"$idx2/vectors").count() == 9000L)
+    // bucket rows were re-coded at the NEW params (row count = n·R·T of
+    // the new width, not the old)
+    val psNew = Similarity.shardedParamsFor(newW)
+    assert(spark.read.parquet(s"$idx2/buckets").count() ==
+      9000L * psNew.replicas * psNew.fineTables)
+    // probes against the migrated index need no caller-supplied width
+    // and return only true near-dups
+    val probe = Similarity.shardedIncrementalFromIndex(spark, idx2,
+      vecs(9010).where(col("vec_id") >= 9000))
+    probe.collect().foreach { r =>
+      assert(r.getDouble(2) >= Dedup.CosineThreshold)
+    }
   }
 }

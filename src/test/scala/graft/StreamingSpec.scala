@@ -460,6 +460,31 @@ class StreamingSpec extends SparkSpec {
     assert(ledger == twin)
   }
 
+  test("gate greedy admission: transitive chains admit the survivors, not just the minimum") {
+    import graft.streaming.StreamingOps.greedyAdmission
+    def pairs(ps: (Long, Long)*) = ps.toDF("a", "b")
+    def xd(ids: Long*) = ids.toDF("vec_id")
+    def dropped(p: org.apache.spark.sql.DataFrame,
+        x: org.apache.spark.sql.DataFrame): Set[Long] =
+      greedyAdmission(p, x).as[Long].collect().toSet
+    // the round-12 ADVICE chain: 1~2, 2~3, 1!~3 — greedy admits {1, 3}
+    // (2's drop frees 3; the old form rejected 3 although nothing near
+    // it survives)
+    assert(dropped(pairs(1L -> 2L, 2L -> 3L), xd()) == Set(2L))
+    // 4-chain: alternating drop
+    assert(dropped(pairs(1L -> 2L, 2L -> 3L, 3L -> 4L), xd()) == Set(2L, 4L))
+    // diamond 1~2, 1~3, 2~4, 3~4: 1 admits, 2 and 3 drop, 4 survives
+    assert(dropped(pairs(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L), xd())
+      == Set(2L, 3L))
+    // cross-index drop interacts with the chain: stored kills 1, so 2
+    // survives and drops 3
+    assert(dropped(pairs(1L -> 2L, 2L -> 3L), xd(1L)) == Set(1L, 3L))
+    // a cross-dropped TARGET stays dropped and constrains nobody
+    assert(dropped(pairs(1L -> 2L, 2L -> 3L), xd(2L)) == Set(2L))
+    // empty graph: only cross-index drops
+    assert(dropped(pairs(), xd(7L)) == Set(7L))
+  }
+
   test("streaming near-dup gate: within-batch and cross-index dups rejected exactly-once") {
     import graft.sources.VersionedTable
     import graft.similarity.Similarity
