@@ -44,30 +44,39 @@ object Bench {
       }
     }.sortBy(_._1)
 
+  /** Emitted-PAIR regression gate (round-12 verdict ask #4): the byte
+    * gate catches plan drift but not a recall-vs-cost drift in the
+    * pair-emitting dedup/ANN family — an index change that silently
+    * drops candidate pairs shrinks bytes (looks like an improvement)
+    * while losing recall, and one that over-emits pays cost the byte
+    * gate only sees indirectly. Pair counts are DETERMINISTIC (pure
+    * functions of the data — no AQE/stat jitter), so the gate diffs the
+    * current census against the committed one in BOTH directions with
+    * the byte gate's >10% rule plus a ≥10-pair absolute floor (a
+    * 15→16 single-pair wobble on a tiny family is workload, not drift).
+    * New queries have no committed baseline and never flag. Returns
+    * (name, prior, current), name-sorted.
+    */
+  private[graft] def pairRegressions(
+      prior: Map[String, Long],
+      cur: Map[String, Long]): Seq[(String, Long, Long)] =
+    cur.toSeq.flatMap { case (name, c) =>
+      prior.get(name).flatMap { p =>
+        val d = math.abs(c - p)
+        if (d > p * 0.10 && d >= 10) Some((name, p, c)) else None
+      }
+    }.sortBy(_._1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // shuffle dirs: SPARK_GRAFT_LOCAL_DIR if set, else tmpfs when present
-    // (see Verify.session's doc — the sandbox disk write-throttles the
-    // bench's own multi-GB sf10 shuffle files; bytes/plans unchanged)
-    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      // tmpfs only when it can hold the battery's worst shuffle
-      // footprint (~32 GiB at sf10): /dev/shm is typically capped at
-      // 50% of RAM, and silently defaulting to it on a smaller host
-      // turns a full disk into confusing no-space/OOM failures
-      // (round-11 ADVICE). SPARK_GRAFT_LOCAL_DIR overrides either way.
-      val need = 32L << 30
-      val fits =
-        try java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.getFileStore(shm).getUsableSpace >= need
-        catch { case _: Throwable => false }
-      if (fits) {
-        val d = shm.resolve("graft-shuffle")
-        try { java.nio.file.Files.createDirectories(d); Some(d.toString) }
-        catch { case _: Throwable => None }
-      } else None
-    }.orNull
+    // shuffle dirs: pre-flight sweep of dead runs' leftovers, then this
+    // run's pid-stamped dir (round-12 verdict ask #5 — see
+    // Verify.localShuffleDir; the 32 GiB need is the battery's worst
+    // sf10 shuffle footprint, and /dev/shm is typically capped at 50%
+    // of RAM, so a smaller host falls back to a stamped /tmp dir
+    // rather than turning a full tmpfs into confusing OOM failures)
+    val (localDir, sweptMb) = Verify.localShuffleDir(32L << 30)
     System.err.println("[bench] spark.local.dir = " +
       (if (localDir == null) "<jvm default tmp>" else localDir))
     val spark = Verify.session(cpus, localDir)
@@ -260,8 +269,47 @@ object Bench {
       // ADVICE)
       val fullRef =
         if (only.isEmpty) "\"" + latestPath + "\"" else "null"
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"truncated":false,"filtered":${only.nonEmpty},"suspect":$sus,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus,"full_record":$fullRef}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"truncated":false,"filtered":${only.nonEmpty},"suspect":$sus,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus,"swept_mb":${fmt(sweptMb, 1)},"full_record":$fullRef}"""
     }
+    // emitted-pair census + gate (round-12 verdict ask #4): count the
+    // pair-emitting family once (untimed — after the battery, so counts
+    // never pollute the seconds) and diff against the committed census
+    // for this sf (pairs_sf*.json, matched by its own "sf" field)
+    val pairCur: Map[String, Long] =
+      if (only.nonEmpty) Map.empty
+      else graft.tools.PairCounts.Family.flatMap { name =>
+        try Some(name -> SparkEntry.queries(name)(spark, sfDir).count())
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] pair census $name failed: ${e.getMessage}")
+          None
+        }
+      }.toMap
+    val pairPrior: Map[String, Long] = try {
+      val repoDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."))
+      val st = java.nio.file.Files.list(repoDir)
+      val files =
+        try st.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.matches("pairs_sf[0-9]+\\.json"))
+        finally st.close()
+      files.flatMap { p =>
+        val s = java.nio.file.Files.readString(p)
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Nil
+        else "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toLong).toSeq
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+    val pairRegs = pairRegressions(pairPrior, pairCur)
+    if (pairRegs.nonEmpty)
+      System.err.println(s"[bench] PAIR REGRESSIONS vs committed census: " +
+        pairRegs.map { case (n, p, c) => s"$n $p->$c" }.mkString("; "))
+    val pairJson = pairCur.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val pairRegsJson = pairRegs.map { case (n, p, c) =>
+      "\"" + n + "\":[" + p + "," + c + "]"
+    }.mkString("{", ",", "}")
     val shufJson = (results ++ cold).map { case (k, _) =>
       val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))
       "\"" + k + "\":[" + fmt(r, 2) + "," + fmt(w, 2) + "]"
@@ -275,7 +323,8 @@ object Bench {
       "\"" + n + "\":[" + fmt(p, 2) + "," + fmt(c, 2) + "]"
     }.mkString("{", ",", "}")
     val full = json(results ++ cold).dropRight(1) +
-      s""","byte_regressions":$regsJson,"shuffle_mb_rw":$shufJson}"""
+      s""","byte_regressions":$regsJson,"pair_counts":$pairJson""" +
+      s""","pair_regressions":$pairRegsJson,"shuffle_mb_rw":$shufJson}"""
     // complete record → files. The timestamped copy is APPEND-ONLY
     // (CREATE_NEW: two runs — the driver's and the judge's — can never
     // clobber each other; a plain BENCH_FULL.json overwrote on every

@@ -6,6 +6,105 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def session(cpus: String): SparkSession = session(cpus, null)
 
+  /** A process is live iff its /proc entry exists (Linux — the only
+    * platform the bench hosts run). ProcessHandle.of is the fallback
+    * where /proc is absent.
+    */
+  private[graft] def pidAlive(pid: Long): Boolean =
+    try java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"/proc/$pid"))
+    catch { case _: Throwable =>
+      ProcessHandle.of(pid).isPresent
+    }
+
+  /** Which of `names` are STALE shuffle dirs (round-12 verdict ask #5 —
+    * two SIGKILLed sf10 runs left 115 GB of orphaned tmpfs shuffle +
+    * 37 GB of /tmp spills, and the next three "clean" runs OOMed on
+    * them): a dir is stale when it is pid-stamped (`graft-shuffle-pidN`)
+    * and pid N is dead, or carries the legacy un-stamped name
+    * (`graft-shuffle` — nothing writes it anymore, so it can only be a
+    * dead run's leftover). Pure over an injected liveness check, so the
+    * gate logic is unit-testable without killing processes
+    * (`BenchGateSpec`).
+    */
+  private[graft] def staleShuffleDirs(names: Seq[String],
+      alive: Long => Boolean): Seq[String] = {
+    val pidRx = "graft-shuffle-pid(\\d+)".r
+    names.filter {
+      case "graft-shuffle" => true
+      case pidRx(pid) =>
+        try !alive(pid.toLong) catch { case _: Throwable => false }
+      case _ => false
+    }
+  }
+
+  /** Pre-flight SWEEP + per-run shuffle-dir selection, shared by every
+    * main that moves multi-GB shuffle ([[graft.Bench]],
+    * `graft.tools.ShardedRecall`/`StreamProbe`/`SemShardProbe`): sweeps
+    * stale `graft-shuffle*` dirs from dead runs out of /dev/shm and
+    * /tmp, then picks this run's dir — SPARK_GRAFT_LOCAL_DIR when set,
+    * else tmpfs when it can hold `needBytes` (the sandbox disk
+    * write-throttles multi-GB shuffle files; RAM-backed local dirs
+    * change neither plans nor shuffle bytes, only the timing noise
+    * floor), else a pid-stamped /tmp dir. EVERY choice is pid-stamped
+    * so the next run can tell live from dead, and a shutdown hook
+    * removes the dir on clean exit (kill -9 skips hooks — that is what
+    * the sweep is for). Returns (dir or null, swept MB).
+    */
+  def localShuffleDir(needBytes: Long): (String, Double) = {
+    def sizeOf(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.mapToLong { f =>
+        try java.nio.file.Files.size(f) catch { case _: Throwable => 0L }
+      }.sum()
+      catch { case _: Throwable => 0L }
+      finally s.close()
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => try java.nio.file.Files.delete(f)
+          catch { case _: Throwable => () })
+      finally s.close()
+    }
+    var sweptBytes = 0L
+    for (base <- Seq("/dev/shm", "/tmp")) {
+      val bp = java.nio.file.Paths.get(base)
+      val names =
+        try {
+          val st = java.nio.file.Files.list(bp)
+          try st.toArray.toSeq
+            .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+          finally st.close()
+        } catch { case _: Throwable => Nil }
+      staleShuffleDirs(names, pidAlive).foreach { n =>
+        val p = bp.resolve(n)
+        val sz = sizeOf(p)
+        System.err.println(s"[shuffledir] sweeping stale $p " +
+          f"(${sz / 1e6}%.0f MB, dead run)")
+        rmTree(p)
+        sweptBytes += sz
+      }
+    }
+    val mine = s"graft-shuffle-pid${ProcessHandle.current.pid}"
+    val chosen = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val fits =
+        try java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.getFileStore(shm).getUsableSpace >= needBytes
+        catch { case _: Throwable => false }
+      val base = if (fits) shm else java.nio.file.Paths.get("/tmp")
+      val d = base.resolve(mine)
+      try {
+        java.nio.file.Files.createDirectories(d)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try rmTree(d) catch { case _: Throwable => () }))
+        Some(d.toString)
+      } catch { case _: Throwable => None }
+    }.orNull
+    (chosen, sweptBytes / 1e6)
+  }
+
   /** `localDir` (optional) overrides spark.local.dir — graft.Bench points
     * it at tmpfs for the sf1/sf10 scale runs: the sandbox's single virtio
     * disk write-throttles the bench's own multi-GB shuffle files, which

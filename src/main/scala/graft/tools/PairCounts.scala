@@ -15,7 +15,8 @@ object PairCounts {
     "q_containment", "q_dedup_jaccard", "q_dedup_cross_source",
     "q_dup_ngrams", "q_dedup_embed_lsh", "q_dedup_embed_sharded",
     "q_dedup_minhash", "q_dedup_simhash", "q_winnow_overlap",
-    "q_dedup_templates", "q_dedup_incremental_near")
+    "q_dedup_templates", "q_dedup_incremental_near",
+    "q_dedup_embed_sharded_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

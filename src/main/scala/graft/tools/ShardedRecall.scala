@@ -28,20 +28,9 @@ import org.apache.spark.sql.functions._
 object ShardedRecall {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "scaledata/embed1m"
-    // multi-GB shuffles: point local dirs at tmpfs when it fits (the
-    // sandbox disk write-throttles; same rationale + guard as Bench)
-    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val fits =
-        try java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.getFileStore(shm).getUsableSpace >= (32L << 30)
-        catch { case _: Throwable => false }
-      if (fits) {
-        val d = shm.resolve("graft-shuffle")
-        try { java.nio.file.Files.createDirectories(d); Some(d.toString) }
-        catch { case _: Throwable => None }
-      } else None
-    }.orNull
+    // multi-GB shuffles: swept, pid-stamped local dirs shared with Bench
+    // (round-12 verdict ask #5; see Verify.localShuffleDir)
+    val (localDir, _) = graft.Verify.localShuffleDir(32L << 30)
     val spark = graft.Verify.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), localDir)
     import graft.similarity.Similarity

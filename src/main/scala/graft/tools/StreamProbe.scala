@@ -6,11 +6,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming THROUGHPUT / STATE-SIZE probe (round-11 verdict ask #4):
+/** Streaming THROUGHPUT / STATE-SIZE probe (round-11 verdict ask #4,
+  * extended round 13 with the state-store PROVIDER dimension):
   * `StreamingSpec` proves semantics (crash-replay, watermark eviction,
   * timer flush) but no throughput or state-growth number existed for any
   * streaming op. This probe drives sf1-scale micro-batches through the
-  * four production-shaped streaming pipelines and records, per batch:
+  * production-shaped streaming pipelines and records, per batch:
   * input rows, wall seconds, micro-batch latency as reported by the
   * engine, and — for the watermark-stateful ops — state rows and state
   * bytes, so the state-growth LAW is measured rather than argued:
@@ -19,14 +20,28 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * digests) instead of growing with the stream.
   *
   *   - paragraph_dedup / cdc_dedup: dropDuplicatesWithinWatermark over
-  *     block / content-defined-chunk digests of the sf1 documents;
+  *     block / content-defined-chunk digests of the sf1 documents —
+  *     run under BOTH state-store providers (the in-memory
+  *     HDFS-backed default AND RocksDB, which spills state off-heap to
+  *     disk) and at 1× and 10× state volume (10× = nine extra
+  *     per-replica ROTATED copies of every document, the
+  *     [[graft.tools.Amplify]] trick — rotation keeps paragraph
+  *     structure but makes every digest distinct, so state genuinely
+  *     grows 10×; identical replicas would dedup into the same
+  *     digests and grow nothing). Round-12 verdict ask #6: the
+  *     in-memory provider holds the whole watermark window on heap,
+  *     which a state-heavy deployment cannot assume — the RocksDB
+  *     column prices the provider a 100 TB pipeline actually ships,
+  *     and the 10× row names the crossover if one exists;
   *   - mv_maintain: exactly-once additive MERGE of event micro-batches
   *     into a VersionedTable (state = the table itself: versions and
   *     on-disk bytes are recorded instead of operator state);
   *   - versioned_ingest: idempotentAppend of document micro-batches
-  *     (same on-disk accounting).
+  *     (same on-disk accounting);
+  *   - sharded_gate: the near-dup admission gate against a persisted
+  *     sharded index (state = the index table).
   *
-  * Output: one JSON line on stdout + BENCH_STREAM_r12.json (path
+  * Output: one JSON line on stdout + BENCH_STREAM_r13.json (path
   * overridable via SPARK_GRAFT_STREAM_OUT).
   *
   * Usage: runMain graft.tools.StreamProbe [sfDir] [nBatches]
@@ -43,7 +58,7 @@ object StreamProbe {
     val sfDir = if (args.length > 0) args(0) else "scaledata/sf1"
     val nBatches = if (args.length > 1) args(1).toInt else 12
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
-      "BENCH_STREAM_r12.json")
+      "BENCH_STREAM_r13.json")
     val spark = graft.Verify.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
@@ -105,28 +120,55 @@ object StreamProbe {
         s"stateRows=${rows.map(_.stateRows).mkString(",")}")
     }
 
-    // ---- paragraph dedup (watermark-stateful)
-    locally {
-      val mem = MemoryStream[(Timestamp, Long, String)]
-      drive("paragraph_dedup", docBatches, mem,
-        graft.streaming.StreamingOps
-          .paragraphDedupStream(mem.toDF().toDF("ts", "doc_id", "text"))
-          .writeStream.format("noop")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("sp_para").toString)
-          .start())
+    // ---- watermark-stateful dedup ops × {provider} × {1×, 10× state}
+    // 10× state: nine extra alphabet-ROTATED copies per document with
+    // offset ids — every rotated paragraph digests differently, so the
+    // watermark window genuinely holds 10× the digests
+    def rot(s: String, r: Int): String = {
+      val a = "abcdefghijklmnopqrstuvwxyz"
+      val to = a.drop(r % 26) + a.take(r % 26)
+      s.map { ch =>
+        val i = a.indexOf(ch)
+        if (i >= 0) to(i) else ch
+      }
     }
-
-    // ---- CDC chunk dedup (watermark-stateful)
-    locally {
-      val mem = MemoryStream[(Timestamp, Long, String)]
-      drive("cdc_dedup", docBatches, mem,
-        graft.streaming.StreamingOps
-          .cdcDedupStream(mem.toDF().toDF("ts", "doc_id", "text"))
-          .writeStream.format("noop")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("sp_cdc").toString)
-          .start())
+    val idOff = docs.map(_._1).max + 1
+    val docBatches10 = docBatches.map { b =>
+      b.flatMap { case (ts, id, t) =>
+        (0 until 10).map(r => (ts, id + r * idOff, if (r == 0) t else rot(t, r)))
+      }
+    }
+    val rocksConf = "spark.sql.streaming.stateStore.providerClass"
+    val rocksClass = "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider"
+    val hdfsClass = spark.conf.get(rocksConf) // engine default, read back
+    for {
+      (provName, provClass) <- Seq("hdfs" -> hdfsClass,
+        "rocksdb" -> rocksClass)
+      (ampName, batches) <- Seq("" -> docBatches, "_x10" -> docBatches10)
+    } {
+      spark.conf.set(rocksConf, provClass)
+      locally {
+        val mem = MemoryStream[(Timestamp, Long, String)]
+        drive(s"paragraph_dedup$ampName[$provName]", batches, mem,
+          graft.streaming.StreamingOps
+            .paragraphDedupStream(mem.toDF().toDF("ts", "doc_id", "text"))
+            .writeStream.format("noop")
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("sp_para").toString)
+            .start())
+      }
+      locally {
+        val mem = MemoryStream[(Timestamp, Long, String)]
+        drive(s"cdc_dedup$ampName[$provName]", batches, mem,
+          graft.streaming.StreamingOps
+            .cdcDedupStream(mem.toDF().toDF("ts", "doc_id", "text"))
+            .writeStream.format("noop")
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("sp_cdc").toString)
+            .start())
+      }
+      spark.conf.set(rocksConf, hdfsClass)
     }
 
     def dirMb(dir: String): Double = {

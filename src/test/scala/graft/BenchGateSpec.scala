@@ -36,4 +36,40 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.byteRegressions(Map.empty,
       Map("q_a" -> ((5.0, 5.0)))).isEmpty)
   }
+
+  test("pair regression gate: >10% drift in EITHER direction flags, floors keep small families quiet") {
+    val prior = Map(
+      "q_grow" -> 500L,  // +20% and +100 pairs → cost drift
+      "q_drop" -> 500L,  // −20% and −100 pairs → recall drift
+      "q_tiny" -> 15L,   // 15 → 16: +6.7% and tiny absolute → quiet
+      "q_small" -> 40L,  // +15% but only +6 pairs → absolute floor saves it
+      "q_flat" -> 800L)  // unchanged (counts are deterministic)
+    val cur = Map(
+      "q_grow" -> 600L, "q_drop" -> 400L, "q_tiny" -> 16L,
+      "q_small" -> 46L, "q_flat" -> 800L,
+      "q_new" -> 9999L)  // no committed baseline → never flags
+    assert(Bench.pairRegressions(prior, cur) == Seq(
+      ("q_drop", 500L, 400L), ("q_grow", 500L, 600L)))
+  }
+
+  test("stale shuffle dirs: dead pid-stamped and legacy names sweep, live and foreign stay") {
+    val live = Set(100L, 200L)
+    val names = Seq(
+      "graft-shuffle-pid100",   // live run → keep
+      "graft-shuffle-pid4242",  // dead run → sweep
+      "graft-shuffle",          // legacy un-stamped → always stale
+      "graft-shuffle-pidXYZ",   // malformed → not ours, keep
+      "spark-0a1b2c",           // foreign Spark dir → NEVER touched
+      "somethingelse")
+    assert(Verify.staleShuffleDirs(names, live.contains) ==
+      Seq("graft-shuffle-pid4242", "graft-shuffle"))
+    // a liveness probe that throws must fail SAFE (keep the dir)
+    assert(Verify.staleShuffleDirs(Seq("graft-shuffle-pid7"),
+      _ => throw new RuntimeException("no /proc")).isEmpty)
+  }
+
+  test("pid liveness: own pid is live, an impossible pid is not") {
+    assert(Verify.pidAlive(ProcessHandle.current.pid))
+    assert(!Verify.pidAlive(0x7ffffff0L))
+  }
 }

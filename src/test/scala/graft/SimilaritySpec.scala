@@ -895,4 +895,119 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= Dedup.CosineThreshold)
     }
   }
+
+  test("CentroidRoute equals the row_number routing semantics, degenerate input pinned") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    // shard-count law pins (hand-computed, not recomputed from the code):
+    // S = max(2, ceil(ceil(n/2048)/4096)) — floor 2 everywhere under the
+    // 8.4M boundary, then one more shard per 8.4M vectors
+    val pins = Map(500L -> 2, 1050000L -> 2, 8388608L -> 2,
+      8394753L -> 2, 16777216L -> 2, 16777217L -> 3, 25165824L -> 3,
+      25165825L -> 4)
+    pins.foreach { case (n, s) =>
+      assert(Similarity.semShardsFor(n) == s,
+        s"semShardsFor($n) = ${Similarity.semShardsFor(n)}, want $s")
+    }
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.orderBy(col("vec_id").desc).limit(4).select(col("v"))
+      .collect().zipWithIndex.map { case (r, i) =>
+        val v = r.getSeq[Double](0).toArray
+        var d = 0.0; v.foreach(x => d += x * x)
+        (i, v, math.sqrt(d))
+      }
+    val rt = column(graft.functions.CentroidRoute(expression(col("v")),
+      cents.flatMap(_._2).toIndexedSeq, cents.map(_._3).toIndexedSeq,
+      Similarity.Dim))
+    val got = e.select(col("vec_id"), rt.as("rt"))
+      .as[(Long, Array[Double])].collect().toMap
+    val vecs = e.as[(Long, Array[Double])].collect()
+    assert(vecs.nonEmpty && got.size == vecs.length)
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    vecs.foreach { case (id, v) =>
+      val nrm = math.sqrt(dotLtr(v, v))
+      // the oracle's semantics: rank by (cos DESC, id ASC), rows 1 and 2
+      val ranked = cents.map { case (i, cv, cn) =>
+        (i, dotLtr(cv, v) / (nrm * cn))
+      }.sortBy { case (i, c) => (-c, i) }
+      val Array(s1, s2, margin) = got(id)
+      assert(s1.toInt == ranked(0)._1, s"vec $id primary")
+      assert(s2.toInt == ranked(1)._1, s"vec $id runner-up")
+      assert(margin == ranked(0)._2 - ranked(1)._2, s"vec $id margin")
+    }
+    // degenerate (wrong length) input → [0, 1, +inf]: primary shard 0,
+    // margin +inf so the ghost band never fires
+    val degen = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "v")
+      .select(column(graft.functions.CentroidRoute(expression(col("v")),
+        cents.flatMap(_._2).toIndexedSeq, cents.map(_._3).toIndexedSeq,
+        Similarity.Dim)))
+      .as[Array[Double]].head()
+    assert(degen.toSeq == Seq(0.0, 1.0, Double.PositiveInfinity))
+  }
+
+  test("sharded semantic dedup: sound decision table, planted near-dups caught like the unsharded form") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    // planted fixture: deterministic base vectors + a near-identical
+    // plant (component-0 nudge, cosine ≈ 1 ≫ threshold) for the first
+    // nPlant bases, under high plant ids so min-id-wins prunes the plant
+    val n = 3000; val nPlant = 150
+    def baseVec(id: Long): Array[Float] =
+      Array.tabulate(Similarity.Dim) { i =>
+        ((graft.functions.Hashing.h48String(s"semfix-$id-$i") % 1000)
+          / 500.0f - 1.0f)
+      }
+    val rows =
+      (0L until n).map(id => (id, baseVec(id))) ++
+      (0L until nPlant).map { b =>
+        val v = baseVec(b); v(0) = v(0) + 0.01f
+        (100000L + b, v)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("semfix").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", flit("fix"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sharded = Similarity.semanticDedupSharded(spark, dir)
+      .as[(Long, Int, Int, Option[Long], Boolean)].collect()
+    // decision-table shape: one row per vector, kept == no pruner, the
+    // forced shard floor exercises the routing at fixture scale
+    assert(sharded.length == rows.length)
+    assert(sharded.map(_._1).toSet == rows.map(_._1).toSet)
+    sharded.foreach { case (_, _, _, p, kept) => assert(kept == p.isEmpty) }
+    assert(sharded.map(_._2).distinct.length >= 2, "shard floor not exercised")
+    // SOUNDNESS (precision 1.0): every pruner is a true near-dup of its
+    // prunee at the stored (float-truncated) values, and has the smaller id
+    val stored = Similarity.embeddings(spark, dir)
+      .select("vec_id", "v").as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    sharded.foreach { case (id, _, _, p, _) =>
+      p.foreach { pr =>
+        assert(pr < id, s"pruner $pr not smaller than $id")
+        assert(cos(stored(pr), stored(id)) >= Dedup.CosineThreshold,
+          s"unsound prune: $pr covers $id at cos ${cos(stored(pr), stored(id))}")
+      }
+    }
+    // QUALITY AUDIT vs the unsharded form (the round-12 ask): the plants
+    // are the ground truth — sharding (routing cut + ghost band) must not
+    // lose them relative to single-level SemDeDup
+    val unsharded = Similarity.semanticDedup(spark, dir)
+      .select("vec_id", "pruned_by")
+      .as[(Long, Option[Long])].collect().toMap
+    val plantedIds = (0L until nPlant).map(100000L + _)
+    val caughtSharded = plantedIds.count(id =>
+      sharded.find(_._1 == id).exists(_._4.nonEmpty))
+    val caughtUnsharded = plantedIds.count(id => unsharded(id).nonEmpty)
+    assert(caughtUnsharded >= (nPlant * 9) / 10,
+      s"unsharded baseline lost plants: $caughtUnsharded/$nPlant")
+    assert(caughtSharded >= caughtUnsharded - nPlant / 20,
+      s"sharding lost plants: sharded=$caughtSharded unsharded=$caughtUnsharded")
+  }
 }
