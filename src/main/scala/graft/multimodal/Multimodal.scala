@@ -756,4 +756,182 @@ object Multimodal {
           CAST(sum(CASE WHEN reason IS NOT NULL THEN 1 ELSE 0 END) * 1000000
             // count(*) AS BIGINT) AS fail_ppm
         FROM d GROUP BY source ORDER BY source"""
+
+  // ==================================================== APNG container
+
+  /** One decoded APNG frame row: the whole-frame byte sum is the
+    * checksum a frame sampler logs per EXTRACTED frame (the 1→N
+    * container shape — one payload, n_frames output rows, every value
+    * a function of DEFLATE-reconstructed bytes).
+    */
+  final case class ApngFrameRow(doc_id: Long, frame_idx: Int,
+      width: Int, height: Int, frame_sum: Long)
+
+  /** Deterministic APNG payload for a doc id — a real multi-frame
+    * container ([[Apng.encode]]): IHDR + acTL + per-frame fcTL/fdAT
+    * with one shared sequence counter, each frame a full DEFLATE+filter
+    * image stream. Pixels extend the shared id-seeded arithmetic with a
+    * frame term ((id·131 + f·37 + k·31 + 17) mod 256) so the oracle
+    * replays every decoded byte without an APNG decoder of its own.
+    *
+    * Corruption classes are MUTUALLY EXCLUSIVE by an if/else priority
+    * chain (the PPM/PNG fixtures' overlapping residues forced a
+    * detection-order rule into the oracle; exclusivity removes that
+    * coupling — each id has exactly one declared class):
+    *  - id ≡ 7 (mod 31): first fdAT data byte flipped, stale CRC
+    *    ("bad_crc" — bit rot inside a frame chunk);
+    *  - id ≡ 3 (mod 19): final third cut ("truncated" — partial
+    *    download);
+    *  - id ≡ 3 (mod 37): last fdAT's sequence number +1 with a VALID
+    *    CRC ("bad_sequence" — the dropped/reordered-chunk corruption
+    *    only the container layer can detect);
+    *  - id ≡ 9 (mod 43): acTL declares one frame more than the file
+    *    carries ("bad_actl" — metadata lies about the frame count);
+    *  - otherwise ok; id ≡ 0 (mod 11) additionally splits frame 1's
+    *    stream across two fdAT chunks (decoded identically —
+    *    exercises cross-chunk concatenation under the sequence walk).
+    */
+  def apngPayload(id: Long): Array[Byte] = {
+    val w = (4 + (id * 13 + 5) % 12).toInt
+    val h = (4 + (id * 7 + 11) % 12).toInt
+    val n = (2 + id % 4).toInt
+    val frames = (0 until n).map { f =>
+      Array.tabulate(3 * w * h)(k =>
+        ((id * 131 + f * 37 + k * 31 + 17) % 256).toByte)
+    }
+    if (id % 31 == 7) {
+      // locate the first fdAT by the chunk walk (never byte search) and
+      // flip its first data byte past the 4-byte sequence number
+      val out = Apng.encode(w, h, frames).clone()
+      var i = 8
+      var done = false
+      while (!done) {
+        val len = java.nio.ByteBuffer.wrap(out, i, 4).getInt
+        if (new String(out, i + 4, 4, "US-ASCII") == "fdAT") {
+          out(i + 12) = (out(i + 12) ^ 0xff).toByte
+          done = true
+        } else i += 12 + len
+      }
+      out
+    } else if (id % 19 == 3) {
+      val base = Apng.encode(w, h, frames)
+      java.util.Arrays.copyOf(base, base.length - base.length / 3)
+    } else if (id % 37 == 3) {
+      Apng.encode(w, h, frames, bumpLastSeq = true)
+    } else if (id % 43 == 9) {
+      Apng.encode(w, h, frames, declaredFrames = Some(n + 1))
+    } else {
+      Apng.encode(w, h, frames, splitFdat = id % 11 == 0)
+    }
+  }
+
+  def apngBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaBlob(id, apngPayload(id))))
+  }
+
+  /** Frame walk over REAL container parses (round-12 verdict ask #8 —
+    * the query the md5 frame stub stood in for): every decodable APNG
+    * yields one row per animation frame with its rectangle and the
+    * whole-frame byte sum of the DEFLATE-reconstructed raster.
+    * Undecodable payloads route to [[apngAudit]] and contribute
+    * nothing. Scale shape: input-partitioned scan, per-row CPU, no
+    * shuffle before the final order.
+    */
+  def apngFrames(spark: SparkSession, dir: String): DataFrame = {
+    val b = apngBlobs(spark, dir)
+    import b.sparkSession.implicits._
+    b.mapPartitions(it => it.flatMap { x =>
+      Apng.decode(x.content) match {
+        case Left(_) => Iterator.empty
+        case Right(frames) => frames.iterator.map { fr =>
+          var sum = 0L
+          var k = 0
+          while (k < fr.raster.length) { sum += (fr.raster(k) & 0xff); k += 1 }
+          ApngFrameRow(x.doc_id, fr.idx, fr.width, fr.height, sum)
+        }
+      }
+    }).toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Quarantine audit over the APNG decoder's failures, per source —
+    * the container's own classes next to the byte-level ones.
+    * Output: (source, n_blobs, n_ok, n_bad_crc, n_truncated,
+    * n_bad_sequence, n_bad_actl, fail_ppm).
+    */
+  def apngAudit(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val b = apngBlobs(spark, dir)
+    import b.sparkSession.implicits._
+    val st = b.mapPartitions(it => it.map { x =>
+      Apng.decode(x.content) match {
+        case Left(r)  => DecodeStatus(x.doc_id, ok = false, r)
+        case Right(_) => DecodeStatus(x.doc_id, ok = true, null)
+      }
+    })
+    st.toDF().join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("reason") === "bad_crc", 1L).otherwise(0L))
+          .as("n_bad_crc"),
+        sum(when(col("reason") === "truncated", 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(when(col("reason") === "bad_sequence", 1L).otherwise(0L))
+          .as("n_bad_sequence"),
+        sum(when(col("reason") === "bad_actl", 1L).otherwise(0L))
+          .as("n_bad_actl"))
+      .select(col("source"), col("n_blobs"), col("n_ok"),
+        col("n_bad_crc"), col("n_truncated"), col("n_bad_sequence"),
+        col("n_bad_actl"),
+        expr("(n_blobs - n_ok) * 1000000 div n_blobs").as("fail_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle replay of [[apngFrames]]: the id-seeded frame pixels under
+    * the exclusive corruption chain — DuckDB never parses a container;
+    * matching these sums means the sequence walk, fdAT concatenation
+    * and per-frame inflate+unfilter reconstructed every byte.
+    */
+  val apngFramesSql: String =
+    """WITH d AS (SELECT doc_id,
+              CAST(4 + (doc_id*13 + 5) % 12 AS INT) AS w,
+              CAST(4 + (doc_id*7 + 11) % 12 AS INT) AS h,
+              CAST(2 + doc_id % 4 AS INT) AS n
+            FROM documents
+            WHERE doc_id % 31 <> 7 AND doc_id % 19 <> 3
+              AND doc_id % 37 <> 3 AND doc_id % 43 <> 9),
+        f AS (SELECT doc_id, w, h, unnest(range(0, n)) AS fi FROM d),
+        px AS (SELECT doc_id, w, h, fi,
+              unnest(range(0, 3*w*h)) AS k FROM f)
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+          w AS width, h AS height,
+          CAST(sum((doc_id*131 + fi*37 + k*31 + 17) % 256) AS BIGINT)
+            AS frame_sum
+        FROM px GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx"""
+
+  val apngAuditSql: String =
+    """WITH d AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 31 = 7 THEN 'bad_crc'
+                   WHEN doc_id % 19 = 3 THEN 'truncated'
+                   WHEN doc_id % 37 = 3 THEN 'bad_sequence'
+                   WHEN doc_id % 43 = 9 THEN 'bad_actl' END AS reason
+            FROM documents)
+        SELECT source, count(*) AS n_blobs,
+          CAST(sum(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ok,
+          CAST(sum(CASE WHEN reason = 'bad_crc' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_crc,
+          CAST(sum(CASE WHEN reason = 'truncated' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_truncated,
+          CAST(sum(CASE WHEN reason = 'bad_sequence' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_sequence,
+          CAST(sum(CASE WHEN reason = 'bad_actl' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_actl,
+          CAST(sum(CASE WHEN reason IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS fail_ppm
+        FROM d GROUP BY source ORDER BY source"""
 }

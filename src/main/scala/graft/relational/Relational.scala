@@ -339,14 +339,11 @@ object Relational {
     * Aggregator; at catalog scale row_number is optimal and AQE-coalesced.
     */
   def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val o = Tables.load(spark, dir, "orders")
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
-      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
-      .orderBy("o_orderpriority", "rn")
+    // dual-use SQL since round 13: one text, both engines (the text was
+    // already dialect-neutral; Spark 4 rewrites the rn <= 3 filter into
+    // WindowGroupLimit from SQL exactly as it did for the DataFrame form)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(windowTopOrdersSql)
   }
 
   val windowTopOrdersSql: String =
@@ -577,28 +574,32 @@ object Relational {
     * O(weeks²) rows.
     */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "events")
-    val act = e.select(col("user_id"),
-      expr("ts_ns div 86400000000000").as("d")).distinct()
-    val coh = act.groupBy("user_id").agg(min("d").as("d0"))
-    act.join(coh, "user_id")
-      .select(col("user_id"), expr("d0 div 7").as("cohort_week"),
-        expr("(d - d0) div 7").as("week_offset"))
-      .distinct()
-      .groupBy("cohort_week", "week_offset")
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
+    // dual-use SQL since round 13 (round-12 ask #7): retention needs only
+    // DAY-granular buckets from the timestamp, and day extraction has a
+    // dialect-neutral spelling — CAST(ts AS DATE) then DATE subtraction
+    // (the [[windowRange]] form). The registered Spark view's `ts` is the
+    // µs-truncated TIMESTAMP_NTZ [[graft.model.Tables.withEventTime]]
+    // derives from the raw nanos (truncation cannot move a day boundary),
+    // DuckDB casts its TIMESTAMP_NS directly; the week division runs
+    // through floor(d / 7.0) — exact for any day number below 2^50, so
+    // both engines compute the identical integer. Queries whose OUTPUT
+    // carries a timestamp column (q_events_hourly) stay twin-form: the
+    // TIMESTAMP(NANOS)-vs-TIMESTAMP type gap is in the result itself.
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(eventsRetentionSql)
   }
 
   val eventsRetentionSql: String =
     """WITH act AS (SELECT DISTINCT user_id,
-         epoch_ns(ts) // 86400000000000 AS d FROM events),
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS d FROM events),
        coh AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id),
-       w AS (SELECT DISTINCT act.user_id, d0 // 7 AS cohort_week,
-               (d - d0) // 7 AS week_offset
+       w AS (SELECT DISTINCT act.user_id,
+               CAST(floor(d0 / 7.0) AS INT) AS cohort_week,
+               CAST(floor((d - d0) / 7.0) AS INT) AS week_offset
              FROM act JOIN coh ON act.user_id = coh.user_id)
        SELECT cohort_week, week_offset, count(*) AS n_users
-       FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+       FROM w GROUP BY cohort_week, week_offset
+       ORDER BY cohort_week, week_offset"""
 
   /** GAP-FILLED hourly series per event type: every hour from each
     * type's first to last activity appears, absent hours as explicit
@@ -1362,19 +1363,13 @@ object Relational {
     * narrow codegen'd projection (no shuffle at all).
     */
   def scalarFunctions(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.load(spark, dir, "part")
-    p.select(
-        col("p_partkey"),
-        upper(col("p_name")).as("name_up"),
-        length(col("p_name")).as("name_len"),
-        substring(col("p_type"), 1, 5).as("type_pfx"),
-        (col("p_retailprice") * 1.1).cast("decimal(18,2)").cast("double").as("bumped"),
-        (col("p_size") % 7).as("size_mod"),
-        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
-        when(col("p_size") > 25, lit("large"))
-          .when(col("p_size") > 10, lit("medium"))
-          .otherwise(lit("small")).as("size_class"))
-      .orderBy("p_partkey")
+    // dual-use SQL since round 13: one text, both engines — substr, ||
+    // concat, CASE, decimal bump and % all parse identically (the
+    // double→DECIMAL rounding-mode split — Spark HALF_UP vs DuckDB
+    // half-even — is unexercised on the cent-grid generator data, same
+    // as it was under the twin texts).
+    Tables.load(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(scalarFunctionsSql)
   }
 
   val scalarFunctionsSql: String =
@@ -1818,18 +1813,14 @@ object Relational {
     * guards stddev to NULL on a cancellation-negative variance).
     */
   def momentStats(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val q = dec2(col("l_quantity"))
-    val (mean, variance, stddev) = momentCols(col("s1").cast("double"),
-      col("s2").cast("double"), col("n").cast("double"))
-    l.groupBy("l_returnflag")
-      .agg(sum(q).as("s1"), sum(q * q).as("s2"), count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-        mean.as("mean_qty"),
-        variance.as("var_qty"),
-        stddev.as("stddev_qty"),
-        col("n"))
-      .orderBy("l_returnflag")
+    // dual-use SQL since round 13: one text, both engines — the decimal
+    // power sums and the operand-order-pinned closed form (isnan and the
+    // n>1 / var>0 guards included) were already spelled identically in
+    // the oracle text; running that text through spark.sql removes the
+    // drift surface. [[momentCols]] keeps the shared convention for the
+    // DataFrame-form consumers ([[eventsAnomaly]]).
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(momentStatsSql)
   }
 
   val momentStatsSql: String =
@@ -1879,22 +1870,22 @@ object Relational {
     * is deterministic without a row tiebreak.
     */
   def windowRange(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val o = Tables.load(spark, dir, "orders")
-      .withColumn("epoch_day", datediff(col("o_orderdate"), lit("1970-01-01")))
-    val w = Window.partitionBy("o_custkey").orderBy("epoch_day")
-      .rangeBetween(-7, 0)
-    o.select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
-        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("trailing_7d"))
-      .orderBy("o_custkey", "o_orderkey")
+    // dual-use SQL since round 13 (round-12 ask #7): the only dialect
+    // split was the epoch-day spelling — Spark's 2-arg datediff vs
+    // DuckDB's 3-arg datediff('day', …). Plain DATE subtraction CAST to
+    // INT parses in both and agrees exactly (Spark: DATE − DATE is an
+    // ANSI day interval, whose integral cast is the day count; DuckDB:
+    // BIGINT days), so the one text carries the whole query.
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(windowRangeSql)
   }
 
   val windowRangeSql: String =
     """SELECT o_custkey, o_orderkey,
-       CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INT) AS epoch_day,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS epoch_day,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey
-         ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+         ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
          RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
        FROM orders ORDER BY o_custkey, o_orderkey"""
 

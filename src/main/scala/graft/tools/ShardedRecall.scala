@@ -154,6 +154,74 @@ object ShardedRecall {
             s"truth=${rows.length} found=$h recall=${pct(h, rows.length)}")
       }
     }
+
+    // WIDTH-MIGRATION cycle (round-12 verdict ask #3's measurement):
+    // build the index on HALF the stored split (the corpus at some past
+    // ingest point — a narrower frozen width), ingest the other half at
+    // the frozen params (graft.similarity.Similarity.shardedIndexAppend
+    // — exactly what the admission gate does), confirm the drift check
+    // fires, then migrate and measure what each state actually delivers:
+    // probe RECALL over the cross-split planted truth AND the
+    // candidate-slot BILL (Σ stored×new per cell — the number of cosine
+    // evaluations a probe pays). The expected shape: the drifted index
+    // KEEPS recall (narrower w ⇒ more collisions) but pays a fattened
+    // bill; migration restores the design-point economics at the same
+    // guarantee.
+    if (args.contains("--migrate")) locally {
+      import graft.functions.Hashing
+      import graft.similarity.Similarity
+      def isNewId(id: Long): Boolean =
+        Hashing.h48String(s"incr-$id") % 10 >= 8
+      val isNew = Hashing.h48(concat(lit("incr-"), col("vec_id"))) % 10 >= 8
+      val stored = e.where(!isNew)
+      val fresh = e.where(isNew)
+      val migHalf = Hashing.h48(concat(lit("mig-"), col("vec_id"))) % 2
+      val idx = java.nio.file.Files.createTempDirectory("mig_idx").toString
+      val wSmall = Similarity.shardedIndexBuild(spark,
+        stored.where(migHalf === 0), idx)
+      Similarity.shardedIndexAppend(spark, idx,
+        stored.where(migHalf === 1))
+      val d = Similarity.shardedIndexDrift(spark, idx).head()
+      System.err.println(s"[shardedrecall] migrate: frozen_w=$wSmall " +
+        s"indexed=${d.getLong(1)} current=${d.getLong(2)} " +
+        s"fresh_w=${d.getInt(3)} drifted=${d.getBoolean(4)}")
+      val crossTruth = truthRows.filter(t => isNewId(t._1) != isNewId(t._2))
+      def probeState(path: String, label: String): Unit = {
+        val (w, _) = Similarity.shardedIndexMeta(spark, path)
+        val ps = Similarity.shardedParamsFor(w)
+        // candidate-slot bill from occupancy alone (stored × new per cell)
+        val keys = Seq("rep", "shard", "tbl", "bucket")
+        val sc = spark.read.parquet(s"$path/buckets")
+          .groupBy(keys.map(col): _*).count()
+          .withColumnRenamed("count", "n_stored")
+        val nc = Similarity.shardedLshBuckets(fresh, ps)
+          .groupBy(keys.map(col): _*).count()
+          .withColumnRenamed("count", "n_new")
+        val billRow = sc.join(nc, keys)
+          .agg(sum(expr("n_stored * n_new"))).head()
+        val slots = if (billRow.isNullAt(0)) 0L else billRow.getLong(0)
+        val t0 = System.nanoTime()
+        val found = Similarity.shardedIncrementalFromIndex(spark, path, fresh)
+          .select(least(col("new_id"), col("stored_id")).as("vec_a"),
+            greatest(col("new_id"), col("stored_id")).as("vec_b"))
+          .join(broadcast(truth.select("vec_a", "vec_b")),
+            Seq("vec_a", "vec_b"), "left_semi")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val tot = crossTruth.length.toLong
+        val hit = crossTruth.count(t => found.contains((t._1, t._2))).toLong
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[shardedrecall] migrate %s: w=%d crossRecall=%s (%d/%d) " +
+            "candSlots=%d wallSec=%.1f",
+          label, Int.box(w), pct(hit, tot), Long.box(hit), Long.box(tot),
+          Long.box(slots), Double.box(secs)))
+      }
+      probeState(idx, "drifted")
+      val idx2 = java.nio.file.Files.createTempDirectory("mig_idx2").toString
+      val (oldW, newW) = Similarity.shardedIndexMigrate(spark, idx, idx2)
+      assert(newW > oldW, s"migration did not widen: $oldW -> $newW")
+      probeState(idx2, "migrated")
+    }
     spark.stop()
   }
 }

@@ -330,4 +330,116 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("apng codec: multi-frame round trip exact, split fdAT identical, delays carried") {
+    import graft.multimodal.Apng
+    val w = 6; val h = 7
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(3 * w * h)(k => ((f * 37 + k * 31 + 17) % 256).toByte)
+    }
+    val dec = Apng.decode(Apng.encode(w, h, frames)).toOption.get
+    assert(dec.length == 3)
+    dec.zipWithIndex.foreach { case (fr, f) =>
+      assert(fr.idx == f && fr.width == w && fr.height == h)
+      assert(fr.xOff == 0 && fr.yOff == 0)
+      assert(fr.delayNum == 1 && fr.delayDen == 10)
+      assert(java.util.Arrays.equals(fr.raster, frames(f)),
+        s"frame $f raster mismatch")
+    }
+    // splitting frame 1's stream across two fdAT chunks changes bytes on
+    // the wire but not one decoded value — concatenation under the
+    // sequence walk is lossless
+    val split = Apng.decode(Apng.encode(w, h, frames, splitFdat = true))
+      .toOption.get
+    split.zip(dec).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.raster, b.raster))
+    }
+  }
+
+  test("apng decoder: every container failure class detected from a crafted payload") {
+    import graft.multimodal.{Apng, Png}
+    val w = 5; val h = 5
+    val frames = (0 until 2).map { f =>
+      Array.tabulate(3 * w * h)(k => ((f * 37 + k * 31 + 17) % 256).toByte)
+    }
+    val ok = Apng.encode(w, h, frames)
+    assert(Apng.decode(ok).isRight)
+    // bad_signature
+    val sig = ok.clone(); sig(0) = 0
+    assert(Apng.decode(sig) == Left("bad_signature"))
+    // truncated: cut inside a chunk
+    assert(Apng.decode(java.util.Arrays.copyOf(ok, ok.length - 5))
+      == Left("truncated"))
+    // bad_crc: flip a data byte of the first fdAT, stale CRC
+    locally {
+      val out = ok.clone()
+      var i = 8; var done = false
+      while (!done) {
+        val len = java.nio.ByteBuffer.wrap(out, i, 4).getInt
+        if (new String(out, i + 4, 4, "US-ASCII") == "fdAT") {
+          out(i + 12) = (out(i + 12) ^ 0xff).toByte; done = true
+        } else i += 12 + len
+      }
+      assert(Apng.decode(out) == Left("bad_crc"))
+    }
+    // bad_sequence: last fdAT's sequence bumped (CRC valid)
+    assert(Apng.decode(Apng.encode(w, h, frames, bumpLastSeq = true))
+      == Left("bad_sequence"))
+    // bad_actl: declared frame count disagrees with the fcTL walk
+    assert(Apng.decode(Apng.encode(w, h, frames,
+      declaredFrames = Some(3))) == Left("bad_actl"))
+    // a plain still PNG fed to the container decoder: its IDAT arrives
+    // with no owning fcTL — "unsupported" (out of the animated scope),
+    // not a broken animation
+    assert(Apng.decode(Png.encode(w, h, frames.head)) == Left("unsupported"))
+    // bad_frame_rect: hand-build an fcTL whose rect overruns the canvas
+    locally {
+      val out = ok.clone()
+      var i = 8; var done = false
+      while (!done) {
+        val len = java.nio.ByteBuffer.wrap(out, i, 4).getInt
+        if (new String(out, i + 4, 4, "US-ASCII") == "fcTL") {
+          // widen the frame width field (bytes 4..7 of fcTL data) past
+          // the canvas and restamp the CRC so only the rect is wrong
+          java.nio.ByteBuffer.wrap(out, i + 12, 4).putInt(w + 1)
+          val crc = new java.util.zip.CRC32
+          crc.update(out, i + 4, 4 + len)
+          java.nio.ByteBuffer.wrap(out, i + 8 + len, 4)
+            .putInt(crc.getValue.toInt)
+          done = true
+        } else i += 12 + len
+      }
+      assert(Apng.decode(out) == Left("bad_frame_rect"))
+    }
+  }
+
+  test("apng corpus: per-frame fixtures and the exclusive corruption chain behave per the generator contract") {
+    import graft.multimodal.{Apng, Multimodal}
+    def cls(id: Long): String =
+      if (id % 31 == 7) "bad_crc"
+      else if (id % 19 == 3) "truncated"
+      else if (id % 37 == 3) "bad_sequence"
+      else if (id % 43 == 9) "bad_actl"
+      else "ok"
+    // scan enough ids to hit every class and the split-fdAT variant
+    (0L until 200L).foreach { id =>
+      val got = Apng.decode(Multimodal.apngPayload(id))
+      cls(id) match {
+        case "ok" =>
+          val frames = got.toOption.get
+          assert(frames.length == (2 + id % 4).toInt, s"id=$id frame count")
+          val w = (4 + (id * 13 + 5) % 12).toInt
+          val h = (4 + (id * 7 + 11) % 12).toInt
+          frames.foreach { fr =>
+            assert(fr.width == w && fr.height == h)
+            fr.raster.zipWithIndex.foreach { case (b, k) =>
+              assert((b & 0xff) ==
+                ((id * 131 + fr.idx * 37 + k * 31 + 17) % 256).toInt,
+                s"id=$id frame=${fr.idx} byte $k")
+            }
+          }
+        case c => assert(got == Left(c), s"id=$id want $c got $got")
+      }
+    }
+  }
 }
