@@ -669,8 +669,24 @@ object StreamingOps {
     * — conservative over-rejection on that pathological tail only,
     * never under-admission of a true near-dup.
     */
+  /** Edge cap for [[greedyAdmission]]'s driver fast path: a micro-batch
+    * whose within-batch near-dup graph fits under this many edges (the
+    * overwhelmingly common case — a true increment's near-dups are a
+    * small fraction of the batch) resolves the greedy order in one
+    * bounded collect + O(E) driver pass instead of the distributed
+    * fixed point, whose per-round cost is ~4 scheduler round-trips. The
+    * round-13 stream probe measured the all-distributed form at 468
+    * vec/s vs 1,084 for the round-12 (semantically wrong) single-pass
+    * drop — the fast path restores the throughput WITH the fixed
+    * semantics. 200k edges ≈ 3 MB of longs: bounded driver state, the
+    * `limit(cap+1)` probe can never collect more.
+    */
+  val AdmissionDriverEdgeCap = 200000
+
   private[graft] def greedyAdmission(pairs: DataFrame,
-      crossDropped: DataFrame): DataFrame = {
+      crossDropped: DataFrame,
+      driverEdgeCap: Int = AdmissionDriverEdgeCap): DataFrame = {
+    val spark = pairs.sparkSession
     val xd = crossDropped.select(col("vec_id")).localCheckpoint(true)
     // edges between still-undecided vertices: a cross-dropped source
     // drops nobody; a cross-dropped target is already decided
@@ -678,6 +694,22 @@ object StreamingOps {
       .join(xd.withColumnRenamed("vec_id", "a"), Seq("a"), "left_anti")
       .join(xd.withColumnRenamed("vec_id", "b"), Seq("b"), "left_anti")
       .select("a", "b").localCheckpoint(true)
+    val probe = remaining.limit(driverEdgeCap + 1).collect()
+    if (probe.length <= driverEdgeCap) {
+      // driver fast path: edges fit — one ascending pass IS the greedy
+      // order (every edge has a < b, so a's fate is decided before any
+      // edge targeting b is examined)
+      val byTarget = probe.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._2)
+      val droppedSet = scala.collection.mutable.HashSet[Long]()
+      byTarget.keys.toArray.sorted.foreach { b =>
+        if (byTarget(b).exists { case (a, _) => !droppedSet.contains(a) })
+          droppedSet += b
+      }
+      import spark.implicits._
+      return xd.unionByName(droppedSet.toSeq.toDF("vec_id"))
+        .select("vec_id").distinct()
+    }
     var dropped = xd
     var rounds = 0
     while (rounds < 48 && !remaining.isEmpty) {

@@ -483,6 +483,27 @@ class StreamingSpec extends SparkSpec {
     assert(dropped(pairs(1L -> 2L, 2L -> 3L), xd(2L)) == Set(2L))
     // empty graph: only cross-index drops
     assert(dropped(pairs(), xd(7L)) == Set(7L))
+    // the driver fast path (round 13) and the distributed fixed point
+    // must agree — force the distributed branch with a zero edge cap on
+    // every fixture above plus a 60-vertex chain (past the 48-round
+    // guard, which drops the undecided tail conservatively — assert the
+    // guard's contract: a superset of the exact drops, never admitting
+    // a true near-dup's neighbor)
+    def droppedDist(p: org.apache.spark.sql.DataFrame,
+        x: org.apache.spark.sql.DataFrame): Set[Long] =
+      greedyAdmission(p, x, driverEdgeCap = 0).as[Long].collect().toSet
+    for ((p, x) <- Seq(
+        (pairs(1L -> 2L, 2L -> 3L), xd()),
+        (pairs(1L -> 2L, 2L -> 3L, 3L -> 4L), xd()),
+        (pairs(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L), xd()),
+        (pairs(1L -> 2L, 2L -> 3L), xd(1L)),
+        (pairs(1L -> 2L, 2L -> 3L), xd(2L))))
+      assert(droppedDist(p, x) == dropped(p, x))
+    val chain = pairs((1L until 60L).map(i => i -> (i + 1)): _*)
+    val exact = dropped(chain, xd())          // driver path: exact greedy
+    assert(exact == (2L to 60L by 2).toSet)
+    val dist = droppedDist(chain, xd())       // 48-round guard kicks in
+    assert(exact.subsetOf(dist), "guard must over-reject, never under")
   }
 
   test("streaming near-dup gate: within-batch and cross-index dups rejected exactly-once") {
