@@ -670,16 +670,18 @@ object StreamingOps {
     * never under-admission of a true near-dup.
     */
   /** Edge cap for [[greedyAdmission]]'s driver fast path: a micro-batch
-    * whose within-batch near-dup graph fits under this many edges (the
+    * whose near-dup constraint graph fits under this many rows (the
     * overwhelmingly common case — a true increment's near-dups are a
-    * small fraction of the batch) resolves the greedy order in one
-    * bounded collect + O(E) driver pass instead of the distributed
-    * fixed point, whose per-round cost is ~4 scheduler round-trips. The
-    * round-13 stream probe measured the all-distributed form at 468
-    * vec/s vs 1,084 for the round-12 (semantically wrong) single-pass
-    * drop — the fast path restores the throughput WITH the fixed
-    * semantics. 200k edges ≈ 3 MB of longs: bounded driver state, the
-    * `limit(cap+1)` probe can never collect more.
+    * small fraction of the batch) resolves the greedy order in ONE
+    * probe job (the within-batch pair join and the cross-index drops
+    * evaluate together as a union) + an O(E) driver pass, instead of
+    * the distributed fixed point whose per-round cost is ~4 scheduler
+    * round-trips plus checkpoint barriers. The round-13 stream probe
+    * measured the all-distributed form at 468 vec/s vs 1,084 for the
+    * round-12 (semantically wrong) single-pass drop; the fused fast
+    * path restores the throughput WITH the fixed semantics. 200k rows
+    * ≈ 3 MB of longs: bounded driver state, the `limit(cap+1)` probe
+    * can never collect more.
     */
   val AdmissionDriverEdgeCap = 200000
 
@@ -687,29 +689,41 @@ object StreamingOps {
       crossDropped: DataFrame,
       driverEdgeCap: Int = AdmissionDriverEdgeCap): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
+    // ONE probe job: cross-index drops ride the same collect as the
+    // pair edges, tagged with a −1 sentinel source (vec_ids are
+    // non-negative in every generator/fixture; a real −1 id would
+    // merely be treated as already-dropped). Seeding the driver pass's
+    // dropped set from the sentinels reproduces the distributed form's
+    // edge filtering: a cross-dropped source constrains nobody, a
+    // cross-dropped target stays dropped.
+    val fused = pairs.select(col("a"), col("b"))
+      .unionByName(crossDropped.select(lit(-1L).as("a"),
+        col("vec_id").as("b")))
+    val probe = fused.limit(driverEdgeCap + 1).collect()
+    if (probe.length <= driverEdgeCap) {
+      val rows = probe.map(r => (r.getLong(0), r.getLong(1)))
+      val droppedSet = scala.collection.mutable.HashSet[Long]()
+      rows.foreach { case (a, b) => if (a == -1L) droppedSet += b }
+      // ascending targets IS the greedy order: every edge's source id
+      // precedes its target, so a's fate is sealed before any edge
+      // targeting b is examined
+      val byTarget = rows.filter(_._1 >= 0L).groupBy(_._2)
+      byTarget.keys.toArray.sorted.foreach { b =>
+        if (!droppedSet.contains(b) &&
+            byTarget(b).exists { case (a, _) => !droppedSet.contains(a) })
+          droppedSet += b
+      }
+      return droppedSet.toSeq.toDF("vec_id")
+    }
+    // distributed fixed point (a backfill-sized batch): edges between
+    // still-undecided vertices — a cross-dropped source drops nobody, a
+    // cross-dropped target is already decided
     val xd = crossDropped.select(col("vec_id")).localCheckpoint(true)
-    // edges between still-undecided vertices: a cross-dropped source
-    // drops nobody; a cross-dropped target is already decided
     var remaining = pairs
       .join(xd.withColumnRenamed("vec_id", "a"), Seq("a"), "left_anti")
       .join(xd.withColumnRenamed("vec_id", "b"), Seq("b"), "left_anti")
       .select("a", "b").localCheckpoint(true)
-    val probe = remaining.limit(driverEdgeCap + 1).collect()
-    if (probe.length <= driverEdgeCap) {
-      // driver fast path: edges fit — one ascending pass IS the greedy
-      // order (every edge has a < b, so a's fate is decided before any
-      // edge targeting b is examined)
-      val byTarget = probe.map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._2)
-      val droppedSet = scala.collection.mutable.HashSet[Long]()
-      byTarget.keys.toArray.sorted.foreach { b =>
-        if (byTarget(b).exists { case (a, _) => !droppedSet.contains(a) })
-          droppedSet += b
-      }
-      import spark.implicits._
-      return xd.unionByName(droppedSet.toSeq.toDF("vec_id"))
-        .select("vec_id").distinct()
-    }
     var dropped = xd
     var rounds = 0
     while (rounds < 48 && !remaining.isEmpty) {
