@@ -132,7 +132,12 @@ if sf10:
           "| pair growth | s/Mpair sf1 | s/Mpair sf10 |")
     print("|---|---|---|---|---|---|---|---|---|")
     for q in out["sf10_family"]:
-        r = next(r for r in rows if r["query"] == q)
+        # a query new this round has sf1/sf10 rows but no decade-1 base
+        # entry yet (next official record supplies it) — skip the print,
+        # the record still carries its sf1/sf10 seconds
+        r = next((r for r in rows if r["query"] == q), None)
+        if r is None:
+            continue
         p1, p10 = r.get("pairs_sf1"), r.get("pairs_sf10")
         pg = round(p10 / p1, 2) if p1 and p10 else ""
         spp1 = round(r["sf1_s"] / p1 * 1e6, 2) if p1 else ""
