@@ -46,6 +46,9 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // rank-limit pushdown up to the engine's own top-k widths
+      // (SemClusterCap = 4096 > the 1000 default cutoff)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
 }

@@ -133,6 +133,11 @@ object Verify {
       // produce.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // rank-limit pushdown (InferWindowGroupLimit) stops at rank bounds
+      // above 1000 by default; the engine's own top-k family cuts at
+      // SemClusterCap = 4096 fine centroids per shard, and a map-side
+      // top-4096 beats a full per-shard sort at every scale.
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

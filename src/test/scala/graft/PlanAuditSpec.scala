@@ -216,7 +216,8 @@ class PlanAuditSpec extends SparkSpec {
     // two-pass shape); (d) an explicit allowlist entry with a written
     // rationale, same discipline as the BNLJ list.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
-      GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+      GlobalLimit, LocalLimit, LogicalPlan, WindowGroupLimit,
+      Window => LWindow}
     val scalingKeys = Set(
       // entity ids / content hashes — cardinality ∝ data
       "doc_id", "user_id", "q_id", "query_id", "o_custkey", "o_orderkey",
@@ -250,7 +251,14 @@ class PlanAuditSpec extends SparkSpec {
           "per-source partition holds ≤ |langs| rows — bounded by the " +
           "other marginal's cardinality, never by corpus size"))
     def hasLimit(p: LogicalPlan): Boolean =
-      p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.nonEmpty
+      // a WindowGroupLimit child counts as bounded: the optimizer's
+      // rank-limit pushdown keeps per-key top-k on the MAP side, so the
+      // exchange carries ≤ k·|keys| rows — exactly the bound this audit
+      // is checking for (the semShardedAssign literal-cap cut compiles
+      // to this shape)
+      p.collectFirst {
+        case _: GlobalLimit | _: LocalLimit | _: WindowGroupLimit => ()
+      }.nonEmpty
     def hasBlockSummary(p: LogicalPlan): Boolean =
       p.collectFirst {
         case a: Aggregate if a.groupingExpressions.exists(
@@ -274,6 +282,51 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- windowAllow.keys)
       assert(SparkEntry.queries.contains(name),
         s"window allowlist names a query that no longer exists: $name")
+  }
+
+  test("q_dedup_semantic_sharded: plan size is O(1) in corpus size, no centroid literals") {
+    // round-13 verdict ask #1's structural pin: the fine-centroid
+    // assignment must live in the DATA plane (packed-matrix broadcast
+    // join + NearestCentroidCol), not the PLAN plane (the round-13 CASE
+    // of NearestCentroid literals grew the serialized plan — and driver
+    // heap — linearly in n/2048). Checked two ways: (a) the optimized
+    // plan carries ZERO literal-form NearestCentroid nodes and at least
+    // one column-form node; (b) growing the corpus 4x leaves the plan
+    // within noise of the same size — only the S routing-centroid
+    // literals (n/8.4M, the documented bounded residual) may grow.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    def fixture(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"semplan$n").toString
+      (0L until n.toLong).map { id =>
+        (id, Array.tabulate(graft.similarity.Similarity.Dim) { i =>
+          ((graft.functions.Hashing.h48String(s"plan-$id-$i") % 1000)
+            / 500.0f - 1.0f)
+        })
+      }.toDF("vec_id", "embedding").withColumn("label", lit("fix"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def planOf(dir: String) = graft.similarity.Similarity
+      .semanticDedupSharded(spark, dir).queryExecution.optimizedPlan
+    def audit(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : (Int, Int, Long) = {
+      var lits = 0; var cols = 0
+      val exprs = plan.collect { case p => p.expressions }.flatten
+      exprs.foreach(_.foreach {
+        case _: graft.functions.NearestCentroid => lits += 1
+        case _: graft.functions.NearestCentroidCol => cols += 1
+        case _ =>
+      })
+      (lits, cols, plan.toString.length.toLong)
+    }
+    val (lits1, cols1, sz1) = audit(planOf(fixture(300)))
+    val (lits4, cols4, sz4) = audit(planOf(fixture(1200)))
+    assert(lits1 == 0 && lits4 == 0,
+      s"literal-form NearestCentroid back in the plan: $lits1/$lits4")
+    assert(cols1 >= 1 && cols4 >= 1, "column-form assignment missing")
+    assert(sz4 <= (sz1 * 3) / 2,
+      s"plan size grew with corpus size: $sz1 -> $sz4 at 4x rows")
   }
 
   test("q_agg_pricing: projection pruning holds on the widest fact table") {

@@ -949,6 +949,76 @@ class SimilaritySpec extends SparkSpec {
     assert(degen.toSeq == Seq(0.0, 1.0, Double.PositiveInfinity))
   }
 
+  test("semShardedAssign parity with the round-13 driver-side construction at S = 2 and S = 5") {
+    // round-13 verdict ask #1's "done" pin: the distributed assignment
+    // (packed-matrix broadcast join + NearestCentroidCol) must reproduce
+    // the old literal-CASE form EXACTLY. The expected table here IS the
+    // old form's semantics, recomputed driver-side with the same
+    // left-to-right fold and strict-> argmax: route against the S
+    // largest-vec_id routing centroids (cos DESC, id ASC), ghost under
+    // eps(S), per-shard C_s = semClustersFor(primaries), fine centroids
+    // = C_s largest-vec_id primaries (rn-ascending = cid), assignment
+    // argmax over the shard's own matrix, ghost-into-empty-shard drops.
+    val n = 600
+    def baseVec(id: Long): Array[Float] =
+      Array.tabulate(Similarity.Dim) { i =>
+        ((graft.functions.Hashing.h48String(s"sempar-$id-$i") % 1000)
+          / 500.0f - 1.0f)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("sempar").toString
+    (0L until n).map(id => (id, baseVec(id))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("fix"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = Similarity.embeddings(spark, dir)
+    val vecs = e.select("vec_id", "v").as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dotLtr(v, v)) }.toMap
+    val byId = vecs.toMap
+    // the eps(S) law's own pins (hand-computed, not recomputed)
+    assert(Similarity.semGhostMarginFor(2) == 0.05)
+    assert(Similarity.semGhostMarginFor(3) == 0.05 / math.sqrt(2.0))
+    assert(Similarity.semGhostMarginFor(5) == 0.025)
+    for (s <- Seq(2, 5)) {
+      val rcents = vecs.sortBy(-_._1).take(s).map(_._2).zipWithIndex
+      def route(v: Array[Double]): (Int, Int, Double) = {
+        val vn = math.sqrt(dotLtr(v, v))
+        val ranked = rcents.map { case (cv, i) =>
+          (i, dotLtr(cv, v) / (vn * math.sqrt(dotLtr(cv, cv))))
+        }.sortBy { case (i, c) => (-c, i) }
+        (ranked(0)._1, ranked(1)._1, ranked(0)._2 - ranked(1)._2)
+      }
+      val routed = vecs.map { case (id, v) => (id, route(v)) }
+      val eps = Similarity.semGhostMarginFor(s)
+      val mem = routed.map { case (id, (sh, _, _)) => (id, sh, true) } ++
+        routed.collect { case (id, (_, sh2, m)) if m < eps => (id, sh2, false) }
+      val fine: Map[Int, Array[Long]] = routed.groupBy(_._2._1)
+        .map { case (sh, rows) =>
+          val cs = Similarity.semClustersFor(rows.length.toLong)
+          sh -> rows.map(_._1).sortBy(-_).take(cs).toArray
+        }
+      val expected = mem.flatMap { case (id, sh, prim) =>
+        fine.get(sh).map { cents =>
+          val v = byId(id)
+          var best = 0; var bestCos = Double.NegativeInfinity
+          cents.zipWithIndex.foreach { case (cid0, i) =>
+            val c = dotLtr(byId(cid0), v) / (nrm(id) * nrm(cid0))
+            if (c > bestCos) { bestCos = c; best = i }
+          }
+          (id, sh, prim, best)
+        }
+      }.toSet
+      val got = Similarity.semShardedAssign(e, s)
+        .select("vec_id", "shard", "is_primary", "cid")
+        .as[(Long, Int, Boolean, Int)].collect().toSet
+      assert(got == expected, s"assignment parity broken at S=$s")
+    }
+  }
+
   test("sharded semantic dedup: sound decision table, planted near-dups caught like the unsharded form") {
     import org.apache.spark.sql.functions.{lit => flit}
     // planted fixture: deterministic base vectors + a near-identical

@@ -131,12 +131,14 @@ if sf10:
     print("| query | sf1 s | sf10 s | growth | pairs sf1 | pairs sf10 "
           "| pair growth | s/Mpair sf1 | s/Mpair sf10 |")
     print("|---|---|---|---|---|---|---|---|---|")
+    skipped = []
     for q in out["sf10_family"]:
         # a query new this round has sf1/sf10 rows but no decade-1 base
         # entry yet (next official record supplies it) — skip the print,
         # the record still carries its sf1/sf10 seconds
         r = next((r for r in rows if r["query"] == q), None)
         if r is None:
+            skipped.append(q)
             continue
         p1, p10 = r.get("pairs_sf1"), r.get("pairs_sf10")
         pg = round(p10 / p1, 2) if p1 and p10 else ""
@@ -145,3 +147,7 @@ if sf10:
         print(f"| {q} | {r['sf1_s']:.2f} | {r['sf10_s']:.2f} "
               f"| {r.get('growth10')}x | {p1} | {p10} | {pg} "
               f"| {spp1} | {spp10} |")
+    # no silent caps: name every family row the table dropped
+    if skipped:
+        print(f"\nskipped {len(skipped)} family rows with no decade-1 "
+              f"base yet: {skipped}")
