@@ -67,6 +67,35 @@ object Bench {
       }
     }.sortBy(_._1)
 
+  /** Contention pre-flag (extracted for [[BenchGateSpec]]): a row is
+    * suspect when it runs >3× its committed official time AND >0.5 s
+    * absolute (3× of a 50 ms query is scheduler noise). */
+  private[graft] def suspectRows(rows: Seq[(String, Double)],
+      prior: Map[String, Double]): Seq[String] =
+    rows.collect {
+      case (n, v) if v > 0.5 && prior.get(n).exists(p => v > 3 * p) => n
+    }.sorted
+
+  /** Self-healing min-merge (round-13 verdict ask #5): suspect rows get
+    * one extra measured pass and the record keeps the per-query MIN —
+    * the official-record merge convention, applied inside the run so
+    * BENCH_FULL_LATEST.json (which tools and judges read raw) does not
+    * ship transient contention spikes as if they were costs. A re-run
+    * that comes back slower changes nothing. Returns (healed rows,
+    * (name, before, after) for every row the re-run improved).
+    */
+  private[graft] def healMerge(rows: Seq[(String, Double)],
+      rerun: Map[String, Double])
+      : (Seq[(String, Double)], Seq[(String, Double, Double)]) = {
+    val healed = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    val out = rows.map { case (n, v) =>
+      val nv = math.min(v, rerun.getOrElse(n, v))
+      if (nv < v) healed += ((n, v, nv))
+      n -> nv
+    }
+    (out, healed.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,6 +105,14 @@ object Bench {
     // sf10 shuffle footprint, and /dev/shm is typically capped at 50%
     // of RAM, so a smaller host falls back to a stamped /tmp dir
     // rather than turning a full tmpfs into confusing OOM failures)
+    def readLoadavg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "" }
+    // machine load BEFORE any work: a record that starts on a loaded box
+    // self-declares it (round-13 verdict ask #5 — the r13 LATEST shipped
+    // 18 contention-suspect rows with only the END loadavg to show why)
+    val loadavgStart = readLoadavg()
     val (localDir, sweptMb) = Verify.localShuffleDir(32L << 30)
     System.err.println("[bench] spark.local.dir = " +
       (if (localDir == null) "<jvm default tmp>" else localDir))
@@ -246,12 +283,33 @@ object Bench {
       (Map.empty[String, Double], Map.empty[String, (Double, Double)])
     }
     def suspects(rows: Seq[(String, Double)]): Seq[String] =
-      rows.collect {
-        case (n, v) if v > 0.5 && prior.get(n).exists(p => v > 3 * p) => n
-      }.sorted
+      suspectRows(rows, prior)
+    // SELF-HEALING pass (round-13 verdict ask #5): suspect-flagged
+    // declared rows get ONE extra measured pass — after the battery,
+    // like the pair census, so the heal can't pollute neighbors — and
+    // the record keeps the per-query min (the official-record merge
+    // convention, applied in-run so LATEST never ships a transient
+    // spike as a cost). Cold diagnostic rows stay as measured: cold IS
+    // the thing they measure.
+    val (resultsH, healedRows) =
+      if (only.nonEmpty) (results, Seq.empty[(String, Double, Double)])
+      else {
+        val sus0 = suspects(results)
+        if (sus0.isEmpty) (results, Seq.empty[(String, Double, Double)])
+        else {
+          System.err.println(s"[bench] self-heal: re-measuring " +
+            s"${sus0.size} suspect rows (${sus0.mkString(", ")})")
+          val rerun = sus0
+            .map(n => n -> measure(SparkEntry.queries(n), n)).toMap
+          healMerge(results, rerun)
+        }
+      }
+    if (healedRows.nonEmpty)
+      System.err.println("[bench] self-heal improved: " + healedRows.map {
+        case (n, b, a) => s"$n ${fmt(b, 2)}->${fmt(a, 2)}s" }.mkString("; "))
     // total stays the sum over DECLARED queries only — the cold diag
     // row would double-count q_dedup_clusters
-    val total = results.map(_._2).sum
+    val total = resultsH.map(_._2).sum
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", ".")
     // the deterministic full-record path (round-10 verdict ask #4): a
     // consumer that only has the stdout line follows "full_record" here
@@ -269,7 +327,10 @@ object Bench {
       // ADVICE)
       val fullRef =
         if (only.isEmpty) "\"" + latestPath + "\"" else "null"
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"truncated":false,"filtered":${only.nonEmpty},"suspect":$sus,"loadavg":"$loadavg","ts_ms":$tsMs,"cpus":$cpus,"swept_mb":${fmt(sweptMb, 1)},"full_record":$fullRef}"""
+      val healedJson = healedRows.map { case (n, b, a) =>
+        "\"" + n + "\":[" + fmt(b, 3) + "," + fmt(a, 3) + "]"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${resultsH.size},"truncated":false,"filtered":${only.nonEmpty},"suspect":$sus,"healed":$healedJson,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","ts_ms":$tsMs,"cpus":$cpus,"swept_mb":${fmt(sweptMb, 1)},"full_record":$fullRef}"""
     }
     // emitted-pair census + gate (round-12 verdict ask #4): count the
     // pair-emitting family once (untimed — after the battery, so counts
@@ -310,7 +371,7 @@ object Bench {
     val pairRegsJson = pairRegs.map { case (n, p, c) =>
       "\"" + n + "\":[" + p + "," + c + "]"
     }.mkString("{", ",", "}")
-    val shufJson = (results ++ cold).map { case (k, _) =>
+    val shufJson = (resultsH ++ cold).map { case (k, _) =>
       val (r, w) = shuffleMb.getOrElse(k, (0.0, 0.0))
       "\"" + k + "\":[" + fmt(r, 2) + "," + fmt(w, 2) + "]"
     }.mkString("{", ",", "}")
@@ -322,7 +383,7 @@ object Bench {
     val regsJson = regs.map { case (n, p, c) =>
       "\"" + n + "\":[" + fmt(p, 2) + "," + fmt(c, 2) + "]"
     }.mkString("{", ",", "}")
-    val full = json(results ++ cold).dropRight(1) +
+    val full = json(resultsH ++ cold).dropRight(1) +
       s""","byte_regressions":$regsJson,"pair_counts":$pairJson""" +
       s""","pair_regressions":$pairRegsJson,"shuffle_mb_rw":$shufJson}"""
     // complete record → files. The timestamped copy is APPEND-ONLY
@@ -352,7 +413,7 @@ object Bench {
     // 0 so a line-oriented JSON scan finds it). The filtered dev-run
     // variant additionally carries the shuffle map (the full record
     // normally holds it).
-    println(if (only.isEmpty || noShufMetrics) json(results ++ cold)
+    println(if (only.isEmpty || noShufMetrics) json(resultsH ++ cold)
       else full)
     spark.stop()
   }

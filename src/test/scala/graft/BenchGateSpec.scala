@@ -52,6 +52,28 @@ class BenchGateSpec extends AnyFunSuite {
       ("q_drop", 500L, 400L), ("q_grow", 500L, 600L)))
   }
 
+  test("suspect pre-flag: >3x committed AND >0.5s absolute, name-sorted") {
+    val prior = Map("q_a" -> 1.0, "q_b" -> 0.1, "q_c" -> 2.0, "q_d" -> 5.0)
+    val rows = Seq(
+      "q_a" -> 4.0,   // 4x and 4s → suspect
+      "q_b" -> 0.4,   // 4x but under the absolute floor → quiet
+      "q_c" -> 5.0,   // 2.5x → under the ratio → quiet
+      "q_d" -> 30.0,  // 6x → suspect
+      "q_new" -> 99.0) // no committed baseline → never flags
+    assert(Bench.suspectRows(rows, prior) == Seq("q_a", "q_d"))
+  }
+
+  test("self-heal min-merge: keeps the min, reports improvements only, slower re-runs change nothing") {
+    val rows = Seq("q_a" -> 4.0, "q_b" -> 2.0, "q_c" -> 1.0)
+    val (healed, report) = Bench.healMerge(rows,
+      Map("q_a" -> 1.1,   // re-run faster → heal to the min
+          "q_b" -> 3.0))  // re-run slower (still contended) → keep original
+    assert(healed == Seq("q_a" -> 1.1, "q_b" -> 2.0, "q_c" -> 1.0))
+    assert(report == Seq(("q_a", 4.0, 1.1)))
+    // row order is preserved — the record's query map stays name-stable
+    assert(healed.map(_._1) == rows.map(_._1))
+  }
+
   test("stale shuffle dirs: dead pid-stamped and legacy names sweep, live and foreign stay") {
     val live = Set(100L, 200L)
     val names = Seq(
