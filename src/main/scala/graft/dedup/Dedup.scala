@@ -106,13 +106,15 @@ object Dedup {
   /** Exact dedup by content digest: keep the lowest doc_id per md5(text).
     * Output: (doc_id, content_hash, n_copies). One shuffle on the digest.
     */
-  def exact(spark: SparkSession, dir: String): DataFrame =
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    // dual-use SQL since round 14: one text, both engines (md5 is the
+    // same hex-string function in each). The plan is the one the old
+    // DataFrame form built — project (doc_id, md5) then hash-aggregate
+    // on the digest with min/count, nothing wide shuffles.
     Tables.loadSpread(spark, dir, "documents", "doc_id")
-      .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .groupBy("content_hash")
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select("doc_id", "content_hash", "n_copies")
-      .orderBy("doc_id")
+      .createOrReplaceTempView("documents")
+    spark.sql(exactSql)
+  }
 
   val exactSql: String =
     """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
@@ -1004,27 +1006,25 @@ object Dedup {
     * Output: (doc_id, content_hash) of genuinely-new docs.
     */
   def incrementalNew(spark: SparkSession, dir: String): DataFrame = {
-    // join on the BINARY digest (16 bytes) — md5() itself returns the
-    // 32-char hex STRING, which would double every shuffle row; unhex is
-    // injective on hex digests so anti-join semantics are unchanged, and
-    // the hex form rides along only for the output contract
-    val d = Tables.loadSpread(spark, dir, "documents", "doc_id")
-      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("content_hash"))
-      .withColumn("digest", unhex(col("content_hash")))
-    val prior = d.where(pmod(col("doc_id"), lit(10)) < 8).select("digest")
-    d.where(pmod(col("doc_id"), lit(10)) >= 8)
-      .join(prior, Seq("digest"), "left_anti")
-      .select("doc_id", "content_hash")
-      .orderBy("doc_id")
+    // dual-use SQL since round 14: one text, both engines. The text
+    // keeps the binary-digest scale lever the DataFrame form had — the
+    // NOT EXISTS correlates on unhex(md5) (16 bytes; the same BLOB
+    // function in each engine), so Catalyst's left-anti rewrite still
+    // shuffles digests, not 32-char hex strings; the hex rides along
+    // only for the output contract.
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
+      .createOrReplaceTempView("documents")
+    spark.sql(incrementalNewSql)
   }
 
   val incrementalNewSql: String =
-    """WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS content_hash
+    """WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS content_hash,
+                    unhex(md5(coalesce(text, ''))) AS digest
                   FROM documents)
        SELECT doc_id, content_hash FROM d
        WHERE doc_id % 10 >= 8
          AND NOT EXISTS (SELECT 1 FROM d p
-           WHERE p.doc_id % 10 < 8 AND p.content_hash = d.content_hash)
+           WHERE p.doc_id % 10 < 8 AND p.digest = d.digest)
        ORDER BY doc_id"""
 
   // ------------------------------------- incremental near-dup (signatures)

@@ -1429,6 +1429,22 @@ object Relational {
     * FILTER-aggregate form.
     */
   def pivotOrders(spark: SparkSession, dir: String): DataFrame = {
+    // dual-use SQL since round 14: one text, both engines — the
+    // FILTER-aggregate form IS what .pivot() with declared values
+    // compiles to (one hash aggregate, one filtered count per cell; no
+    // discovery pass), so the declared plan is unchanged; the DataFrame
+    // .pivot() API surface stays spec-pinned equal to this text in
+    // PlansSpec (the two engines' PIVOT syntaxes disagree on result
+    // column naming, so the lowered form is the one-text spelling).
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(pivotOrdersSql)
+  }
+
+  /** The DataFrame `.pivot()` form of [[pivotOrders]] — the API showcase
+    * the one-text conversion must stay equal to ([[PlansSpec]] pins
+    * result equality against the declared SQL).
+    */
+  def pivotOrdersApi(spark: SparkSession, dir: String): DataFrame = {
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
     val safe = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
     val o = Tables.load(spark, dir, "orders")
@@ -1503,18 +1519,15 @@ object Relational {
 
   /** String-function breadth in one codegen'd projection. */
   def stringFunctions(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.load(spark, dir, "part")
-    p.select(
-        col("p_partkey"),
-        lpad(col("p_brand"), 12, ".").as("brand_pad"),
-        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
-        instr(col("p_name"), "a").as("a_pos"),
-        trim(col("p_name")).as("name_trim"),
-        reverse(col("p_brand")).as("brand_rev"),
-        repeat(col("p_brand"), 2).as("brand_twice"),
-        regexp_replace(col("p_name"), "[aeiou]", "*").as("name_masked"),
-        split_part(col("p_type"), lit(" "), lit(2)).as("type_mid"))
-      .orderBy("p_partkey")
+    // dual-use SQL since round 14: one text, both engines. The only
+    // dialect gap was the vowel mask — Spark's regexp_replace is
+    // global-by-default with no flags argument while DuckDB's needs an
+    // explicit 'g', so no single regexp spelling exists; the mask is
+    // now a nested replace() chain (identical semantics, and the
+    // regexp surface stays covered by the reference-parity char-class
+    // strip in graft.text.TextOps and the PII scrubber).
+    Tables.load(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(stringFunctionsSql)
   }
 
   val stringFunctionsSql: String =
@@ -1525,7 +1538,9 @@ object Relational {
        trim(p_name) AS name_trim,
        reverse(p_brand) AS brand_rev,
        repeat(p_brand, 2) AS brand_twice,
-       regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_masked,
+       replace(replace(replace(replace(replace(p_name,
+         'a', '*'), 'e', '*'), 'i', '*'), 'o', '*'), 'u', '*')
+         AS name_masked,
        split_part(p_type, ' ', 2) AS type_mid
        FROM part ORDER BY p_partkey"""
 
@@ -1637,24 +1652,15 @@ object Relational {
     * the audit costs one pass regardless of key cardinality.
     */
   def skewAudit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = Tables.load(spark, dir, "events")
-      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
-    val globals = counts.agg(sum("n_events").as("total"),
-      count(lit(1)).as("n_keys"), max("n_events").as("max_n"))
-    val top = counts.orderBy(col("n_events").desc, col("user_id")).limit(10)
-    // Limit-bounded input (10 rows): one window group by design —
-    // partition by the scalar total column so the group is explicit and
-    // no declared plan carries a partition-less WindowExec
-    val ord = Window.partitionBy(col("total"))
-      .orderBy(col("n_events").desc, col("user_id"))
-    top.crossJoin(broadcast(globals))
-      .select(row_number().over(ord).as("rank"),
-        col("user_id"), col("n_events"),
-        expr("n_events * 1000000 div total").as("share_ppm"),
-        col("total").as("total_events"), col("n_keys"),
-        expr("max_n * n_keys * 100 div total").as("skew_x100"))
-      .orderBy("rank")
+    // dual-use SQL since round 14: one text, both engines. Integer
+    // division is spelled (a - a % b) / b — exact in both dialects
+    // (the subtraction makes the dividend exactly divisible, so the
+    // double division is error-free below 2^53), where `//` is
+    // DuckDB-only and `div` is Spark-only. The window's input is the
+    // LIMIT-10 CTE, so no plan carries an unbounded partition-less
+    // WindowExec (PlanAuditSpec's escape hatch by construction).
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(skewAuditSql)
   }
 
   val skewAuditSql: String =
@@ -1667,9 +1673,11 @@ object Relational {
        SELECT CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS INT)
            AS rank,
          user_id, n_events,
-         n_events * 1000000 // total AS share_ppm,
+         CAST((n_events * 1000000 - (n_events * 1000000) % total) / total
+           AS BIGINT) AS share_ppm,
          total AS total_events, n_keys,
-         max_n * n_keys * 100 // total AS skew_x100
+         CAST((max_n * n_keys * 100 - (max_n * n_keys * 100) % total) / total
+           AS BIGINT) AS skew_x100
        FROM top, g ORDER BY rank"""
 
   /** Blocked fuzzy join: all pairs of customer names within edit distance

@@ -17,6 +17,11 @@ object PairCounts {
     "q_dedup_minhash", "q_dedup_simhash", "q_winnow_overlap",
     "q_dedup_templates", "q_dedup_incremental_near",
     "q_dedup_embed_sharded_incr")
+  // (the semantic-dedup family's decision tables — q_dedup_semantic*,
+  // q_dedup_semantic_sharded_incr — are deliberately NOT in the census:
+  // their row count is one per input vector by construction, so a
+  // recall drift would be invisible to it; their drift gate is the
+  // oracle hash itself)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

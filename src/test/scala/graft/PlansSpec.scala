@@ -103,4 +103,17 @@ class PlansSpec extends SparkSpec {
       assert(ident.as[Double].collect().toSeq == Seq(11.0))
     }
   }
+
+  test("DataFrame .pivot() API form equals the declared one-text pivot SQL") {
+    // q_pivot's round-14 one-text conversion pins the claim it rests on:
+    // .pivot() with declared values lowers to exactly the
+    // FILTER-aggregate the shared SQL spells, so the API showcase and
+    // the declared query are the same operator, row for row.
+    val dir = "/root/testdata/sf0.001"
+    val api = graft.relational.Relational.pivotOrdersApi(spark, dir)
+      .collect().toSeq
+    val sql = graft.relational.Relational.pivotOrders(spark, dir)
+      .collect().toSeq
+    assert(api.nonEmpty && api == sql)
+  }
 }
