@@ -574,11 +574,14 @@ object StreamingOps {
     * atomicity; parquet column pruning preserves both probe properties
     * (narrow candidate scan, candidate-driven vector reads).
     */
-  def shardedGateBatch(batch: DataFrame, indexDir: String, w: Int,
-      batchId: Long): Boolean = {
+  /** Code a (vec_id, embedding) frame into the gate index's single-table
+    * row shape (vec_id, v, nrm, buckets) at composite width w — shared
+    * by the per-batch gate and [[shardedGateSeed]] (the grown-index
+    * pricing run seeds the 1.05M planted corpus through one genesis
+    * commit instead of half an hour of micro-batches).
+    */
+  private[graft] def shardedGateCoded(batch: DataFrame, w: Int): DataFrame = {
     import graft.similarity.Similarity
-    import graft.sources.VersionedTable
-    val spark = batch.sparkSession
     val ps = Similarity.shardedParamsFor(w)
     val v = Similarity.withNorm(batch)
     val routing = org.apache.spark.sql.GraftSqlBridge.column(
@@ -590,12 +593,32 @@ object StreamingOps {
         org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
         ps.replicas * ps.fineTables, ps.finePlanes, Similarity.Dim, "sf"))
     val t = ps.fineTables
-    val coded = v.withColumn("rc", routing).withColumn("fc", fine)
+    v.withColumn("rc", routing).withColumn("fc", fine)
       .withColumn("buckets", expr(
         s"""transform(sequence(0, ${ps.replicas * t - 1}), u -> named_struct(
             'rep', CAST(u div $t AS INT), 'shard', rc[CAST(u div $t AS INT)],
             'tbl', CAST(u % $t AS INT), 'bucket', fc[u]))"""))
       .drop("rc", "fc")
+  }
+
+  /** Bulk-seed a gate index with an EXISTING corpus at width w: one
+    * genesis commit (batchId −1 — streamed batch ids start at 0, so a
+    * replayed stream can never collide with the seed). The seeded table
+    * is byte-compatible with sustained [[shardedGateBatch]] ingest; the
+    * width should be [[graft.similarity.Similarity.lshPlanesFor]] of
+    * the SEED size (the index's design point), exactly as a deployment
+    * would bootstrap an online gate from its batch-built corpus.
+    */
+  def shardedGateSeed(vectors: DataFrame, indexDir: String,
+      w: Int): Boolean =
+    graft.sources.VersionedTable.idempotentAppend(
+      shardedGateCoded(vectors, w), indexDir, -1L)
+
+  def shardedGateBatch(batch: DataFrame, indexDir: String, w: Int,
+      batchId: Long): Boolean = {
+    import graft.sources.VersionedTable
+    val spark = batch.sparkSession
+    val coded = shardedGateCoded(batch, w)
     def cells(df: DataFrame, idAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), explode(col("buckets")).as("b"))
         .select(col(idAs), col("b.rep").as("rep"), col("b.shard").as("shard"),

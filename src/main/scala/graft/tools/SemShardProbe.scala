@@ -28,13 +28,16 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.SemShardProbe [dir] [--sharded-only]
   * (`--sharded-only` skips the unsharded twin where its assignment pass
-  * is the only quadratic-cost job on the box).
+  * is the only quadratic-cost job on the box; `--unsharded-only` skips
+  * the sharded side instead — the round-14 eps(S) re-measurement ran
+  * the sharded sweep first and backfilled the unsharded baseline).
   */
 object SemShardProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.filterNot(_.startsWith("--"))
       .getOrElse("scaledata/embed1m")
     val shardedOnly = args.contains("--sharded-only")
+    val unshardedOnly = args.contains("--unsharded-only")
     val (localDir, _) = graft.Verify.localShuffleDir(32L << 30)
     val spark = graft.Verify.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), localDir)
@@ -67,13 +70,18 @@ object SemShardProbe {
 
     val sharded = Similarity.semShardedAssign(e, s)
       .select("vec_id", "shard", "cid")
-    val (_, shSlots, shMems, shSec) = occupancy(s"sharded(S=$s)", sharded)
+    val (shSlots, shMems, shSec) =
+      if (unshardedOnly) (0L, 0L, 0.0)
+      else {
+        val (_, a, b, c) = occupancy(s"sharded(S=$s)", sharded)
+        (a, b, c)
+      }
 
     // unsharded capped twin: one centroid set at the capped width, the
     // same largest-vec_id convention — the construction the sharding
     // replaces past 8.4M vectors
     val c = Similarity.semClustersFor(n)
-    val unsharded = if (shardedOnly) None else Some {
+    val unsharded = if (shardedOnly && !unshardedOnly) None else Some {
       val cents = e.orderBy(col("vec_id").desc).limit(c).select(col("v"))
         .collect().map { r =>
           val v = r.getSeq[Double](0).toArray
@@ -131,12 +139,16 @@ object SemShardProbe {
         }
         out
       }
-      val sq = coCell("sharded", sharded)
+      val sq = if (unshardedOnly) Map.empty[String, (Long, Long)]
+        else coCell("sharded", sharded)
       val uq = unsharded.map(u => coCell("unsharded",
         u.select("vec_id", "shard", "cid")))
-      val bands = sq.toSeq.sortBy(_._1).map { case (b, (h, t)) =>
+      val bands0 = if (sq.nonEmpty) sq else
+        uq.getOrElse(Map.empty).map { case (b, (_, t2)) => b -> ((-1L, t2)) }
+      val bands = bands0.toSeq.sortBy(_._1).map { case (b, (h, t)) =>
         val u = uq.flatMap(_.get(b)).map(_._1)
-        s""""$b":{"truth":$t,"sharded":$h${
+        s""""$b":{"truth":$t${
+          if (h >= 0) s""","sharded":$h""" else ""}${
           u.map(x => s""","unsharded":$x""").getOrElse("")}}"""
       }.mkString(",")
       s""","planted_cocell":{$bands}"""
