@@ -602,17 +602,26 @@ object StreamingOps {
   }
 
   /** Bulk-seed a gate index with an EXISTING corpus at width w: one
-    * genesis commit (batchId −1 — streamed batch ids start at 0, so a
-    * replayed stream can never collide with the seed). The seeded table
-    * is byte-compatible with sustained [[shardedGateBatch]] ingest; the
+    * genesis commit stamped `gate-seed`. The seeded table is
+    * byte-compatible with sustained [[shardedGateBatch]] ingest; the
     * width should be [[graft.similarity.Similarity.lshPlanesFor]] of
     * the SEED size (the index's design point), exactly as a deployment
     * would bootstrap an online gate from its batch-built corpus.
+    * (The round-14 pricing run first tried a version −1 commit for the
+    * seed: negative versions sit below the checkpoint floor —
+    * `entries` skips filenames ≤ the latest checkpoint, whose empty
+    * default is −1 — so the log fold silently DROPPED the seed. Labels
+    * are the replay key, versions stay dense and non-negative.)
     */
   def shardedGateSeed(vectors: DataFrame, indexDir: String,
-      w: Int): Boolean =
-    graft.sources.VersionedTable.idempotentAppend(
-      shardedGateCoded(vectors, w), indexDir, -1L)
+      w: Int): Boolean = {
+    import graft.sources.VersionedTable
+    if (VersionedTable.entries(indexDir).exists(_.op == "gate-seed"))
+      return false
+    VersionedTable.append(shardedGateCoded(vectors, w), indexDir,
+      op = "gate-seed")
+    true
+  }
 
   def shardedGateBatch(batch: DataFrame, indexDir: String, w: Int,
       batchId: Long): Boolean = {
@@ -670,7 +679,19 @@ object StreamingOps {
       }
     val dropped = greedyAdmission(inBatchPairs, crossDropped)
     val admitted = coded.join(dropped, Seq("vec_id"), "left_anti")
-    VersionedTable.idempotentAppend(admitted, indexDir, batchId)
+    // replay key = the `gate-<batchId>` STAMP, not the version number
+    // (round 14: the old idempotentAppend coupled batchId to the
+    // version, so a gate over any pre-populated index — a seeded
+    // corpus, a migrated table — collided with its own batch 0 and
+    // silently treated it as a replay; the mv path's label-stamp
+    // convention decouples them). Same crash contract: a replayed
+    // batch finds its stamp and no-ops. Stamp horizon = the retained
+    // JSON history (mvApplyBatch's documented checkpoint caveat).
+    val label = s"gate-$batchId"
+    if (VersionedTable.entries(indexDir).exists(_.op == label))
+      return false
+    VersionedTable.append(admitted, indexDir, op = label)
+    true
   }
 
   /** Greedy min-id admission over a within-batch near-dup pair graph:

@@ -79,6 +79,12 @@ object StreamProbe {
           (new Timestamp((hour0 + b * 3600L) * 1000L), id, t) }.toSeq
       }
 
+    // section filter for targeted re-runs (dev loop / the round-14
+    // grown-gate re-measure): comma-set of {dedup, mv, ingest, gate}
+    val onlyOps = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def wants(n: String): Boolean = onlyOps.forall(_.contains(n))
+
     val results = scala.collection.mutable.ArrayBuffer[
       (String, Long, Double, Seq[BatchRow], String)]()
 
@@ -146,6 +152,7 @@ object StreamProbe {
       (provName, provClass) <- Seq("hdfs" -> hdfsClass,
         "rocksdb" -> rocksClass)
       (ampName, batches) <- Seq("" -> docBatches, "_x10" -> docBatches10)
+      if wants("dedup")
     } {
       spark.conf.set(rocksConf, provClass)
       locally {
@@ -178,7 +185,7 @@ object StreamProbe {
     }
 
     // ---- MV maintenance (foreachBatch merge into a VersionedTable)
-    locally {
+    if (wants("mv")) locally {
       // events.ts is TIMESTAMP(NANOS) (read as a raw long under the
       // session's nanosAsLong flag) in the driver testdata, but plain
       // TIMESTAMP in Spark-rewritten amplified dirs — handle both
@@ -207,7 +214,7 @@ object StreamProbe {
     }
 
     // ---- versioned ingest (foreachBatch idempotentAppend)
-    locally {
+    if (wants("ingest")) locally {
       val dir = java.nio.file.Files.createTempDirectory("sp_vt").toString
       val mem = MemoryStream[(Timestamp, Long, String)]
       drive("versioned_ingest", docBatches, mem,
@@ -224,7 +231,7 @@ object StreamProbe {
     // the ADMISSION count (rows that survived both dedup gates) — the
     // rows/s here prices the full gate (code + within-batch dedup +
     // cross-index probe + commit) per arriving vector
-    locally {
+    if (wants("gate")) locally {
       val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))

@@ -570,6 +570,42 @@ class StreamingSpec extends SparkSpec {
     assert(Set("vec_id", "v", "nrm", "buckets").subsetOf(storedCols))
   }
 
+  test("gate over a SEEDED index: no version collision, seed visible to the probe, seed and batch replays no-op") {
+    // round-14 regression pin: the old gate keyed idempotency on the
+    // VERSION number (= batchId), so any pre-populated index collided
+    // with batch 0 and silently swallowed it; and a version −1 seed
+    // sat below the checkpoint floor and vanished from the log fold.
+    // Stamps decouple replay identity from version numbering.
+    import graft.sources.VersionedTable
+    import graft.similarity.Similarity
+    import graft.streaming.StreamingOps
+    val idx = java.nio.file.Files.createTempDirectory("graft_gseed").toString
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(Similarity.Dim)(i =>
+        (graft.functions.Hashing.h48String(s"gseed-$seed-$i") % 1000)
+          .toDouble / 500.0 - 1.0)
+    val w = Similarity.lshPlanesFor(20)
+    val seedDf = (0L until 20L).map(i => i -> vec(i))
+      .toDF("vec_id", "embedding")
+    assert(StreamingOps.shardedGateSeed(seedDf, idx, w))
+    assert(!StreamingOps.shardedGateSeed(seedDf, idx, w)) // seed replay
+    assert(VersionedTable.read(spark, idx).count() == 20L)
+    // batch 0 on the seeded index: an exact copy of stored vector 3
+    // (cross-index dup — provable only if the probe SEES the seed) and
+    // one fresh vector
+    val b0 = Seq(100L -> vec(3), 101L -> vec(777L))
+      .toDF("vec_id", "embedding")
+    assert(StreamingOps.shardedGateBatch(b0, idx, w, 0L))
+    val ids = VersionedTable.read(spark, idx)
+      .where(col("vec_id") >= 100L).select("vec_id")
+      .as[Long].collect().toSeq
+    assert(ids == Seq(101L), s"seeded gate admitted: $ids")
+    assert(VersionedTable.read(spark, idx).count() == 21L)
+    // batch replay refused by its stamp; versions stay dense 0..1
+    assert(!StreamingOps.shardedGateBatch(b0, idx, w, 0L))
+    assert(VersionedTable.entries(idx).map(_.version) == Seq(0, 1))
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once, no replays") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
