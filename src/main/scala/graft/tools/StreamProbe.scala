@@ -58,7 +58,7 @@ object StreamProbe {
     val sfDir = if (args.length > 0) args(0) else "scaledata/sf1"
     val nBatches = if (args.length > 1) args(1).toInt else 12
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
-      "BENCH_STREAM_r14.json")
+      "BENCH_STREAM_r15.json")
     val spark = graft.Verify.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
@@ -249,7 +249,7 @@ object StreamProbe {
         extra = s""","table_versions":${
           graft.sources.VersionedTable.currentVersion(dir) + 1
         },"table_mb":${fmt(dirMb(dir), 2)},"admitted":${
-          graft.sources.VersionedTable.read(spark, dir).count()
+          graft.sources.VersionedTable.readTagged(spark, dir, "gv").count()
         },"width":$w""")
 
       // ---- the GROWN-index price (round-13 verdict ask #4): the same
@@ -272,8 +272,14 @@ object StreamProbe {
         val idOff2 = 1L << 40
         val grownBatches = vecBatches.map(_.map { case (id, v) =>
           (id + idOff2, v) })
-        for ((provName, provClass) <- Seq("hdfs" -> hdfsClass,
-            "rocksdb" -> rocksClass)) {
+        // (provider, gate cadence): both providers at N=1 (the gate's
+        // state is the index TABLE — near-identical columns prove
+        // provider independence), plus the COALESCED N=4 row (round-15
+        // ask #7) pricing the amortized fixed cost on the default
+        // provider
+        for ((provName, provClass, every) <- Seq(
+            ("hdfs", hdfsClass, 1), ("rocksdb", rocksClass, 1),
+            ("hdfs_n4", hdfsClass, 4))) {
           spark.conf.set(rocksConf, provClass)
           val gDir = java.nio.file.Files
             .createTempDirectory("sp_gate_grown").toString
@@ -283,12 +289,17 @@ object StreamProbe {
             graft.streaming.StreamingOps.shardedGateStream(
               gMem.toDF().toDF("vec_id", "embedding"), gDir, wSeed,
               Some(java.nio.file.Files
-                .createTempDirectory("sp_gate_grown_cp").toString)),
+                .createTempDirectory("sp_gate_grown_cp").toString),
+              every = every),
             extra = s""","table_versions":${
               graft.sources.VersionedTable.currentVersion(gDir) + 1
             },"table_mb":${fmt(dirMb(gDir), 2)},"admitted":${
-              graft.sources.VersionedTable.read(spark, gDir).count() - seedN
-            },"stored_seed":$seedN,"width":$wSeed""")
+              graft.sources.VersionedTable.readTagged(spark, gDir, "gv")
+                .count() - seedN
+            },"stored_seed":$seedN,"width":$wSeed,"gate_every":$every,"prune_scanned":${
+              graft.streaming.StreamingOps.lastGatePrune._1
+            },"prune_live":${
+              graft.streaming.StreamingOps.lastGatePrune._2}""")
         }
         spark.conf.set(rocksConf, hdfsClass)
       }
