@@ -38,6 +38,16 @@ object SemShardProbe {
       .getOrElse("scaledata/embed1m")
     val shardedOnly = args.contains("--sharded-only")
     val unshardedOnly = args.contains("--unsharded-only")
+    // contradictory flags would otherwise INVERT --sharded-only (the
+    // `shardedOnly && !unshardedOnly` guard below turns false and the
+    // unsharded twin runs) — round-14 ADVICE: reject up front
+    require(!(shardedOnly && unshardedOnly),
+      "--sharded-only and --unsharded-only are mutually exclusive")
+    // ε-menu mode (round-14 verdict ask #6): ALSO price the
+    // quality-first FIXED ghost band (ε = SemGhostMargin, the round-13
+    // setting) next to the default cost-first ε(S) law, so both
+    // (cost, catch) curves land in one committed record
+    val bothEps = args.contains("--both-eps")
     val (localDir, _) = graft.Verify.localShuffleDir(32L << 30)
     val spark = graft.Verify.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), localDir)
@@ -76,6 +86,16 @@ object SemShardProbe {
         val (_, a, b, c) = occupancy(s"sharded(S=$s)", sharded)
         (a, b, c)
       }
+    // the quality-first fixed-ε twin of the same construction
+    val shardedFx =
+      if (bothEps && !unshardedOnly)
+        Some(Similarity.semShardedAssign(e, s,
+          Some(Similarity.SemGhostMargin)).select("vec_id", "shard", "cid"))
+      else None
+    val fx = shardedFx.map { f =>
+      val (_, a, b, c) = occupancy(s"sharded_fixed_eps(S=$s)", f)
+      (a, b, c)
+    }
 
     // unsharded capped twin: one centroid set at the capped width, the
     // same largest-vec_id convention — the construction the sharding
@@ -141,14 +161,18 @@ object SemShardProbe {
       }
       val sq = if (unshardedOnly) Map.empty[String, (Long, Long)]
         else coCell("sharded", sharded)
+      val fq = shardedFx.map(f => coCell("sharded_fixed_eps", f))
+        .getOrElse(Map.empty)
       val uq = unsharded.map(u => coCell("unsharded",
         u.select("vec_id", "shard", "cid")))
       val bands0 = if (sq.nonEmpty) sq else
         uq.getOrElse(Map.empty).map { case (b, (_, t2)) => b -> ((-1L, t2)) }
       val bands = bands0.toSeq.sortBy(_._1).map { case (b, (h, t)) =>
         val u = uq.flatMap(_.get(b)).map(_._1)
+        val f = fq.get(b).map(_._1)
         s""""$b":{"truth":$t${
           if (h >= 0) s""","sharded":$h""" else ""}${
+          f.map(x => s""","sharded_fixed_eps":$x""").getOrElse("")}${
           u.map(x => s""","unsharded":$x""").getOrElse("")}}"""
       }.mkString(",")
       s""","planted_cocell":{$bands}"""
@@ -159,6 +183,12 @@ object SemShardProbe {
         fmt(shSlots.toDouble / n)},"memberships":$shMems,""" +
       s""""ghost_pct":${fmt((shMems - n).toDouble / n * 100)},""" +
       s""""assign_wall_sec":${fmt(shSec)},"unsharded_c":$c""" +
+      fx.map { case (slots, mems, sec) =>
+        s""","fixed_eps_slots":$slots,"fixed_eps_slots_per_vec":${
+          fmt(slots.toDouble / n)},"fixed_eps_memberships":$mems,""" +
+        s""""fixed_eps_ghost_pct":${fmt((mems - n).toDouble / n * 100)},""" +
+        s""""fixed_eps_wall_sec":${fmt(sec)}"""
+      }.getOrElse("") +
       un.map { case (_, slots, _, sec) =>
         s""","unsharded_slots":$slots,"unsharded_slots_per_vec":${
           fmt(slots.toDouble / n)},"unsharded_wall_sec":${fmt(sec)}"""

@@ -1116,4 +1116,61 @@ class SimilaritySpec extends SparkSpec {
     assert(caughtSharded >= caughtUnsharded - nPlant / 20,
       s"sharding lost plants: sharded=$caughtSharded unsharded=$caughtUnsharded")
   }
+
+  test("S >= 3 planted recall gate: co-cell catch holds past the oracle's S = 2 floor; fixed-eps dominates the eps(S) law") {
+    // round-14 ADVICE: eps(S) narrows the ghost band as S grows, the
+    // oracle only exercises S = 2, and the S = 5 parity test pins
+    // mechanics, not recall — so the flat-recall claim needs a COMMITTED
+    // recall assertion at S >= 3. Plants are top-band near-dups
+    // (cosine ≈ 1): their co-cell rate is the catch ceiling of the whole
+    // construction and must hold at every S. The fixed-eps quality knob
+    // (SemGhostMargin, the round-13 setting) must DOMINATE the law
+    // structurally: same routing, same packed matrices, wider ghost band
+    // => its membership set — and so its co-cell pair set — is a
+    // superset (the eps menu's quality direction, pinned as set algebra,
+    // not a sample).
+    val n = 4000; val nPlant = 200
+    def baseVec(id: Long): Array[Float] =
+      Array.tabulate(Similarity.Dim) { i =>
+        ((graft.functions.Hashing.h48String(s"semrec-$id-$i") % 1000)
+          / 500.0f - 1.0f)
+      }
+    val rows =
+      (0L until n).map(id => (id, baseVec(id))) ++
+      (0L until nPlant).map { b =>
+        val v = baseVec(b); v(0) = v(0) + 0.01f
+        (100000L + b, v)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("semrec").toString
+    rows.toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit("fix"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = Similarity.embeddings(spark, dir)
+    def cells(asg: org.apache.spark.sql.DataFrame): Map[Long, Set[(Int, Int)]] =
+      asg.select("vec_id", "shard", "cid").as[(Long, Int, Int)].collect()
+        .groupBy(_._1).map { case (id, ms) =>
+          id -> ms.map(m => (m._2, m._3)).toSet
+        }
+    def coCell(m: Map[Long, Set[(Int, Int)]]): Set[Long] =
+      (0L until nPlant).filter { b =>
+        m.getOrElse(b, Set.empty).intersect(
+          m.getOrElse(100000L + b, Set.empty)).nonEmpty
+      }.toSet
+    for (s <- Seq(3, 5)) {
+      val law = cells(Similarity.semShardedAssign(e, s))
+      val fix = cells(Similarity.semShardedAssign(e, s,
+        Some(Similarity.SemGhostMargin)))
+      val lawCatch = coCell(law)
+      val fixCatch = coCell(fix)
+      assert(lawCatch.size >= (nPlant * 9) / 10,
+        s"eps(S) law lost top-band plants at S=$s: ${lawCatch.size}/$nPlant")
+      // structural dominance: every membership under the law exists
+      // under fixed eps, so the law's catch can never exceed it
+      law.foreach { case (id, ms) =>
+        assert(ms.subsetOf(fix.getOrElse(id, Set.empty)),
+          s"fixed-eps lost a law membership for $id at S=$s")
+      }
+      assert(lawCatch.subsetOf(fixCatch))
+    }
+  }
 }
