@@ -934,4 +934,172 @@ object Multimodal {
           CAST(sum(CASE WHEN reason IS NOT NULL THEN 1 ELSE 0 END) * 1000000
             // count(*) AS BIGINT) AS fail_ppm
         FROM d GROUP BY source ORDER BY source"""
+
+  // ================================================== real GIF87a codec
+
+  /** Decoded-GIF metadata row: the [[PpmMeta]] feature shape plus
+    * `row0_sum` — the channel-0 sum of raster ROW 0 only, which is
+    * interlace-SENSITIVE (whole-raster sums are row-permutation
+    * invariant, so they alone could not catch a wrong de-interlace).
+    */
+  final case class GifMeta(doc_id: Long, width: Int, height: Int,
+      resized_w: Int, resized_h: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, row0_sum: Long)
+
+  /** Deterministic GIF87a payload for a doc id — real bytes of the real
+    * LZW-compressed format ([[Gif.encode]]): palette-indexed pixels with
+    * BOTH layers id-seeded so the DuckDB oracle replays the decoded RGB
+    * values without a GIF decoder of its own —
+    * index(k) = (id·37 + k·13 + 5) mod 256,
+    * palette(j, c) = (id·7 + j·(3+c) + 59·c + 1) mod 256 —
+    * the round trip through variable-width LZW (+ optional interlace)
+    * is exactly what the correctness gate then proves. Dims
+    * w = 4 + (id·29 + 11) mod 33, h = 4 + (id·23 + 9) mod 31 (decoupled
+    * from the PPM/PNG fixture moduli). Variation classes (ok files the
+    * decoder must handle):
+    *  - id ≡ 0 (mod 9): 4-pass INTERLACED row order;
+    *  - id ≡ 4 (mod 7): 63-byte data sub-blocks (else 255).
+    * Corruption classes (disjoint BY CONSTRUCTION — the bad-code
+    * injection is skipped on truncated ids, so each file carries at
+    * most one defect and the oracle's CASE is exact):
+    *  - id ≡ 5 (mod 23): file cut at 700 bytes — inside the 768-byte
+    *    global color table for every id, so the partial-download class
+    *    always fails at the same structural read ("truncated");
+    *  - id ≡ 1 (mod 17), not truncated: an out-of-range LZW code
+    *    injected after the 3rd data code ("bad_code" — the bit-rot
+    *    class a CRC-less format can only catch semantically).
+    */
+  def gifPayload(id: Long): Array[Byte] = {
+    val w = (4 + (id * 29 + 11) % 33).toInt
+    val h = (4 + (id * 23 + 9) % 31).toInt
+    val indices =
+      Array.tabulate(w * h)(k => ((id * 37 + k * 13 + 5) % 256).toByte)
+    val palette = Array.tabulate(768) { p =>
+      val j = p / 3; val c = p % 3
+      ((id * 7 + j * (3 + c) + 59 * c + 1) % 256).toByte
+    }
+    val bytes = Gif.encode(w, h, indices, palette,
+      interlaced = id % 9 == 0,
+      blockSize = if (id % 7 == 4) 63 else 255,
+      badCodeAt = if (id % 17 == 1 && id % 23 != 5) 3 else -1)
+    if (id % 23 == 5) java.util.Arrays.copyOf(bytes, 700) else bytes
+  }
+
+  /** doc ids → generated GIF payloads (binary column, spread-partitioned
+    * like [[ppmBlobs]]).
+    */
+  def gifBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaBlob(id, gifPayload(id))))
+  }
+
+  /** Decoded-GIF metadata over REAL LZW-expanded pixels: signature,
+    * descriptor parse, sub-block walk, variable-width LZW,
+    * de-interlace, palette resolve — then the [[PpmMeta]] feature shape
+    * plus the interlace-sensitive `row0_sum`. Same scale shape as
+    * [[pngMeta]]: input-partitioned scan, per-row CPU, no shuffle
+    * before the final order.
+    */
+  def gifMeta(spark: SparkSession, dir: String): DataFrame = {
+    val b = gifBlobs(spark, dir)
+    import b.sparkSession.implicits._
+    b.mapPartitions(it => it.flatMap { x =>
+      Gif.decode(x.content).toOption.map { d =>
+        val a = d.raster
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var k = 0
+        while (k < a.length) {
+          val v = a(k) & 0xff
+          val m = k % 3
+          if (m == 0) sr += v else if (m == 1) sg += v else sb += v
+          k += 1
+        }
+        var r0 = 0L
+        var p = 0
+        while (p < 3 * d.width) { r0 += (a(p) & 0xff); p += 3 }
+        val long = math.max(d.width, d.height)
+        GifMeta(x.doc_id, d.width, d.height,
+          d.width * 224 / long, d.height * 224 / long,
+          d.width.toLong * d.height, sr, sg, sb, r0)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Quarantine audit over the GIF decoder's failures, per source.
+    * Output: (source, n_blobs, n_ok, n_bad_code, n_truncated, fail_ppm).
+    */
+  def gifAudit(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val b = gifBlobs(spark, dir)
+    import b.sparkSession.implicits._
+    val st = b.mapPartitions(it => it.map { x =>
+      Gif.decode(x.content) match {
+        case Left(r)  => DecodeStatus(x.doc_id, ok = false, r)
+        case Right(_) => DecodeStatus(x.doc_id, ok = true, null)
+      }
+    })
+    st.toDF().join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("reason") === "bad_code", 1L).otherwise(0L))
+          .as("n_bad_code"),
+        sum(when(col("reason") === "truncated", 1L).otherwise(0L))
+          .as("n_truncated"))
+      .select(col("source"), col("n_blobs"), col("n_ok"),
+        col("n_bad_code"), col("n_truncated"),
+        expr("(n_blobs - n_ok) * 1000000 div n_blobs").as("fail_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle replay of [[gifMeta]]: the id-seeded palette + index
+    * arithmetic under the GIF corruption classes — DuckDB never touches
+    * LZW; matching these sums (and the interlace-sensitive row-0 sum)
+    * means Spark's variable-width expansion reconstructed every index
+    * and resolved it through the right palette slot in the right row.
+    */
+  val gifMetaSql: String =
+    """WITH d AS (SELECT doc_id,
+              CAST(4 + (doc_id*29 + 11) % 33 AS INT) AS w,
+              CAST(4 + (doc_id*23 + 9) % 31 AS INT) AS h
+            FROM documents
+            WHERE doc_id % 23 <> 5 AND doc_id % 17 <> 1),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w*h)) AS k FROM d),
+        ix AS (SELECT doc_id, w, h, k,
+              (doc_id*37 + k*13 + 5) % 256 AS j FROM px),
+        s AS (SELECT doc_id, w, h,
+              sum((doc_id*7 + j*3 + 1) % 256) AS sum_r,
+              sum((doc_id*7 + j*4 + 60) % 256) AS sum_g,
+              sum((doc_id*7 + j*5 + 119) % 256) AS sum_b,
+              sum(CASE WHEN k < w
+                THEN (doc_id*7 + j*3 + 1) % 256 END) AS row0_sum
+            FROM ix GROUP BY doc_id, w, h)
+        SELECT doc_id, w AS width, h AS height,
+          CAST(w * 224 // greatest(w, h) AS INT) AS resized_w,
+          CAST(h * 224 // greatest(w, h) AS INT) AS resized_h,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(sum_r AS BIGINT) AS sum_r,
+          CAST(sum_g AS BIGINT) AS sum_g,
+          CAST(sum_b AS BIGINT) AS sum_b,
+          CAST(row0_sum AS BIGINT) AS row0_sum
+        FROM s ORDER BY doc_id"""
+
+  val gifAuditSql: String =
+    """WITH d AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 23 = 5 THEN 'truncated'
+                   WHEN doc_id % 17 = 1 THEN 'bad_code' END AS reason
+            FROM documents)
+        SELECT source, count(*) AS n_blobs,
+          CAST(sum(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ok,
+          CAST(sum(CASE WHEN reason = 'bad_code' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_code,
+          CAST(sum(CASE WHEN reason = 'truncated' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_truncated,
+          CAST(sum(CASE WHEN reason IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS fail_ppm
+        FROM d GROUP BY source ORDER BY source"""
 }

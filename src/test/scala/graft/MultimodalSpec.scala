@@ -442,4 +442,140 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  // ================================================= GIF87a / LZW codec
+
+  private def gifExpected(id: Long): (Int, Int, Array[Byte]) = {
+    // driver-side replay of gifPayload's generator arithmetic: the
+    // decoded RGB raster from the index/palette formulas directly
+    val w = (4 + (id * 29 + 11) % 33).toInt
+    val h = (4 + (id * 23 + 9) % 31).toInt
+    val rgb = new Array[Byte](3 * w * h)
+    for (k <- 0 until w * h; c <- 0 to 2) {
+      val j = (id * 37 + k * 13 + 5) % 256
+      rgb(3 * k + c) = ((id * 7 + j * (3 + c) + 59 * c + 1) % 256).toByte
+    }
+    (w, h, rgb)
+  }
+
+  test("gif codec: plain, interlaced and small-sub-block payloads round-trip exactly") {
+    import graft.multimodal.Gif
+    // ids picked to hit each variation class: 9 | id → interlaced,
+    // id % 7 == 4 → 63-byte sub-blocks (and ok under both corruption
+    // moduli)
+    for (id <- Seq(0L, 2L, 4L, 9L, 11L, 18L, 25L, 36L, 53L)
+         if id % 23 != 5 && id % 17 != 1) {
+      val (w, h, want) = gifExpected(id)
+      val got = Gif.decode(Multimodal.gifPayload(id))
+        .fold(e => fail(s"id=$id failed: $e"), identity)
+      assert(got.width == w && got.height == h)
+      assert(got.interlaced == (id % 9 == 0), s"id=$id interlace flag")
+      assert(java.util.Arrays.equals(got.raster, want),
+        s"id=$id raster mismatch")
+    }
+  }
+
+  test("gif lzw: code width growth to 12 bits and the 4096 table reset round-trip") {
+    import graft.multimodal.Gif
+    // an incompressible index stream adds ~1 table entry per pixel:
+    // 11k pixels drive the width through 512/1024/2048 boundaries to
+    // 12 bits AND across the 4096-entry table reset — the whole
+    // variable-width state machine in one fixture
+    val w = 128; val h = 90
+    val indices = Array.tabulate(w * h)(k =>
+      (graft.functions.Hashing.h48String(s"gifbig-$k") % 256).toByte)
+    val palette = Array.tabulate(768)(p => ((p * 11 + 3) % 256).toByte)
+    val bytes = Gif.encode(w, h, indices, palette)
+    val got = Gif.decode(bytes)
+      .fold(e => fail(s"big raster failed: $e"), identity)
+    val want = new Array[Byte](3 * w * h)
+    for (k <- 0 until w * h; c <- 0 to 2)
+      want(3 * k + c) = palette(((indices(k) & 0xff) * 3) + c)
+    assert(java.util.Arrays.equals(got.raster, want))
+    // the fixture really crossed the reset: distinct-pair count of the
+    // stream exceeds the table limit
+    assert(indices.length > Gif.TableLimit - Gif.FirstFree,
+      "fixture too small to exercise the table reset")
+  }
+
+  test("gif codec: cross-validated against the JDK ImageIO reference decoder") {
+    import graft.multimodal.Gif
+    // independent implementation check, incl. interlaced payloads: a
+    // different LZW codebase must reconstruct the same pixels from our
+    // encoder's bytes as our decoder does. One documented carve-out:
+    // for interlaced images short enough that a pass is EMPTY (h < 5 →
+    // pass 2 contributes no rows), the JDK reader deviates from the
+    // spec's `start until h by step` row rule (giflib's behavior, which
+    // this codec follows): it consumes a clipped out-of-range row and
+    // shifts every later row — verified against our spec-conformant
+    // round trip, so those ids are excluded here, not special-cased in
+    // the codec.
+    for (id <- 0L until 40L if id % 23 != 5 && id % 17 != 1
+         && !(id % 9 == 0 && (4 + (id * 23 + 9) % 31) < 5)) {
+      val gif = Multimodal.gifPayload(id)
+      val ours = Gif.decode(gif).toOption.get
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(gif))
+      assert(img != null, s"ImageIO rejected payload $id")
+      assert(img.getWidth == ours.width && img.getHeight == ours.height)
+      for (y <- 0 until ours.height; x <- 0 until ours.width) {
+        val rgb = img.getRGB(x, y)
+        val base = 3 * (y * ours.width + x)
+        val want = ((ours.raster(base) & 0xff) << 16) |
+          ((ours.raster(base + 1) & 0xff) << 8) |
+          (ours.raster(base + 2) & 0xff) | 0xff000000
+        assert(rgb == want, s"id=$id pixel ($x,$y): imageio=$rgb ours=$want")
+      }
+    }
+  }
+
+  test("gif decoder: every failure class detected from a crafted payload") {
+    import graft.multimodal.Gif
+    val indices = Array.tabulate(12 * 10)(k => (k * 7 + 1).toByte)
+    val palette = Array.tabulate(768)(p => (p % 256).toByte)
+    val ok = Gif.encode(12, 10, indices, palette)
+    assert(Gif.decode(ok).isRight)
+    // bad signature
+    val badSig = ok.clone(); badSig(3) = '9'.toByte
+    assert(Gif.decode(badSig) == Left("bad_signature"))
+    // a stub shorter than the magic itself cannot be distinguished
+    // from a wrong format — signature class, not truncation
+    assert(Gif.decode(java.util.Arrays.copyOf(ok, 4))
+      == Left("bad_signature"))
+    // truncation at every structural stage: descriptor, palette, data
+    // sub-block, missing terminator/trailer
+    for (cut <- Seq(8, 10, 400, ok.length - 30, ok.length - 2))
+      assert(Gif.decode(java.util.Arrays.copyOf(ok, cut))
+        == Left("truncated"), s"cut=$cut")
+    // out-of-range LZW code (the fixture generator's injection hook)
+    val bad = Gif.encode(12, 10, indices, palette, badCodeAt = 3)
+    assert(Gif.decode(bad) == Left("bad_code"))
+    // unsupported profile: local color table flagged on the image
+    val lct = ok.clone()
+    val idPacked = 13 + 768 + 9 // image-descriptor packed byte offset
+    lct(idPacked) = (lct(idPacked) | 0x80).toByte
+    assert(Gif.decode(lct) == Left("unsupported"))
+    // unsupported profile: global color table absent
+    val noGct = ok.clone()
+    noGct(10) = (noGct(10) & 0x7f).toByte
+    assert(Gif.decode(noGct) == Left("unsupported"))
+  }
+
+  test("gif corpus: corruption classes and meta values behave per the generator contract") {
+    import graft.multimodal.Gif
+    // decode status must follow the id rule exactly (this is what the
+    // audit oracle replays), and ok payloads must carry the replayed
+    // feature values (what the meta oracle replays)
+    for (id <- 0L until 120L) {
+      val d = Gif.decode(Multimodal.gifPayload(id))
+      if (id % 23 == 5) assert(d == Left("truncated"), s"id=$id")
+      else if (id % 17 == 1) assert(d == Left("bad_code"), s"id=$id")
+      else {
+        val (w, h, want) = gifExpected(id)
+        val got = d.fold(e => fail(s"id=$id failed: $e"), identity)
+        assert(got.width == w && got.height == h)
+        assert(java.util.Arrays.equals(got.raster, want), s"id=$id")
+      }
+    }
+  }
 }
