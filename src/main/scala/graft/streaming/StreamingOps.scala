@@ -634,8 +634,13 @@ object StreamingOps {
     import graft.sources.VersionedTable
     if (VersionedTable.hasOp(indexDir, "gate-seed")) return false
     val ps = graft.similarity.Similarity.shardedParamsFor(w)
-    gateAppend(shardedGateCoded(vectors, w), indexDir, "gate-seed", ps,
-      vectors.count(), cellRowsPerFile)
+    // genesis-only checkpoint: the coded corpus feeds FOUR jobs (range
+    // sampling, cell staging, cell stats, vector staging) — without the
+    // lineage cut each re-codes the whole seed; per-batch gating never
+    // takes this path (a micro-batch recomputes cheaply)
+    val coded = shardedGateCoded(vectors, w).localCheckpoint()
+    gateAppend(coded, indexDir, "gate-seed", ps, coded.count(),
+      cellRowsPerFile)
     true
   }
 

@@ -88,6 +88,25 @@ object StreamProbe {
     val results = scala.collection.mutable.ArrayBuffer[
       (String, Long, Double, Seq[BatchRow], String)]()
 
+    // incremental flush: the record on disk is complete after EVERY
+    // section, so a killed/timed-out run still ships the sections it
+    // finished (the round-15 run lost 40 min of dedup/mv columns to a
+    // timeout mid-gate before this existed)
+    def writeOut(): Unit = {
+      val opsJson = results.map { case (name, rows, sec, batches, extra) =>
+        val bj = batches.map(b =>
+          s"""{"rows":${b.rows},"sec":${fmt(b.sec, 3)},"batch_ms":${b.batchMs
+          },"state_rows":${b.stateRows},"state_mb":${fmt(b.stateMb, 2)}}""")
+          .mkString("[", ",", "]")
+        s""""$name":{"rows_in":$rows,"total_sec":${fmt(sec, 2)
+        },"rows_per_sec":${fmt(rows / sec, 0)}$extra,"batches":$bj}"""
+      }.mkString("{", ",", "}")
+      val line = s"""{"metric":"stream_probe","sf":"$sfDir","n_batches":$nBatches,"watermark":"2 hours","hours_per_batch":1,"ops":$opsJson}"""
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), outPath)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    }
+
     /** Drive the query with per-batch adds; capture engine progress.
       * `extra` is by-name so table-state accounting reads AFTER the run.
       */
@@ -124,6 +143,7 @@ object StreamProbe {
         s"sec=${fmt(totalSec, 1)} " +
         s"rows_per_sec=${fmt(totalRows / totalSec, 0)} " +
         s"stateRows=${rows.map(_.stateRows).mkString(",")}")
+      writeOut()
     }
 
     // ---- watermark-stateful dedup ops × {provider} × {1×, 10× state}
@@ -272,6 +292,30 @@ object StreamProbe {
         val idOff2 = 1L << 40
         val grownBatches = vecBatches.map(_.map { case (id, v) =>
           (id + idOff2, v) })
+        // seed ONCE into a template index, copy per variant: the 1.05M
+        // genesis build is a one-time batch-path cost (minutes), not
+        // part of what any variant row prices — and paying it three
+        // times was what timed the round-15 run out
+        val template = java.nio.file.Files
+          .createTempDirectory("sp_gate_template").toString
+        val tSeed0 = System.nanoTime()
+        graft.streaming.StreamingOps.shardedGateSeed(seed, template, wSeed)
+        System.err.println(s"[streamprobe] grown-gate seed built in ${
+          fmt((System.nanoTime() - tSeed0) / 1e9, 1)} s")
+        def copyIndex(): String = {
+          val dst = java.nio.file.Files
+            .createTempDirectory("sp_gate_grown").toString
+          val src = java.nio.file.Paths.get(template)
+          java.nio.file.Files.walk(src).forEach { p =>
+            val rel = src.relativize(p)
+            val to = java.nio.file.Paths.get(dst).resolve(rel.toString)
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(to)
+            else java.nio.file.Files.copy(p, to,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          dst
+        }
         // (provider, gate cadence): both providers at N=1 (the gate's
         // state is the index TABLE — near-identical columns prove
         // provider independence), plus the COALESCED N=4 row (round-15
@@ -281,9 +325,7 @@ object StreamProbe {
             ("hdfs", hdfsClass, 1), ("rocksdb", rocksClass, 1),
             ("hdfs_n4", hdfsClass, 4))) {
           spark.conf.set(rocksConf, provClass)
-          val gDir = java.nio.file.Files
-            .createTempDirectory("sp_gate_grown").toString
-          graft.streaming.StreamingOps.shardedGateSeed(seed, gDir, wSeed)
+          val gDir = copyIndex()
           val gMem = MemoryStream[(Long, Array[Double])]
           drive(s"sharded_gate_grown[$provName]", grownBatches, gMem,
             graft.streaming.StreamingOps.shardedGateStream(
@@ -305,19 +347,9 @@ object StreamProbe {
       }
     }
 
-    val opsJson = results.map { case (name, rows, sec, batches, extra) =>
-      val bj = batches.map(b =>
-        s"""{"rows":${b.rows},"sec":${fmt(b.sec, 3)},"batch_ms":${b.batchMs
-        },"state_rows":${b.stateRows},"state_mb":${fmt(b.stateMb, 2)}}""")
-        .mkString("[", ",", "]")
-      s""""$name":{"rows_in":$rows,"total_sec":${fmt(sec, 2)
-      },"rows_per_sec":${fmt(rows / sec, 0)}$extra,"batches":$bj}"""
-    }.mkString("{", ",", "}")
-    val line = s"""{"metric":"stream_probe","sf":"$sfDir","n_batches":$nBatches,"watermark":"2 hours","hours_per_batch":1,"ops":$opsJson}"""
-    println(line)
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), outPath)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    writeOut()
+    println(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), outPath)).trim)
     spark.stop()
   }
 }
