@@ -123,7 +123,13 @@ class PlanAuditSpec extends SparkSpec {
     // scan and the |types|·24 grid (both day-spine variants)
     "q_events_forecast", "q_events_forecast_cal",
     // the one-row monthly-audience scalar riding the per-day rollup
-    "q_events_dau")
+    "q_events_dau",
+    // the ONE-ROW packed routing matrix (rcents, rnorms) riding every
+    // vector into the CentroidRouteCol loop — round-15 ask #8 moved the
+    // sharded family's routing centroids off the driver into this
+    // broadcast one-row scalar (statically bounded: a groupless
+    // aggregate over the S-row TakeOrdered)
+    "q_dedup_semantic_sharded", "q_dedup_semantic_sharded_incr")
 
   test("no declared query plans a cartesian or an unjustified nested-loop join") {
     // Anything outside the rationale'd allowlist above — and any
@@ -228,7 +234,11 @@ class PlanAuditSpec extends SparkSpec {
       // partition spec means the window runs over per-block slices
       "blk", "lblk", "qblk",
       // value-partitioned windows (distinct score values scale)
-      "logprob", "quality", "s")
+      "logprob", "quality", "s",
+      // part keys: the part table scales with SF, per-part group size
+      // is bounded by lines-per-part (the q_argmin_supplier rn = 1
+      // window — round-15 one-text conversion)
+      "l_partkey")
     val windowAllow: Map[String, String] = Map(
       "q_chisq_topk" ->
         ("reference-parity contract: top-75 per category over the 22 " +

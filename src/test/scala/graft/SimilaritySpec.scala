@@ -896,7 +896,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("CentroidRoute equals the row_number routing semantics, degenerate input pinned") {
+  test("CentroidRouteCol equals the row_number routing semantics, degenerate input pinned") {
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
     // shard-count law pins (hand-computed, not recomputed from the code):
     // S = max(2, ceil(ceil(n/2048)/4096)) — floor 2 everywhere under the
@@ -916,9 +916,14 @@ class SimilaritySpec extends SparkSpec {
         var d = 0.0; v.foreach(x => d += x * x)
         (i, v, math.sqrt(d))
       }
-    val rt = column(graft.functions.CentroidRoute(expression(col("v")),
-      cents.flatMap(_._2).toIndexedSeq, cents.map(_._3).toIndexedSeq,
-      Similarity.Dim))
+    // the routing matrix rides as COLUMN literals (the data-plane form
+    // is the only one in main source since round 15 — ask #8)
+    val centsCol = org.apache.spark.sql.functions.array(
+      cents.flatMap(_._2).map(lit(_)).toIndexedSeq: _*)
+    val normsCol = org.apache.spark.sql.functions.array(
+      cents.map(c => lit(c._3)).toIndexedSeq: _*)
+    val rt = column(graft.functions.CentroidRouteCol(expression(col("v")),
+      expression(centsCol), expression(normsCol), Similarity.Dim))
     val got = e.select(col("vec_id"), rt.as("rt"))
       .as[(Long, Array[Double])].collect().toMap
     val vecs = e.as[(Long, Array[Double])].collect()
@@ -942,9 +947,8 @@ class SimilaritySpec extends SparkSpec {
     // degenerate (wrong length) input → [0, 1, +inf]: primary shard 0,
     // margin +inf so the ghost band never fires
     val degen = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "v")
-      .select(column(graft.functions.CentroidRoute(expression(col("v")),
-        cents.flatMap(_._2).toIndexedSeq, cents.map(_._3).toIndexedSeq,
-        Similarity.Dim)))
+      .select(column(graft.functions.CentroidRouteCol(expression(col("v")),
+        expression(centsCol), expression(normsCol), Similarity.Dim)))
       .as[Array[Double]].head()
     assert(degen.toSeq == Seq(0.0, 1.0, Double.PositiveInfinity))
   }
@@ -969,7 +973,7 @@ class SimilaritySpec extends SparkSpec {
     assert(d.getInt(0) == s && d.getLong(1) == storedN
       && d.getLong(2) == storedN && d.getInt(3) == s && !d.getBoolean(4))
     // the drift LAW at the boundary the fixture cannot reach (the
-    // semShardsFor pins are hand-computed in the CentroidRoute test):
+    // semShardsFor pins are hand-computed in the CentroidRouteCol test):
     // one vector past 2·8.4M flips S to 3 → drift; shrink is NOT drift
     assert(Similarity.semShardedDriftRow(2, 100L, 16777217L) ==
       ((2, 100L, 16777217L, 3, true)))
