@@ -529,34 +529,32 @@ object StreamingOps {
   }
 
   /** Code a (vec_id, embedding) frame into the gate's working row shape
-    * (vec_id, v, nrm, buckets ARRAY<STRUCT<rep, shard, tbl, bucket>>) at
-    * composite width w (params freeze when the index is created — the
+    * (vec_id, v, nrm, cks ARRAY<BIGINT>) at composite width w (params
+    * freeze when the index is created — the
     * [[graft.similarity.Similarity.shardedIndexWrite]] convention) —
     * shared by the per-batch gate and [[shardedGateSeed]] (the
     * grown-index pricing run seeds the 1.05M planted corpus through one
-    * genesis commit instead of half an hour of micro-batches). The
-    * persisted index stores this DECOMPOSED ([[gateAppend]]): narrow
-    * (ck, vec_id) cell rows and (vec_id, v, nrm) payload rows.
+    * genesis commit instead of half an hour of micro-batches). `cks`
+    * holds the R·T PACKED cell keys directly ([[gateCells]]'s packing,
+    * applied at code time): the round-15 first cut built an
+    * array-of-structs (rep, shard, tbl, bucket) here and packed at
+    * explode time — the 84-element named_struct transform generated a
+    * method large enough that JANINO COMPILE dominated the whole batch
+    * (~28 s/batch, recompiled every micro-batch because fresh expr ids
+    * defeat the codegen cache); the flat arithmetic transform compiles
+    * in noise. The persisted index stores this DECOMPOSED
+    * ([[gateAppend]]): narrow (ck, vec_id) cell rows and (vec_id, v,
+    * nrm) payload rows.
     */
   private[graft] def shardedGateCoded(batch: DataFrame, w: Int): DataFrame = {
     import graft.similarity.Similarity
     val ps = Similarity.shardedParamsFor(w)
-    val v = Similarity.withNorm(batch)
-    val routing = org.apache.spark.sql.GraftSqlBridge.column(
-      graft.functions.LshCodes(
+    val cks = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GateCellKeys(
         org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
-        ps.replicas, ps.shardBits, Similarity.Dim, "sq"))
-    val fine = org.apache.spark.sql.GraftSqlBridge.column(
-      graft.functions.LshCodes(
-        org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
-        ps.replicas * ps.fineTables, ps.finePlanes, Similarity.Dim, "sf"))
-    val t = ps.fineTables
-    v.withColumn("rc", routing).withColumn("fc", fine)
-      .withColumn("buckets", expr(
-        s"""transform(sequence(0, ${ps.replicas * t - 1}), u -> named_struct(
-            'rep', CAST(u div $t AS INT), 'shard', rc[CAST(u div $t AS INT)],
-            'tbl', CAST(u % $t AS INT), 'bucket', fc[u]))"""))
-      .drop("rc", "fc")
+        ps.shardBits, ps.finePlanes, ps.fineTables, ps.replicas,
+        Similarity.Dim))
+    Similarity.withNorm(batch).withColumn("cks", cks)
   }
 
   /** Target cell rows per gate-index cell file: small files on purpose —
@@ -577,17 +575,15 @@ object StreamingOps {
     */
   val GateVecRowsPerFile: Long = 65536L
 
-  /** Pack one (rep, shard, tbl, bucket) gate cell into a single BIGINT —
-    * the gate index's join/prune key. Bit budget: replicas ≤ ~64,
-    * shardBits ≤ 19, fineTables ≤ 32, finePlanes ≤ 11 → ≤ 41 bits.
+  /** One narrow (id, ck) cell row per packed key of a coded frame — the
+    * key layout ((rep · 2^shardBits + shard) · T + tbl) · 2^finePlanes
+    * + bucket is applied at CODE time ([[shardedGateCoded]]); bit
+    * budget: replicas ≤ ~64, shardBits ≤ 19, fineTables ≤ 32,
+    * finePlanes ≤ 11 → ≤ 41 bits.
     */
   private def gateCells(coded: DataFrame,
       ps: graft.similarity.Similarity.ShardParams, idAs: String): DataFrame =
-    coded.select(col("vec_id").as(idAs), explode(col("buckets")).as("b"))
-      .select(col(idAs),
-        (((col("b.rep").cast("long") * (1L << ps.shardBits)
-          + col("b.shard")) * ps.fineTables + col("b.tbl"))
-          * (1L << ps.finePlanes) + col("b.bucket")).as("ck"))
+    coded.select(col("vec_id").as(idAs), explode(col("cks")).as("ck"))
 
   /** Commit coded rows into the TWO-GROUP gate layout as ONE atomic
     * version: `gc` = narrow pre-exploded cell rows (ck, vec_id),
@@ -716,7 +712,13 @@ object StreamingOps {
     if (VersionedTable.hasOp(indexDir, label)) return false
     val spark = batch.sparkSession
     val ps = graft.similarity.Similarity.shardedParamsFor(w)
-    val coded = shardedGateCoded(batch, w)
+    // ONE coding pass per batch: the coded frame feeds ~a dozen jobs
+    // (self-join sides, vector attaches, the fused admission probe, the
+    // anti join, two stagings + the stats scan) and each would re-run
+    // LshCodes and the bucket build over the batch without the lineage
+    // cut; batch-sized memory (micro-batches, or the bounded coalesced
+    // window), evaluated once
+    val coded = shardedGateCoded(batch, w).localCheckpoint()
     val cos = graft.dedup.Dedup.dot(col("nv"), col("sv")) /
       (col("nnrm") * col("snrm"))
     def vecs(df: DataFrame, idAs: String, vAs: String, nAs: String) =
@@ -754,26 +756,32 @@ object StreamingOps {
           }
         val pr = VersionedTable.readTaggedPruned(spark, indexDir, "gc", keep)
         lastGatePrune = (pr.nScanned, pr.nLive)
-        // candidate PAIRS dedup while still (long, long): R·T duplicate
-        // slots per true pair die here, so payload vectors attach once
-        // per pair, not once per slot. No broadcast hints anywhere: AQE
-        // broadcasts the true-increment sides from runtime sizes, a
-        // backfill falls back to shuffle joins.
-        val pairs = pr.df.select(col("vec_id").as("stored_id"), col("ck"))
+        // candidate SLOTS flow straight into the payload attach, two
+        // longs wide — measured at the 1.05M design point, the slot
+        // stream dedups barely ~1.2x into pairs (most candidate pairs
+        // share ONE cell at w = 13 occupancy), so a pre-cosine DISTINCT
+        // costs a full extra shuffle+sort of the stream for almost no
+        // shrink; only the final per-vector verdict dedups. The stored
+        // payload attaches via an explicit SHUFFLE_HASH hint: the slot
+        // stream is tens of Mrows per batch and a sort-merge join would
+        // sort it — hash-building the 1-per-stored-vector gv side is
+        // the plan a hand-written probe would pick at any index size.
+        // The batch side stays AQE-broadcast from runtime sizes.
+        val slots = pr.df.select(col("vec_id").as("stored_id"), col("ck"))
           .join(bc.toDF("new_id", "ck"), Seq("ck"))
-          .select(col("stored_id"), col("new_id")).distinct()
-        pairs
+          .select(col("stored_id"), col("new_id"))
+        slots
           .join(VersionedTable.readTagged(spark, indexDir, "gv")
             .select(col("vec_id").as("stored_id"), col("v").as("sv"),
-              col("nrm").as("snrm")), "stored_id")
+              col("nrm").as("snrm")).hint("shuffle_hash"), "stored_id")
           .join(vecs(coded, "new_id", "nv", "nnrm"), "new_id")
           .where(cos >= graft.dedup.Dedup.CosineThreshold)
           .select(col("new_id").as("vec_id")).distinct()
       }
     val dropped = greedyAdmission(inBatchPairs, crossDropped)
     val admitted = coded.join(dropped, Seq("vec_id"), "left_anti")
-    // admitted lineage re-evaluates cheaply (batch recode + anti join
-    // against the already-resolved drop set) — one count sizes the
+    // admitted lineage re-evaluates cheaply (checkpointed coded + anti
+    // join against the already-resolved drop set) — one count sizes the
     // commit's range chunks so a coalesced/backfill batch lays out
     // prunable files instead of one monolith
     gateAppend(admitted, indexDir, label, ps, admitted.count())
