@@ -193,6 +193,23 @@ object Graph {
     * Output: top-100 by (authority desc, hub desc, doc_id).
     */
   def hits(spark: SparkSession, dir: String): DataFrame = {
+    // dual-use SQL since round 15: one text, both engines. The oracle's
+    // unrolled CTE chain (r0 -> a1/r1 -> a2/r2 -> a3/r3) is EXACTLY the
+    // loop-unrolled dataflow of [[hitsIterative]] — each round two
+    // 8-byte-key hash aggregates and two left joins — so Catalyst plans
+    // the same shape from either spelling; the iterative form stays as
+    // the library surface (the loop is what a 30-round production run
+    // calls) and GraphSpec pins the two row-identical.
+    Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("documents")
+    spark.sql(hitsSql)
+  }
+
+  /** The iterative-loop spelling of [[hits]] — the form that scales the
+    * round count without growing the SQL text; spec-pinned identical to
+    * the declared one-text form.
+    */
+  def hitsIterative(spark: SparkSession, dir: String): DataFrame = {
     val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
     val edges = linkEdges(spark, dir)
     var scores = ids.select(col("doc_id"), lit(1L).as("hub"),

@@ -534,6 +534,96 @@ object Relational {
          FROM lineitem)
        WHERE rn = 1 ORDER BY l_partkey"""
 
+  /** Customer order-count DISTRIBUTION (TPC-H Q13 `custdist` shape,
+    * round-15 dual-use tranche): the one classic construct the family
+    * had not yet covered — a predicate in the ON clause of a LEFT OUTER
+    * join. Counting only URGENT orders filters the right side WITHOUT
+    * dropping customers (a WHERE would turn the outer join inner and
+    * erase the c_count = 0 bucket — the histogram's most informative
+    * row: the customers with no urgent orders at all). Two-level aggregation: per-customer order count
+    * (one 8-byte custkey exchange with map-side partials), then the
+    * O(distinct counts)-row distribution. At 100 TB the first groupBy
+    * carries the data; the second is metadata-sized.
+    */
+  def custOrderDist(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(custOrderDistSql)
+  }
+
+  val custOrderDistSql: String =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             FROM customer c LEFT OUTER JOIN orders o
+               ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority = '1-URGENT'
+             GROUP BY c.c_custkey) co
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
+  /** Late-shipment priority split (TPC-H Q12 shape on the columns at
+    * hand — the schema has no shipmode/commit/receipt dates, so "late"
+    * is shipped after the order date and the class split rides
+    * `o_orderpriority`): conditional aggregation splitting one count
+    * into urgent/other classes inside a date-windowed fact-fact join.
+    * Plan at scale: both date predicates push into the lineitem scan,
+    * the join shuffles once on the 8-byte orderkey, and the CASE
+    * arithmetic is codegen'd into the partial aggregate — three output
+    * rows, zero extra exchanges.
+    */
+  def lateLines(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(lateLinesSql)
+  }
+
+  val lateLinesSql: String =
+    """SELECT l_returnflag,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate > o_orderdate
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag"""
+
+  /** Returned-item revenue ranking (TPC-H Q10 shape): which customers
+    * returned the most revenue in a quarter — the classic "top-k over a
+    * selective fact filter through the full dim chain" shape. The
+    * `l_returnflag = 'R'` predicate pushes into the lineitem scan, the
+    * quarter bound into orders; one fact-fact orderkey shuffle, then
+    * broadcast hops for customer/nation; revenue cent-floored in the
+    * decimal domain (the house money contract) and the LIMIT rides a
+    * TakeOrdered — never a global sort.
+    */
+  def returnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(returnedCustomersSql)
+  }
+
+  val returnedCustomersSql: String =
+    """SELECT c_custkey, c_name, n_name,
+         CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS DOUBLE)
+           / 100.0 AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-04-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20"""
+
   /** Weekly cohort RETENTION matrix: users grouped by their first-seen
     * week, counted once per (cohort, offset) week they return in. All
     * calendar math is integer division over the exact nanosecond
@@ -877,6 +967,21 @@ object Relational {
     * o_totalprice, valid_from, valid_to, is_current).
     */
   def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    // dual-use SQL since round 15: one text, both engines — the lead()
+    // window IS the construction, so the SQL form loses nothing over the
+    // Window-API form it replaced (Catalyst collapses the two lead()
+    // spellings into one Window operator; RelationalSpec pins the API
+    // form row-identical)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(scd2IntervalsSql)
+  }
+
+  /** The Window-API spelling of [[scd2Intervals]], kept as the
+    * library-surface form and spec-pinned identical to the declared SQL
+    * (the q_pivot precedent: the API form demonstrates the operator, the
+    * one-text form carries the oracle contract).
+    */
+  def scd2IntervalsApi(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     Tables.load(spark, dir, "orders")

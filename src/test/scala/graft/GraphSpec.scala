@@ -73,6 +73,13 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hits: iterative loop form row-identical to the declared SQL") {
+    val dir = fixture(23)
+    val sql = Graph.hits(spark, dir).collect().map(_.toString)
+    val loop = Graph.hitsIterative(spark, dir).collect().map(_.toString)
+    assert(sql.toSeq == loop.toSeq)
+  }
+
   test("components: fixpoint labels equal a driver union-find replay") {
     val n = 41 // deliberately not a multiple of the block width
     val dir = fixture(n)

@@ -145,6 +145,108 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("scd2: Window-API form row-identical to the declared one-text SQL") {
+    val sf = "/root/testdata/sf0.001"
+    val sql = Relational.scd2Intervals(spark, sf).collect().map(_.toString)
+    val api = Relational.scd2IntervalsApi(spark, sf).collect().map(_.toString)
+    assert(sql.toSeq == api.toSeq)
+  }
+
+  test("custdist: zero-order bucket survives the ON-clause filter") {
+    import graft.model.Tables
+    val sf = "/root/testdata/sf0.001"
+    val custs = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey")).as[Long].collect().toSet
+    val perCust = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .as[(Long, String)].collect()
+      .filter(_._2 == "1-URGENT")
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = custs.toSeq
+      .map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (cc, cd) => (-cd, -cc) }
+    val got = Relational.custOrderDist(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the distribution must carry a zero-order bucket (the row a WHERE
+    // spelling of the filter would erase) and cover every customer
+    assert(got.exists(_._1 == 0L))
+    assert(got.map(_._2).sum == custs.size.toLong)
+  }
+
+  test("late lines: priority split equals a driver replay of the window") {
+    import graft.model.Tables
+    val sf = "/root/testdata/sf0.001"
+    val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .as[(Long, String, java.sql.Timestamp)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .as[(Long, String, java.sql.Timestamp)].collect()
+      .flatMap { case (ok, rf, ship) =>
+        orders.get(ok).collect {
+          case (prio, od)
+            if ship.after(od)
+              && !ship.toLocalDateTime.isBefore(lo)
+              && ship.toLocalDateTime.isBefore(hi) =>
+            (rf, prio)
+        }
+      }
+      .groupBy(_._1).view.mapValues { rs =>
+        val high = rs.count(r =>
+          r._2 == "1-URGENT" || r._2 == "2-HIGH").toLong
+        (high, rs.length - high)
+      }.toSeq.map { case (rf, (h, l)) => (rf, h, l) }.sortBy(_._1)
+    val got = Relational.lateLines(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(r => r._2 + r._3 > 0))
+  }
+
+  test("returned customers: revenue equals an exact decimal replay") {
+    import graft.model.Tables
+    val sf = "/root/testdata/sf0.001"
+    val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1996, 4, 1, 0, 0)
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .filter(r => !r._3.toLocalDateTime.isBefore(lo)
+        && r._3.toLocalDateTime.isBefore(hi))
+      .map(r => r._1 -> r._2).toMap
+    val custs = Tables.load(spark, sf, "customer")
+      .join(Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val one = BigDecimal(1)
+    val expected = Tables.load(spark, sf, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double)].collect()
+      .flatMap { case (ok, px, disc) => orders.get(ok).map { ck =>
+        (ck, BigDecimal(px).setScale(2) * (one -
+          BigDecimal(disc).setScale(4)))
+      } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case (ck, rev) =>
+        val (name, nation) = custs(ck)
+        (ck, name, nation,
+          (rev * 100).setScale(0, BigDecimal.RoundingMode.FLOOR)
+            .toDouble / 100.0)
+      }
+      .sortBy { case (ck, _, _, rev) => (-rev, ck) }.take(20)
+    val got = Relational.returnedCustomers(spark, sf)
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.size == 20)
+  }
+
   private def writeEvents(rows: Seq[(Long, Long, String, Double)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("relevents").toString
     rows.toDF("ts", "user_id", "event_type", "value")
