@@ -108,7 +108,7 @@ if sf10:
     out["sf10_family_total_s"] = round(sum(tq[q] for q in fam), 3)
     out["sf1_family_total_s"] = round(sum(sq[q] for q in fam), 3)
 
-with open("BENCH_SCALE_r13.json", "w") as f:
+with open("BENCH_SCALE_r15.json", "w") as f:
     json.dump(out, f, indent=1)
 
 rows.sort(key=lambda r: -(r["growth"] or 0))
