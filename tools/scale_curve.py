@@ -64,7 +64,12 @@ for pf in pair_files:
 
 def shuf(rec, q):
     m = (rec or {}).get("shuffle_mb_rw", {}).get(q)
-    return round(m[0] + m[1], 1) if m else None
+    if m:
+        return round(m[0] + m[1], 1)
+    # curated merge records carry combined r+w for rows inherited from a
+    # prior curve (the per-direction split lives in that curve's sources)
+    c = (rec or {}).get("shuffle_mb", {}).get(q)
+    return round(c, 1) if c is not None else None
 
 
 sq, bq = scale["queries"], base["queries"]
