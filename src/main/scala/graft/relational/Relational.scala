@@ -2435,15 +2435,29 @@ object Relational {
        GROUP BY n_name ORDER BY n_name"""
 
   /** TPC-H Q2-shaped minimum-cost supplier: for each part in a slice,
-    * the supplier(s) quoting the minimum observed price — the CORRELATED
-    * SCALAR-MIN subquery (the construct spec Q2 exists to test), which
-    * Catalyst decorrelates into a per-part min aggregate joined back.
-    * The catalog derives from lineitem (this schema carries no partsupp
-    * table): per (part, supplier) the minimum observed line price in
-    * exact cents, so the min-equality is engine-exact. Plan: one
-    * (partkey, suppkey) exchange builds the catalog, the decorrelated
-    * per-part min reuses its partkey prefix, part/supplier/nation
-    * broadcast onto the survivors.
+    * the supplier(s) quoting the minimum observed price. The catalog
+    * derives from lineitem (this schema carries no partsupp table): per
+    * (part, supplier) the minimum observed line price in exact cents,
+    * so the min-equality is engine-exact.
+    *
+    * Spec Q2 spells this as a CORRELATED SCALAR-MIN subquery against
+    * the catalog CTE. That spelling was MEASURED and rejected at sf10
+    * (24.3 s, 8.65× decade-3 growth): Spark has no CTE
+    * materialization, so the second reference inlines — lineitem is
+    * scanned AND (partkey, suppkey)-aggregated TWICE, and the
+    * decorrelated per-part min rides the unfiltered catalog (2M parts)
+    * when only the slice's parts matter. This text restructures both
+    * costs away while staying one-text dual-use: (a) the part slice
+    * filter joins BELOW the aggregate (broadcast of the filtered part
+    * rows; only ~3% of lines reach the exchange — legal because the
+    * per-part min is untouched by which OTHER parts survive), and (b)
+    * the per-part min is a window over the ALREADY-AGGREGATED catalog
+    * — a handful of supplier rows per part, partition count scales,
+    * group size doesn't (the PlanAudit-safe window shape) — so the
+    * catalog builds ONCE. 1.68 s at sf10, 14× the correlated form,
+    * same 100 rows. Construct note: the correlated-scalar-min SQL shape
+    * itself stays exercised by q_cust_idle's scalar subqueries and the
+    * decorrelation machinery by q_join_q21's correlated EXISTS pair.
     */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     viewAll(spark, dir, "lineitem", "part", "supplier", "nation")
@@ -2452,18 +2466,21 @@ object Relational {
 
   val minCostSupplierSql: String =
     """WITH ps AS (
-         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, p_name,
            min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
-         FROM lineitem GROUP BY l_partkey, l_suppkey)
-       SELECT p_partkey, p_name, s_name, n_name,
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_size <= 10 AND p_type = 'LARGE'
+         GROUP BY l_partkey, l_suppkey, p_name),
+       rk AS (
+         SELECT ps_partkey, ps_suppkey, p_name, cost_cents,
+           min(cost_cents) OVER (PARTITION BY ps_partkey) AS best_cents
+         FROM ps)
+       SELECT ps_partkey AS p_partkey, p_name, s_name, n_name,
          CAST(cost_cents AS DOUBLE) / 100.0 AS min_cost
-       FROM ps
-       JOIN part ON p_partkey = ps_partkey
+       FROM rk
        JOIN supplier ON s_suppkey = ps_suppkey
        JOIN nation ON n_nationkey = s_nationkey
-       WHERE p_size <= 10 AND p_type = 'LARGE'
-         AND cost_cents = (SELECT min(ps2.cost_cents) FROM ps ps2
-                           WHERE ps2.ps_partkey = ps.ps_partkey)
+       WHERE cost_cents = best_cents
        ORDER BY p_partkey, s_name LIMIT 100"""
 
   /** TPC-H Q21-shaped waiting-supplier audit: per supplier, finished

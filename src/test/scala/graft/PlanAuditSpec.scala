@@ -238,8 +238,12 @@ class PlanAuditSpec extends SparkSpec {
       // part keys: the part table scales with SF, per-part group size
       // is bounded by lines-per-part (q_argmin_supplier briefly used an
       // rn = 1 window mid-round-15; it is back to the packed-bigint
-      // hash aggregate, but any future per-part window stays legal)
-      "l_partkey")
+      // hash aggregate, but any future per-part window stays legal).
+      // ps_partkey is q_min_cost_supplier's catalog alias of the same
+      // key: its window runs over the (part, supplier) catalog — a
+      // handful of supplier rows per part, partition count scales,
+      // group size doesn't
+      "l_partkey", "ps_partkey")
     val windowAllow: Map[String, String] = Map(
       "q_chisq_topk" ->
         ("reference-parity contract: top-75 per category over the 22 " +
