@@ -2514,6 +2514,62 @@ object Relational {
                            AND l3.l_shipdate >= l1.l_shipdate)
        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
 
+  /** The AGGREGATION twin of [[waitingSuppliers]] — the same 20 rows by
+    * hand-decorrelating the two correlated subqueries into per-order
+    * top-2 supplier statistics (the window-form/aggregator-twin
+    * precedent of q_window_topk / q_topk_agg, applied to correlated
+    * EXISTS pairs). The correlated form is the CONSTRUCT demo and keeps
+    * its spec-Q21 spelling; this is the plan a hand-written operator
+    * targets at 100 TB: q_join_q21 shuffles the fact table three times
+    * (semi + anti + join: 4,757 MB at sf10, 15.0 s) where this twin
+    * aggregates lineitem ONCE per (order, supplier) with map-side
+    * combine and reasons over per-order maxima.
+    *
+    * The decorrelation: a line survives the NOT EXISTS iff its shipdate
+    * strictly exceeds every OTHER supplier's latest shipdate in the
+    * order. Per order, let max1 = max per-supplier latest, n_at_max =
+    * suppliers at max1, max2 = max per-supplier latest BELOW max1. A
+    * winner exists iff n_at_max = 1 (a tie means each tied supplier
+    * sees the other at ≥ its own date — nobody survives); survivors are
+    * exactly the winner's lines with shipdate > max2 (non-winning
+    * suppliers' maxima are all ≤ max2 by construction). The n_supps ≥ 2
+    * test is the EXISTS half. Chain: one (order, supplier) aggregate →
+    * per-order window (bounded groups: suppliers per order; the
+    * following per-order aggregate reuses the window's exchange) → one
+    * join back to lineitem on the 8-byte orderkey. No self-semi, no
+    * self-anti, no third pass.
+    */
+  def waitingSuppliersAgg(spark: SparkSession, dir: String): DataFrame = {
+    viewAll(spark, dir, "lineitem", "orders", "supplier")
+    spark.sql(waitingSuppliersAggSql)
+  }
+
+  val waitingSuppliersAggSql: String =
+    """WITH g1 AS (
+         SELECT l_orderkey AS o_orderkey, l_suppkey, max(l_shipdate) AS smax
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY l_orderkey, l_suppkey),
+       g3 AS (
+         SELECT o_orderkey, l_suppkey, smax,
+           count(*) OVER w AS n_supps,
+           max(smax) OVER w AS max1
+         FROM g1 WINDOW w AS (PARTITION BY o_orderkey)),
+       g4 AS (
+         SELECT o_orderkey,
+           min(CASE WHEN smax = max1 THEN l_suppkey END) AS win_supp,
+           sum(CASE WHEN smax = max1 THEN 1 ELSE 0 END) AS n_at_max,
+           max(CASE WHEN smax < max1 THEN smax END) AS max2,
+           max(n_supps) AS n_supps
+         FROM g3 GROUP BY o_orderkey)
+       SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM lineitem l1
+       JOIN g4 ON g4.o_orderkey = l1.l_orderkey
+               AND g4.win_supp = l1.l_suppkey
+       JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE n_supps >= 2 AND n_at_max = 1 AND l1.l_shipdate > max2
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+
   /** TPC-H Q19-shaped disjunctive-predicate join: revenue over three
     * OR'd conjunctions of (brand, size range, quantity range). The
     * construct under test is a DISJUNCTION SPANNING BOTH JOIN SIDES:

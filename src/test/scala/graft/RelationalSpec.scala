@@ -408,10 +408,27 @@ class RelationalSpec extends SparkSpec {
     assert(q22.contains("LeftAnti"), q22.take(600))
     assert(!q22.contains("NestedLoop"))
     assert(q22.contains("Subquery") || q22.contains("subquery"))
-    // Q2: the correlated scalar-min decorrelates into an aggregate+join
+    // Q2: the per-part min rides a window over the aggregated catalog
+    // (the correlated scalar-min spelling was rejected at sf10 — §9.65);
+    // still no loop join, and the catalog builds via hash aggregation
     val q2 = phys(Relational.minCostSupplier(spark, sf))
     assert(!q2.contains("NestedLoop"))
     assert(q2.contains("HashAggregate"))
+  }
+
+  test("TPC-H tranche: Q21 aggregation twin is row-identical to the correlated form") {
+    val sf = "/root/testdata/sf0.01"
+    val cor = Relational.waitingSuppliers(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val agg = Relational.waitingSuppliersAgg(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(cor == agg, s"correlated=${cor.take(5)} agg=${agg.take(5)}")
+    assert(cor.nonEmpty)
+    // and the twin never self-joins lineitem as semi/anti: one scan for
+    // the catalog, one for the count-back — no LeftSemi/LeftAnti nodes
+    val plan = Relational.waitingSuppliersAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"), plan.take(600))
   }
 
   test("TPC-H tranche: Q2 min-equality keeps every tied min-cost supplier") {
