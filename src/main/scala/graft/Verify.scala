@@ -138,6 +138,19 @@ object Verify {
       // SemClusterCap = 4096 fine centroids per shard, and a map-side
       // top-4096 beats a full per-shard sort at every scale.
       .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
+      // AQE's post-shuffle coalescing floor (default 1m) collapses the
+      // CPU-DENSE small-byte stages of the shingle/array pipelines into
+      // 1-4 tasks: bytes are a poor cost proxy when a 0.9 MB exchange
+      // carries collect_list'd hash arrays that cost seconds of CPU —
+      // measured on q_dedup_jaccard (warm, sf0.1) 5.1 s with two
+      // single-task 1.6 s stages vs 2.6 s with a 64k floor (same plan,
+      // 32-way tails; guide §2.2/§2.5 — stragglers from under-
+      // parallelized reduce stages). Scale-neutral: production shuffle
+      // partitions are 100 MB+, where the floor never binds and
+      // parallelismFirst/advisory sizing govern exactly as before; env
+      // override for cluster profiles that want the stock floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
