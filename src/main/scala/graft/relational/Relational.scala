@@ -1784,10 +1784,23 @@ object Relational {
     * first-difference position, the pair count and both id checksums.
     */
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    // loadSpread: the deletion-key map below costs ~20 hashes per name and
+    // customer scans as ONE split at catalog scale — measured 1.2 s on a
+    // single task (sf0.1) before the spread (guide §2.5 input skew: one
+    // unsplittable input serializing a CPU-heavy map)
+    val c = Tables.loadSpread(spark, dir, "customer", "c_custkey")
+      .select(col("c_custkey"), col("c_name"))
     val n = col("c_name")
+    // xxhash64, not the md5-derived h48: deletion keys only GENERATE
+    // candidates — every surviving pair is verified with an exact
+    // levenshtein == 1 below, so any deterministic hash yields the same
+    // declared rows (ed-1 pairs always share a deletion key; collisions
+    // only add candidates the verifier drops). The oracle keeps its own
+    // md5 candidate route for the same reason. ~10x cheaper per key than
+    // the md5 digest (guide §4.1: prefer the cheapest built-in that
+    // preserves semantics).
     val keyArr = array_distinct(transform(sequence(lit(0), length(n)), i =>
-      Hashing.h48(when(i === lit(0), n).otherwise(
+      xxhash64(when(i === lit(0), n).otherwise(
         concat(n.substr(lit(1), i - lit(1)), n.substr(i + lit(1), length(n)))))))
     val keys = c.select(col("c_custkey"), explode(keyArr).as("k"))
     val cand = keys.select(col("k"), col("c_custkey").as("a_id"))
