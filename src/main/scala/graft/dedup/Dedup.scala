@@ -671,18 +671,23 @@ object Dedup {
       val sets = docs.select(col("doc_id"),
         transform(col("fh"), f => f.getField("h")).as("hs"), col("sz"))
       // verification arrays move ONLY for docs some candidate involves:
-      // the involved-id semi-cut rides the docs aggregate's partitioning
-      // (no re-shuffle of the corpus-wide sets), so array bytes scale
-      // with the candidate set, not the corpus
+      // `involved` (tiny id set) is the BUILD side of the semi-cut, so
+      // the corpus-wide `sets` arrays stream partition-wise on the data
+      // plane and never reach the driver — before this round the planner
+      // broadcast the FULL docs aggregate here (every retained feature
+      // array of the corpus collected to the driver, rebuilt a second
+      // time for the doc_b attach below; two array-payload broadcasts
+      // measured ~19 s CPU each at sf1). Guide §3.1: broadcast the side
+      // that is small — the ids, not the arrays.
       val involved = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
-      val vsets = sets.join(involved, "doc_id")
+      val vsets = sets.join(broadcast(involved), "doc_id")
       cand
-        .join(vsets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-          col("sz").as("sza")), "doc_a")
-        .join(vsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-          col("sz").as("szb")), "doc_b")
+        .join(vsets.select(col("doc_id").as("doc_a"),
+          col("hs").as("ha"), col("sz").as("sza")), "doc_a")
+        .join(vsets.select(col("doc_id").as("doc_b"),
+          col("hs").as("hb"), col("sz").as("szb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("ha"), col("hb"))).cast("long").as("i"),
           col("sza"), col("szb"))
