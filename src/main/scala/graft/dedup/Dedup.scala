@@ -1283,11 +1283,36 @@ object Dedup {
             col("a.root") === col("b.r"))
           .select(col("a.doc").as("doc"), col("b.rr").as("root"))
       }
+      // convergence sum rides the checkpoint's own materialization pass
+      // via observe() — one job per round where the explicit aggregate
+      // cost a second scan of the just-checkpointed blocks (an exact
+      // COUNTER on the action, not result caching). getOrEmpty +
+      // fallback: if the checkpoint action ever stops reporting observed
+      // metrics (listener semantics are version-sensitive), the explicit
+      // aggregate is still the source of truth.
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = stepped.observe(obs,
+        sum(col("root").cast("decimal(38,0)")).as("s"))
       val next =
         if (stepped.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          stepped.checkpoint(eager = true)
-        else stepped.localCheckpoint(eager = true)
-      val curSum = labelSum(next)
+          observed.checkpoint(eager = true)
+        else observed.localCheckpoint(eager = true)
+      val curSum = {
+        // the listener reporting observed metrics fires asynchronously
+        // just after the eager checkpoint returns — poll briefly, then
+        // fall back to the explicit aggregate (never block the fixpoint
+        // on listener delivery)
+        var m = org.apache.spark.sql.GraftSqlBridge.observedOrEmpty(obs)
+        val deadline = System.nanoTime() + 2000000000L
+        while (m.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(5); m = org.apache.spark.sql.GraftSqlBridge.observedOrEmpty(obs)
+        }
+        if (m.contains("s")) Option(m("s")).map {
+          case d: java.math.BigDecimal => d
+          case d: BigDecimal => d.bigDecimal
+        }
+        else labelSum(next)
+      }
       converged = curSum == prevSum
       prevSum = curSum
       cached.foreach(_.unpersist(blocking = false))

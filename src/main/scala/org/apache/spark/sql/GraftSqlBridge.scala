@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
+    * `private[sql]`): empty until the listener delivering the observed
+    * row has fired. Lets a caller poll with its own deadline instead of
+    * parking forever in `get`.
+    */
+  def observedOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
 }
