@@ -213,6 +213,23 @@ class DedupSpec extends SparkSpec {
       s"expected O(log n) rounds on a path, took $rounds")
   }
 
+  test("fixpoint convergence detection: observed sum stops at the exact round") {
+    // round-15 optimization: the per-round convergence sum rides the
+    // checkpoint's observe() instead of a second aggregate. On a fixed
+    // input the round count is DETERMINISTIC — a clique settles in one
+    // propagation round and converges (sum unchanged) on the second —
+    // so pinning the exact count proves the observed sum drives the
+    // SAME convergence decision the explicit aggregate did: a wrong or
+    // missing observed value would either stop early (wrong labels,
+    // caught above) or run extra rounds (caught here).
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val (labeled, rounds) = Dedup.clustersFromPairsCounted(clique)
+    assert(labeled.as[(Long, Long)].collect().toSet ===
+      Set(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(rounds == 2,
+      s"a triangle must converge in exactly 2 rounds (1 propagate + 1 detect), took $rounds")
+  }
+
   test("clusters on real data: every pair endpoint labeled, canonical in cluster") {
     val pairs = Dedup.jaccardPairs(spark, sf).select("doc_a", "doc_b")
       .as[(Long, Long)].collect()
