@@ -566,6 +566,30 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsFrom(Tables.loadSpread(spark, dir, "documents", "doc_id"))
 
+  /** Eagerly materialize an intermediate that several downstream branches
+    * consume (guide §3.3): reliable checkpoint when the session has a
+    * checkpoint dir (the cluster setting — survives executor loss),
+    * localCheckpoint otherwise — the same convention as the cluster
+    * fixpoint and the streaming gate. Construction-time work, timed by
+    * the bench; recomputed from the parquet inputs on every invocation.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Budget (in ids) above which [[keyedPairIntersections]] withholds the
+    * broadcast hint on the involved-id semi-cut and lets the join shuffle:
+    * 20M longs ≈ 500 MB as a built LongHashedRelation — comfortably real
+    * on the driver, far under the 8 GB broadcast cap. Env/prop
+    * overridable (the minPartitionSize convention) so a cluster profile
+    * can move it and tests can force the shuffled shape.
+    */
+  private[graft] def involvedBroadcastMaxIds: Long =
+    sys.env.get("SPARK_GRAFT_INVOLVED_BC_MAX")
+      .orElse(sys.props.get("spark.graft.involvedBcMax"))
+      .map(_.toLong).getOrElse(20000000L)
+
   /** Shared inverted-index intersection pipeline: (doc_a, doc_b, i, sza,
     * szb) for candidate pairs sharing ≥1 retained shingle — the
     * overlap counts both [[jaccardPairsFrom]] and [[containmentPairs]]
@@ -637,23 +661,33 @@ object Dedup {
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
     case Some((num, den)) =>
-      // the SAME single postings aggregate as the unfiltered shape —
-      // every downstream branch (df annotation, doc-side prefix/arrays,
-      // candidate probe) derives from it, so the expensive feature-map
-      // stage and its exchange are planned once (ReusedExchange), never
-      // re-scanned
-      val posts = keyed.groupBy("h")
+      // DIAMOND NODES ARE MATERIALIZED (round 16). The pipeline is a DAG,
+      // not a tree: `posts` feeds both the doc-side aggregate and the
+      // candidate probe, `docs` feeds both the prefix and the verification
+      // arrays, `cand` feeds both the output and the involved-id cut.
+      // Catalyst plans a DAG by duplicating the subtree per consumer —
+      // measured on the round-15 plan: 16 parquet scans, the
+      // shingles→posts→docsAgg chain planned 4×, and runtime exchange
+      // reuse only de-duplicates the map side of each shuffle, so every
+      // reduce-side aggregate and generate re-ran per consumer (sf10
+      // ablation: candidate build 10.8 s, full query 89.6 s — the extra
+      // 79 s was recomputation). An eager checkpoint at each fan-out point
+      // (guide §3.3: materialize an intermediate consumed by several
+      // branches) computes each stage exactly once; every bench/oracle
+      // invocation still computes from the parquet inputs — this is
+      // in-query materialization, the fixpoint's convention, not caching.
+      val posts = materialize(keyed.groupBy("h")
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .where(size(col("ds")) <= maxDf) // stop-feature cut
+        .where(size(col("ds")) <= maxDf)) // stop-feature cut
       // (doc_id, h, df) with df free as the posting length — no join
       val kept = posts.select(col("h"), size(col("ds")).as("df"),
         explode(col("ds")).as("doc_id"))
       // ONE doc-side aggregate: rarity-sorted (df, h) feature list +
-      // retained size — sliced for the prefix, projected for the
-      // verification arrays (same subtree ⇒ the exchange is reused)
-      val docs = kept.groupBy("doc_id")
+      // retained size — sliced for the prefix, read again for the
+      // verification arrays
+      val docs = materialize(kept.groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fh"),
-          count(lit(1)).as("sz"))
+          count(lit(1)).as("sz")))
       // prefix length sz − ceil(t·sz) + 1 in EXACT integer arithmetic:
       // a float 0.8·sz rounding UP once would shorten the prefix below
       // the pigeonhole bound and silently drop qualifying pairs
@@ -662,27 +696,37 @@ object Dedup {
       val prefix = docs
         .select(col("doc_id"), explode(slice(col("fh"), lit(1), prefLen)).as("f"))
         .select(col("doc_id"), col("f.h").as("h"))
-      val cand = prefix.join(posts.where(size(col("ds")) > 1), "h")
+      val cand = materialize(prefix.join(posts.where(size(col("ds")) > 1), "h")
         .select(col("doc_id").as("pa"), explode(col("ds")).as("pb"))
         .where(col("pa") =!= col("pb"))
         .select(least(col("pa"), col("pb")).as("doc_a"),
           greatest(col("pa"), col("pb")).as("doc_b"))
-        .distinct()
+        .distinct())
       val sets = docs.select(col("doc_id"),
         transform(col("fh"), f => f.getField("h")).as("hs"), col("sz"))
       // verification arrays move ONLY for docs some candidate involves:
       // `involved` (tiny id set) is the BUILD side of the semi-cut, so
       // the corpus-wide `sets` arrays stream partition-wise on the data
-      // plane and never reach the driver — before this round the planner
-      // broadcast the FULL docs aggregate here (every retained feature
-      // array of the corpus collected to the driver, rebuilt a second
-      // time for the doc_b attach below; two array-payload broadcasts
-      // measured ~19 s CPU each at sf1). Guide §3.1: broadcast the side
-      // that is small — the ids, not the arrays.
-      val involved = cand
+      // plane and never reach the driver — round 15 flipped the build side
+      // here (the planner used to broadcast the FULL corpus-array
+      // aggregate, a driver OOM by construction at scale). Guide §3.1:
+      // broadcast the side that is small — the ids, not the arrays.
+      // materialized: BOTH vsets attaches consume it (before this the
+      // reduce-side distinct ran twice), and the exact row count is the
+      // size guard below
+      val involved = materialize(cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct()
-      val vsets = sets.join(broadcast(involved), "doc_id")
+        .distinct())
+      // SIZE-GUARDED broadcast (round 16): |involved| is a free count over
+      // the materialized blocks. Below the budget the hint holds (ids are
+      // the provably-small side); above it the hint is withheld so a
+      // pathologically duplicated corpus degrades to a shuffled semi-join
+      // instead of hitting the 8 GB broadcast hard cap — the
+      // dedupSurvivors BroadcastLabelMaxRows convention applied here.
+      val vsets =
+        if (involved.count() <= involvedBroadcastMaxIds)
+          sets.join(broadcast(involved), "doc_id")
+        else sets.join(involved, "doc_id")
       cand
         .join(vsets.select(col("doc_id").as("doc_a"),
           col("hs").as("ha"), col("sz").as("sza")), "doc_a")
@@ -701,11 +745,32 @@ object Dedup {
   def jaccardPairsFrom(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     val j = col("i").cast("double") /
       (col("sza") + col("szb") - col("i")).cast("double")
-    pairIntersections(docs, maxDf, Some(JaccardPrefixT))
-      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
-      .where(col("jaccard") >= JaccardThreshold)
-      .orderBy("doc_a", "doc_b")
+    // Threshold in EXACT integer arithmetic (round 16): i/(sza+szb−i) ≥ 4/5
+    // ⟺ 9·i ≥ 4·(sza+szb) — same rows (the nearest rational to 4/5 at
+    // these set sizes is ≥ ~1e-7 away, 9 orders beyond double rounding, so
+    // the double compare and the integer compare cannot disagree;
+    // DedupSpec pins threshold-boundary pairs and the oracle keeps the
+    // double form). WHY: the optimizer pushes the filter into the verify
+    // join's condition; the old double form mentioned `i` TWICE, so
+    // array_intersect — the verification itself — ran twice per candidate
+    // (measured at sf10: the two verify stages were 430 s + 234 s CPU).
+    // The single-occurrence predicate halves that; the double `jaccard`
+    // column is then computed for survivors only.
+    pairVerified(pairIntersections(docs, maxDf, Some(JaccardPrefixT))
+      .where(lit(9) * col("i") >= lit(4) * (col("sza") + col("szb")))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard")))
   }
+
+  /** Materialize the (tiny) verified-pair table, then order it: the
+    * declared orderBy plans a range exchange whose partition-boundary
+    * SAMPLING pass otherwise re-executes the entire verification join —
+    * measured at sf10 as a second full read of the 4.9 GB attach exchange
+    * plus a second array_intersect pass over every candidate (stage 83 in
+    * the round-16 probe). Checkpointing the filtered pairs first makes
+    * both the sample and the shuffle read cached blocks.
+    */
+  private def pairVerified(pairs: DataFrame): DataFrame =
+    materialize(pairs).orderBy("doc_a", "doc_b")
 
   /** CONTAINMENT near-dups — the asymmetric overlap Jaccard misses: the
     * fraction of the SMALLER document's retained shingles that the other
@@ -732,10 +797,12 @@ object Dedup {
       maxDf: Int = MaxShingleDf): DataFrame = {
     val c = col("i").cast("double") /
       least(col("sza"), col("szb")).cast("double")
-    pairIntersections(docs, maxDf, Some(ContainmentPrefixT))
-      .select(col("doc_a"), col("doc_b"), c.as("containment"))
-      .where(col("containment") >= ContainmentThreshold)
-      .orderBy("doc_a", "doc_b")
+    // i/min ≥ 9/10 ⟺ 10·i ≥ 9·min — the jaccardPairsFrom integer-threshold
+    // + materialize-before-orderBy treatment (one array_intersect per
+    // candidate, no sampling re-execution)
+    pairVerified(pairIntersections(docs, maxDf, Some(ContainmentPrefixT))
+      .where(lit(10) * col("i") >= lit(9) * least(col("sza"), col("szb")))
+      .select(col("doc_a"), col("doc_b"), c.as("containment")))
   }
 
   /** Shared CTE chain (`sdf`/`kept`/`sizes`/`inter`) of the inverted-index
@@ -899,12 +966,14 @@ object Dedup {
     // selection pre-pass applies (round 12). At maxDf = Int.MaxValue
     // both are inert and this is the unceilinged ground-truth form the
     // CeilingRecall audit runs.
-    keyedPairIntersections(winnowFingerprints(docs, hotGrams(docs, maxDf)),
-      maxDf, Some((1, 2))) // WinnowThreshold = 1/2, spec-pinned
+    // i/min ≥ 1/2 ⟺ 2·i ≥ min — the jaccardPairsFrom integer-threshold +
+    // materialize-before-orderBy treatment
+    pairVerified(
+      keyedPairIntersections(winnowFingerprints(docs, hotGrams(docs, maxDf)),
+        maxDf, Some((1, 2))) // WinnowThreshold = 1/2, spec-pinned
+      .where(lit(2) * col("i") >= least(col("sza"), col("szb")))
       .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
-        ov.as("overlap"))
-      .where(col("overlap") >= WinnowThreshold)
-      .orderBy("doc_a", "doc_b")
+        ov.as("overlap")))
   }
 
   val winnowOverlapSql: String = {
